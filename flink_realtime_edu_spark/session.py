@@ -1,0 +1,67 @@
+"""SparkSession construction and the runtime confs every query assumes.
+
+The driver hands us an already-built SparkSession, so the confs that
+matter for oracle agreement (session timezone) and for performance
+(AQE, Arrow) are applied idempotently via :func:`configure`, which
+every query builder calls. :func:`get_spark` is used by our own
+tests / bench, mirroring the driver's ``local[$SPARK_GRAFT_CPUS]``
+setup.
+
+Scale posture (SURVEY.md §4.4): AQE is left on so shuffle partition
+counts coalesce/split at runtime on a real cluster; the static
+``spark.sql.shuffle.partitions`` is only the pre-AQE ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (mutable) confs — safe to set on a live session.
+RUNTIME_CONFS: dict[str, str] = {
+    # Oracle agreement: DuckDB timestamps are tz-naive; run Spark in UTC
+    # so date_trunc/window/to_date agree bit-for-bit (FIXTURES.md note 2).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to a live session; idempotent and cheap."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not settable at runtime on this build — leave as-is.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "flink-realtime-edu-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Local session mirroring the driver's environment.
+
+    ``SPARK_GRAFT_CPUS`` selects local parallelism (default all cores).
+    Shuffle partitions default to the core count: at test scale every
+    partition fits in memory; at cluster scale AQE re-coalesces anyway.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return configure(builder.getOrCreate())
