@@ -29,6 +29,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which the Spark reader
+    # rejects by default; read as epoch-nanos long and convert in
+    # sources.load (truncation to micros matches DuckDB's read).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

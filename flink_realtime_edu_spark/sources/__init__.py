@@ -15,6 +15,7 @@ dynamic partition pruning (SURVEY.md §4.2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.session import configure
 
@@ -43,11 +44,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Batch-read one testdata table as a DataFrame."""
+    """Batch-read one testdata table as a DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
+    BIGINT and is converted here to a microsecond TimestampType
+    (truncating, exactly how DuckDB reads the same file — verified:
+    ...778549829ns → ...778549µs on both engines).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
