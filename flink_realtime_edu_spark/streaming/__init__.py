@@ -1,0 +1,37 @@
+"""Structured Streaming layer — SURVEY.md §2.9 / §2.1 S4-S5.
+
+The reference is a streaming warehouse: Kafka in, keyed/windowed
+transforms, Kafka/ClickHouse out [R]. Here the SAME DataFrame code
+from the batch queries runs on `readStream`; the micro-batch engine
+incrementalizes it (PAPERS.md: Structured Streaming, SIGMOD 2018).
+Prefix consistency means end-of-stream output ≡ the batch query on
+the same data — exactly what tests/test_streaming.py asserts.
+
+Modules:
+- ``jobs``     — streaming forms of T1/T2/T3/T5 + the J9 stream-stream
+                 interval join.
+- ``sinks``    — foreachBatch idempotent upsert (the ClickHouse
+                 ReplacingMergeTree stand-in, T8) and memory/parquet
+                 helpers.
+- ``stateful`` — transformWithStateInPandas custom keyed state (T6
+                 first-visit repair; the reference's ValueState [R]).
+"""
+
+from flink_realtime_edu_spark.streaming.jobs import (
+    dedup_users_stream,
+    interval_join_stream,
+    load_events_stream,
+    session_stats_stream,
+    tumbling_stats_stream,
+)
+from flink_realtime_edu_spark.streaming.sinks import run_to_completion, upsert_latest_by_key
+
+__all__ = [
+    "load_events_stream",
+    "tumbling_stats_stream",
+    "session_stats_stream",
+    "dedup_users_stream",
+    "interval_join_stream",
+    "upsert_latest_by_key",
+    "run_to_completion",
+]

@@ -1,0 +1,137 @@
+"""Streaming jobs: the real-time forms of the batch time-semantics
+queries. Each takes an events *streaming* DataFrame (file source in
+tests — Kafka in production has the identical downstream code) and
+returns a transformed streaming DataFrame; callers pick sink + mode.
+
+Watermark policy (T4): the reference uses ~3s bounded out-of-
+orderness on second-scale windows [R]; testdata is 30 days of
+hour-scale windows, so delays are parameters. Late rows below the
+watermark are DROPPED by Spark (no side output for late data —
+documented divergence, SURVEY.md §7 hard-parts #4); the T4 test
+demonstrates the drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_realtime_edu_spark.session import configure
+
+# Schema of events.parquet as the reader sees it with nanosAsLong
+# (ts arrives as epoch-nanos BIGINT; converted below like sources.load).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def load_events_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events-shaped parquet files (the Kafka
+    stand-in, S1). `maxFilesPerTrigger` slices the replay into
+    multiple micro-batches to exercise cross-batch state."""
+    configure(spark)
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(directory)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stats_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T1 streaming twin of queries.time_semantics.tumbling_hourly_stats:
+    identical aggregation + withWatermark for state eviction."""
+    dec = "decimal(30,8)"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(dec)).cast("double"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_stats_stream(events: DataFrame, gap: str = "12 hours", watermark: str = "1 hour") -> DataFrame:
+    """T3 streaming twin of session_window_stats (same gap)."""
+    dec = "decimal(30,8)"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(dec)).cast("double"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_users_stream(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """T5 streaming dedup: first event per (day, user). With a
+    watermark uses dropDuplicatesWithinWatermark (state evicted as
+    event time advances — the production form; the reference's
+    ValueState+TTL [R]); without, exact unbounded-state dedup."""
+    keyed = events.select(F.to_date("ts").alias("day"), "user_id", "ts")
+    if watermark is None:
+        return keyed.dropDuplicates(["day", "user_id"]).drop("ts")
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["day", "user_id"])
+        .drop("ts")
+    )
+
+
+def interval_join_stream(
+    events: DataFrame, watermark: str = "2 days", horizon: str = "INTERVAL 1 DAY"
+) -> DataFrame:
+    """J9/T-side twin of interval_join_click_purchase: stream-stream
+    inner join, watermarks on BOTH sides + a time-bound condition so
+    join state is evictable (without the bound, state grows forever)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(horizon))
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id", "purchase_id", F.col("c_user_id").alias("user_id")
+    )

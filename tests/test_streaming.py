@@ -1,0 +1,225 @@
+"""Streaming ≡ batch equivalence (SURVEY.md §7 M3).
+
+Structured Streaming's prefix-consistency guarantee: at end of
+stream, the streaming result equals the batch query over the same
+data. Each test replays events.parquet through a file source and
+compares against the oracle-checked batch query.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.queries import load_registry
+from flink_realtime_edu_spark.sources import load, table_path
+from flink_realtime_edu_spark.streaming import (
+    dedup_users_stream,
+    interval_join_stream,
+    load_events_stream,
+    run_to_completion,
+    tumbling_stats_stream,
+    upsert_latest_by_key,
+)
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "part-000.parquet")
+    return str(d)
+
+
+def _rows(df):
+    return sorted(repr(tuple(r)) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = tumbling_stats_stream(load_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t1_complete")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = spark.sql("SELECT * FROM t1_complete")
+    want = REGISTRY["tumbling_hourly_stats"].build(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_append_mode_withholds_only_unfinalized_windows(spark, sf_dir, events_dir, tmp_path):
+    """T9: append emits only windows the watermark has passed; at
+    end-of-stream the last hour(s) stay open. emitted ⊆ batch."""
+    stream = tumbling_stats_stream(load_events_stream(spark, events_dir), watermark="1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t1_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = set(_rows(spark.sql("SELECT * FROM t1_append")))
+    want = set(_rows(REGISTRY["tumbling_hourly_stats"].build(spark, sf_dir)))
+    assert got <= want
+    # everything except the unfinalized tail (≤ 2h × 5 types) arrived
+    assert len(got) >= len(want) - 10
+
+
+def test_late_rows_below_watermark_dropped(spark, tmp_path):
+    """T4: a row older than watermark - delay is silently dropped."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(0)
+
+    def write_batch(name: str, ts: str):
+        row = spark.createDataFrame(
+            [(1, ts, 1, "click", 1.0, "{}")],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.unix_micros(F.to_timestamp("ts_s")).cast("long").alias("us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).select(
+            "event_id",
+            (F.col("us") * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        row.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for i, f in enumerate((tmp_path / "stage").glob("*.parquet")):
+            shutil.copy(f, src / f"{name}-{i}.parquet")
+
+    assert ev.count() == 0  # schema handle only
+    stream = tumbling_stats_stream(load_events_stream(spark, str(src)), watermark="30 minutes")
+    write_batch("a", "2024-01-01 00:10:00")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t4_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()          # batch 1: watermark -> 23:40 prev day
+    write_batch("b", "2024-01-01 05:00:00")
+    q.processAllAvailable()          # watermark -> 04:30; hour 00 finalized+emitted
+    write_batch("c", "2024-01-01 00:20:00")  # LATE: below 04:30 watermark
+    q.processAllAvailable()
+    write_batch("d", "2024-01-01 09:00:00")  # push watermark past hour 05
+    run_to_completion(q)
+    got = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM t4_late").collect()
+    }
+    # hour 00 was finalized with ONE event; the late second event never counted
+    assert ("2024-01-01T00:00:00", 1) in got
+    assert ("2024-01-01T00:00:00", 2) not in got
+
+
+def test_dedup_stream_equals_batch_uv(spark, sf_dir, events_dir, tmp_path):
+    """T5: streaming dedup (watermarked) → daily UV equals batch."""
+    stream = dedup_users_stream(
+        load_events_stream(spark, events_dir), watermark="40 days"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t5_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = (
+        spark.sql("SELECT * FROM t5_dedup")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("uv"))
+    )
+    want = REGISTRY["daily_unique_visitors"].build(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """J9: watermarked stream-stream join ≡ batch interval join."""
+    events = load_events_stream(spark, events_dir)
+    joined = interval_join_stream(events)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("j9_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = spark.sql("SELECT * FROM j9_join")
+    want = REGISTRY["interval_join_click_purchase"].build(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_foreachbatch_upsert_latest_per_key(spark, sf_dir, tmp_path):
+    """T8: multi-micro-batch foreachBatch upsert converges to the
+    batch latest-per-key result (ReplacingMergeTree semantics)."""
+    src = tmp_path / "events_split"
+    # split into 4 files → 4 micro-batches with maxFilesPerTrigger=1
+    load(spark, sf_dir, "events").repartition(4).write.parquet(str(src))
+    raw = spark.read.parquet(table_path(sf_dir, "events"))  # keep ts long
+    raw.repartition(4).write.mode("overwrite").parquet(str(src))
+
+    target = tmp_path / "latest_by_user"
+    target.mkdir()
+    stream = load_events_stream(spark, str(src), max_files_per_trigger=1).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_latest_by_key(str(target), ["user_id"], "ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = spark.read.parquet(str(target)).select("user_id", "event_id", "event_type", "ts")
+    want = REGISTRY["latest_event_per_user"].build(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_transform_with_state_first_visit(spark, sf_dir, events_dir, tmp_path):
+    """T6: custom keyed state (transformWithStateInPandas) tags
+    new-vs-returning identically to the batch window re-expression."""
+    from flink_realtime_edu_spark.streaming.stateful import tag_new_vs_returning
+
+    stream = tag_new_vs_returning(load_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t6_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = (
+        spark.sql("SELECT * FROM t6_state")
+        .groupBy(F.col("day"))
+        .agg(
+            F.countDistinct(F.when(F.col("is_new"), F.col("user_id"))).alias("new_users"),
+            F.countDistinct(F.when(~F.col("is_new"), F.col("user_id"))).alias("returning_users"),
+        )
+        .withColumn("day", F.to_date("day"))
+    )
+    want = REGISTRY["new_vs_returning_daily"].build(spark, sf_dir)
+    assert _rows(got.select("day", "new_users", "returning_users")) == _rows(
+        want.select("day", "new_users", "returning_users")
+    )
