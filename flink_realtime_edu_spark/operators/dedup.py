@@ -1,0 +1,222 @@
+"""Document deduplication operators — SURVEY.md §2.10 X4/X5.
+
+North-star LLM-pipeline operators (BASELINE.json): exact dedup,
+MinHash+LSH near-dup, SimHash near-dup. The 100 TB discipline is the
+same for all of them: NEVER materialize the O(n²) pairwise matrix —
+hash/band/bucket first so candidate pairs only form inside buckets
+(cf. PAPERS.md LSH literature; same structure as the band join in
+public MinHash dedup pipelines).
+
+Everything except SimHash is pure DataFrame ops (JVM-side, codegen):
+shingling via higher-order functions, MinHash via xxhash64 seeded by
+column-literal concat, banding via element_at + struct explode.
+SimHash uses one Arrow-batched pandas UDF (per-row bit-majority is
+genuinely awkward as 64 agg columns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from flink_realtime_edu_spark.functions import word_shingles
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}): per-seed min of xxhash64(seed || shingle).
+
+    One explode + one hash-keyed groupBy → a single shuffle on the
+    document id; no pairwise work. Distinct shingles per doc keep the
+    explode factor bounded by document length.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{seed}|"), F.col("sh")))).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band_id, band_hash): hash each band of rows/band signature
+    values. Docs agreeing on any full band share a (band_id,
+    band_hash) bucket."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any LSH bucket. The join
+    key is (band_id, band_hash) — the cross product only happens
+    inside buckets, which is the entire point of LSH."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the cheap,
+    per-pair verification step after LSH filtering)."""
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_words)).alias("sh")
+    )
+    out = (
+        pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → band → bucket-join →
+    jaccard-verify → (id_a, id_b, jaccard ≥ threshold)."""
+    sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_words)
+    pairs = candidate_pairs(lsh_bands(sig, id_col, n_hashes, bands), id_col)
+    return jaccard_verify(pairs, docs, id_col, text_col, shingle_words).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64():
+    """Factory for a 64-bit SimHash pandas UDF (Arrow-batched,
+    vectorized inner loop). Deterministic: token hash is a
+    blake2b-derived 64-bit int, bit-majority voted. Built lazily —
+    `pandas_udf` needs an active SparkSession, so no decorator at
+    module import."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def one(text: str) -> int:
+            if not text:
+                return 0
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in text.split(" "):
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                    )
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                votes += bits * 2 - 1
+            sig = int(
+                (votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            )
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        return texts.map(one)
+
+    return _simhash
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dups by SimHash: band the 64-bit signature into 4×16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk),
+    bucket-join on chunks, then verify with bit_count(a XOR b)."""
+    sig = docs.select(F.col(id_col), simhash64()(F.col(text_col)).alias("sim"))
+    chunks = sig.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        (F.shiftrightunsigned("sim", 16 * i) % F.lit(65536)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sim", "c.chunk_id", "c.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk_id", "chunk"
+    )
+    return (
+        a.join(b, on=["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("sim_a ^ sim_b")).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

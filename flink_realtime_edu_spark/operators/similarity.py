@@ -1,0 +1,142 @@
+"""Embedding similarity search — SURVEY.md §2.10 X6.
+
+North-star operator (BASELINE.json): top-k cosine neighbors over an
+`array<float>` embedding column.
+
+Two paths, as the north star prescribes:
+
+- ``cosine_topk`` — brute force, the correctness baseline. Queries
+  are broadcast against the corpus; the corpus is scanned ONCE, the
+  per-pair cosine stays in whole-stage codegen (higher-order
+  functions, no UDF), and ranking happens per query id. Cost is
+  O(|Q|·|corpus|): fine for |Q| ≪ corpus, which is the batch-scoring
+  shape; NOT for all-pairs.
+- ``lsh_cosine_topk`` — the scale path: random-hyperplane LSH
+  buckets (sign bits of h·x), candidates only form inside buckets,
+  then exact cosine re-ranks candidates. Recall < 1 by construction;
+  tests measure it against brute force. Hyperplanes are generated
+  from a fixed seed so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from flink_realtime_edu_spark.functions import cosine, dot, l2_norm
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k neighbors: (qid, nid, cos), k rows per query.
+
+    Scores are rounded to 6dp BEFORE ranking with an id tie-break, so
+    the selected set is deterministic and oracle-comparable.
+    """
+    # Norms are computed ONCE per vector (not per pair): O(n+|Q|)
+    # norm work + O(n·|Q|) dot products, all JVM-side.
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("nid") != F.col(query_id_col))
+    scored = pairs.select(
+        query_id_col,
+        "nid",
+        F.round(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def hyperplane_buckets(
+    n_planes: int = 4, dim: int = 64, n_tables: int = 8, seed: int = 42
+):
+    """Deterministic multi-table random-hyperplane LSH → a pandas UDF
+    mapping an embedding to its `n_tables` bucket ids (table tag is
+    folded into the id so buckets never collide across tables).
+    Vectorized: one (dim × n_tables·n_planes) matmul per Arrow batch.
+
+    Multi-table is the recall lever: a pair is a candidate if it
+    agrees in ANY table. Per-table match prob is p^n_planes with
+    p = 1 - θ/π, so overall recall ≈ 1-(1-p^n_planes)^n_tables —
+    more tables buy recall, fewer planes per table buy candidate
+    volume. (Single-table recall on weakly-similar neighbors is near
+    zero — measured 0.04 on the testdata embeddings.)"""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    table_tags = (np.arange(n_tables).astype(np.int64) + 1) << n_planes
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes) > 0  # (batch, tables*planes)
+        signs = signs.reshape(len(mat), n_tables, n_planes)
+        ids = signs @ powers + table_tags  # (batch, tables)
+        return pd.Series(list(ids))
+
+    return buckets
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share ANY of the query's LSH
+    bucket ids; exact cosine re-ranks the (deduplicated) candidates.
+    All-pairs work never happens — the only join key is the bucket
+    id, so per-query candidate volume is ~ n_tables·corpus/2^n_planes."""
+    dim = len(corpus.select(vec_col).first()[0])
+    buckets = hyperplane_buckets(n_planes, dim, n_tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("cv"),
+        F.explode(buckets(F.col(vec_col))).alias("bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(buckets(F.col(vec_col))).alias("bkt"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), on="bkt")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "qv", "nid", "cv")
+        .dropDuplicates(["qid", "nid"])  # a pair may match in several tables
+    )
+    scored = pairs.select("qid", "nid", cosine("qv", "cv").alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+__all__ = ["cosine_topk", "lsh_cosine_topk", "hyperplane_buckets", "dot", "l2_norm"]

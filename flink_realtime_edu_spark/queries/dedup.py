@@ -1,1 +1,72 @@
-"""Placeholder — queries added in M1+."""
+"""Deduplication queries — SURVEY.md §2.10 X4/X5.
+
+Exact dedup is oracle-checked (md5 agrees across engines). MinHash /
+SimHash near-dup run the full bucketed pipelines from
+operators/dedup.py; their hash functions (xxhash64, blake2b-derived
+SimHash) have no DuckDB twin → rows-only checks, with unit tests in
+tests/test_operators.py pinning semantics on constructed corpora
+(the testdata word soup contains no true near-dups, so these return
+few/no pairs there — by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.operators.dedup import (
+    minhash_near_duplicates,
+    minhash_signature,
+    simhash_near_duplicates,
+)
+from flink_realtime_edu_spark.queries import register
+from flink_realtime_edu_spark.sources import load
+
+
+@register(
+    "exact_dedup_docs",
+    survey_rows=("X4", "F8", "A9"),
+    oracle="""
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: group by content hash, keep the smallest
+    doc_id (deterministic canonical representative). At 100 TB the
+    md5 group-by shuffles only (hash, id) pairs — never the text."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register("near_dup_minhash", survey_rows=("X5",), oracle=None, bench=True)
+def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (32 hashes, 8 bands, 3-word
+    shingles, Jaccard ≥ 0.7). Bucketed end-to-end: the only join is
+    on (band_id, band_hash)."""
+    return minhash_near_duplicates(
+        load(spark, sf_dir, "documents"), threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+@register("near_dup_simhash", survey_rows=("X5",), oracle=None)
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (64-bit signatures, 4×16-bit
+    pigeonhole bands, hamming ≤ 3)."""
+    return simhash_near_duplicates(load(spark, sf_dir, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register("minhash_signatures_sample", survey_rows=("X5",), oracle=None)
+def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 MinHash signature values for the lowest 100 doc_ids —
+    a deterministic, non-empty window into the signature stage (the
+    pair outputs above are legitimately empty on dedup-free data)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = minhash_signature(d, n_hashes=4)
+    return sig.select("doc_id", "mh0", "mh1", "mh2", "mh3").orderBy("doc_id")

@@ -1,1 +1,172 @@
-"""Placeholder — queries added in M1+."""
+"""Text analysis for LLM data pipelines — SURVEY.md §2.10 X1/X7.
+
+North-star operators (BASELINE.json): token counting, quality
+scoring, language-ID heuristics, plus the reference's one canonical
+UDTF — keyword splitting + explode (IK analyzer → split/explode for
+whitespace text [R]). All pure DataFrame ops: tokenization is
+`split`, stats are higher-order functions, so the hot path never
+leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.functions import dec_avg_sql, dec_sum_sql
+from flink_realtime_edu_spark.queries import register
+from flink_realtime_edu_spark.sources import load
+
+# A tiny fixed stopword list for ratio features (deterministic,
+# shared verbatim by the oracle SQL).
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "['" + "','".join(STOPWORDS) + "']"
+
+
+# --------------------------------------------------------------------------
+# X1 — keyword-split UDTF: token explode + global top-k
+# --------------------------------------------------------------------------
+@register(
+    "token_topk",
+    survey_rows=("X1", "A1", "O2"),
+    bench=True,
+    oracle="""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, COUNT(*) AS cnt
+FROM w WHERE word <> ''
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 20
+""",
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens — the reference's keyword-split UDTF
+    (one-to-many explode) feeding a count/top-N [R]. Explode → partial
+    count per partition → single shuffle on word; top-k is
+    TakeOrderedAndProject (no global sort)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# X7 — corpus stats by source
+# --------------------------------------------------------------------------
+@register(
+    "text_stats_by_source",
+    survey_rows=("X7", "F5", "A2"),
+    oracle=f"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  {dec_avg_sql('n_chars')} AS avg_chars,
+  {dec_avg_sql("len(string_split(text, ' '))")} AS avg_tokens,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars
+FROM documents GROUP BY source
+""",
+)
+def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics (the dataset-card numbers an LLM
+    pipeline reports per input source)."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    dec = "decimal(30,8)"
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
+        F.round(F.sum(F.col("n_chars").cast(dec)).cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.round(F.sum(n_tokens.cast(dec)).cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X7 — per-document quality score
+# --------------------------------------------------------------------------
+@register(
+    "doc_quality_scores",
+    survey_rows=("X7", "F4", "F5"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+  ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+        / len(toks), 6) AS stopword_ratio,
+  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+  CASE WHEN len(toks) BETWEEN 20 AND 80
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.5
+       THEN 'good' ELSE 'poor' END AS quality
+FROM t
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features per document (length band,
+    type-token ratio, stopword ratio, mean token length) + a bucket
+    label — the filter stage of an LLM data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double") / n
+    )
+    tok_len_sum = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x).cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(tok_len_sum.cast("double") / n, 6).alias("avg_token_len"),
+        F.when(n.between(20, 80) & (ttr > 0.5), "good").otherwise("poor").alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X7 — language-ID heuristic vs labels (confusion counts)
+# --------------------------------------------------------------------------
+_LANG_MARKERS = [("scan", "en"), ("filter", "de"), ("query", "es"), ("merge", "fr")]
+
+
+def _lang_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN list_contains(string_split(text, ' '), '{w}') THEN '{lang}'"
+        for w, lang in _LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "lang_guess_confusion",
+    survey_rows=("X7", "F4"),
+    oracle=f"""
+SELECT lang, {_lang_case_sql()} AS guessed, COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+)
+def lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic scored against the labeled
+    `lang` column (first-match-wins CASE — the n-gram-heuristic
+    structure of a real lang-ID stage; the testdata vocabulary is
+    language-independent word soup, so accuracy is meaningless but
+    the confusion-matrix computation is the real thing)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    guessed = F.lit("und")
+    for word, lang in reversed(_LANG_MARKERS):
+        guessed = F.when(F.array_contains(toks, word), lang).otherwise(guessed)
+    return d.groupBy("lang", guessed.alias("guessed")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

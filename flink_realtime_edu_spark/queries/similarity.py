@@ -1,1 +1,112 @@
-"""Placeholder — queries added in M1+."""
+"""Similarity search queries — SURVEY.md §2.10 X6.
+
+Brute-force cosine top-k is oracle-checked against DuckDB's
+list_dot_product on DOUBLE[] (both engines accumulate the 64-dim dot
+product sequentially in double → bit-identical scores; scores are
+rounded to 6dp BEFORE ranking with a neighbor-id tie-break so the
+selected top-k sets agree exactly). The LSH variant is the 100 TB
+path → rows-only here, recall-tested in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_realtime_edu_spark.queries import register
+from flink_realtime_edu_spark.sources import load
+
+_N_QUERIES = 10
+_K = 5
+
+_COS = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@register(
+    "cosine_topk_bruteforce",
+    survey_rows=("X6", "W1", "J7"),
+    bench=True,
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT qid, nid, ROUND({_COS}, 6) AS cos
+  FROM c, q WHERE nid <> qid)
+SELECT qid, nid, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+  FROM scored) t
+WHERE rn <= {_K}
+""",
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 10.
+    Queries broadcast; corpus scanned once; dot products via
+    zip_with/aggregate higher-order functions (JVM, casts float→
+    double element-wise exactly like the oracle's DOUBLE[] cast)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, queries, k=_K)
+
+
+@register("ann_lsh_topk", survey_rows=("X6",), oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors via random-hyperplane LSH (8 planes,
+    seed 42) + exact re-rank inside buckets — the scale path that
+    replaces the O(n·|Q|) scan with bucket-local candidate sets."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_cosine_topk(emb, queries, k=_K).orderBy("qid", "nid")
+
+
+@register(
+    "label_homophily_check",
+    survey_rows=("X6", "J1"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel
+  FROM embeddings),
+scored AS (
+  SELECT qid, nid, qlabel, nlabel, ROUND({_COS}, 6) AS cos
+  FROM c, q WHERE nid <> qid),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+    FROM scored) t
+  WHERE rn <= {_K})
+SELECT qid, CAST(SUM(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END) AS BIGINT) AS same_label_neighbors
+FROM top GROUP BY qid
+""",
+)
+def label_homophily_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanity metric from FIXTURES.md: neighbors share labels more
+    often than chance. Counts same-label neighbors among each query's
+    top-5 (joins the top-k back to the label dimension)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    top = cosine_topk(emb, queries, k=_K)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        top.join(
+            F.broadcast(labels.withColumnsRenamed({"vec_id": "qid", "label": "qlabel"})),
+            on="qid",
+        )
+        .join(
+            F.broadcast(labels.withColumnsRenamed({"vec_id": "nid", "label": "nlabel"})),
+            on="nid",
+        )
+    )
+    return joined.groupBy("qid").agg(
+        F.sum(F.when(F.col("qlabel") == F.col("nlabel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("same_label_neighbors")
+    )
