@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries (bench=True in the registry; --all for the
+full inventory) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], forcing full materialization through the
+noop sink (no driver collect), and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., ...}
+
+--duckdb additionally times each query's oracle SQL in DuckDB for
+the BASELINE.md comparison table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_spark(names, sf_dir: str, repeats: int) -> dict[str, float]:
+    from flink_realtime_edu_spark.queries import load_registry
+    from flink_realtime_edu_spark.session import get_spark
+
+    registry = load_registry()
+    spark = get_spark(app_name="fres-bench")
+    # Warmup pass: run every benched query once so JIT/codegen and
+    # file-listing costs don't pollute the steady-state numbers
+    # (first-run inflation measured at 3-7x on this JVM).
+    for name in names:
+        registry[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            registry[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    spark.stop()
+    return timings
+
+
+def run_duckdb(names, sf_dir: str, repeats: int) -> dict[str, float]:
+    import duckdb
+
+    from flink_realtime_edu_spark.queries import load_registry
+    from flink_realtime_edu_spark.sources import TABLES, table_path
+
+    registry = load_registry()
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = registry[name]
+        if not spec.oracle:
+            continue
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--all", action="store_true", help="bench the full inventory")
+    ap.add_argument("--duckdb", action="store_true", help="also time oracle SQL in DuckDB")
+    ap.add_argument("--repeats", type=int, default=1)
+    args = ap.parse_args()
+
+    from flink_realtime_edu_spark.queries import load_registry
+
+    registry = load_registry()
+    names = sorted(n for n, s in registry.items() if args.all or s.bench)
+
+    spark_times = run_spark(names, args.sf_dir, args.repeats)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(spark_times.values()), 3),
+        "unit": "sec",
+        "queries": spark_times,
+        "sf": _sf_of(args.sf_dir),
+        "sf_dir": args.sf_dir,
+        "n_queries": len(spark_times),
+    }
+    if args.duckdb:
+        duck = run_duckdb(names, args.sf_dir, args.repeats)
+        result["duckdb_queries"] = duck
+        result["duckdb_total"] = round(sum(duck.values()), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

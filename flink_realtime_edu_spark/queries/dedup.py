@@ -69,4 +69,6 @@ def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair outputs above are legitimately empty on dedup-free data)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sig = minhash_signature(d, n_hashes=4)
-    return sig.select("doc_id", "mh0", "mh1", "mh2", "mh3").orderBy("doc_id")
+    return sig.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(4)]
+    ).orderBy("doc_id")

@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Dump `explain("formatted")` snapshots for every registered query
+into plans/<name>.txt (SURVEY.md §3.3: one explain per implemented
+query so the intended physical strategy — broadcast joins, partial
+aggs, pushed filters, pruned schemas — is reviewable in the repo)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    from flink_realtime_edu_spark.queries import load_registry
+    from flink_realtime_edu_spark.session import get_spark
+
+    out_dir = REPO / "plans"
+    out_dir.mkdir(exist_ok=True)
+    spark = get_spark(app_name="fres-plans")
+    for name, spec in sorted(load_registry().items()):
+        df = spec.build(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        header = (
+            f"-- query: {name}\n"
+            f"-- survey rows: {', '.join(spec.survey_rows) or 'n/a'}\n"
+            f"-- oracle: {'duckdb' if spec.oracle else 'rows-only'}\n\n"
+        )
+        (out_dir / f"{name}.txt").write_text(header + plan)
+        print(name)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
