@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "llm_text",
     "dedup",
     "similarity",
+    "udfs",
 )
 
 

@@ -1,0 +1,53 @@
+"""Batch sinks — SURVEY.md §2.1 S4/S5/S6.
+
+The reference writes DWD facts to Kafka topics, DWS aggregates to
+ClickHouse, and dimension snapshots to HBase/Phoenix [R]. The batch
+equivalents here are parquet layouts chosen for the 100 TB read
+path:
+
+- fact tables partitioned by event date (`dt=YYYY-MM-DD/`): partition
+  pruning turns time-range queries into directory listings;
+- dimension snapshots as small overwrite tables (the HBase upsert →
+  full-snapshot-overwrite mapping, correct because dims are small);
+- DWS-style aggregate outputs written once per window, idempotent
+  (same input → same files), so replays are safe — the batch face of
+  streaming/sinks.upsert_latest_by_key.
+
+The streaming faces (writeStream kafka / foreachBatch JDBC) live in
+flink_realtime_edu_spark/streaming/sinks.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_fact_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Write a fact table date-partitioned on its event time.
+
+    `dt` is derived, low-cardinality (one dir per day) and prunable;
+    at 100 TB add a second bucket-ish key (e.g. hash(user_id) % N)
+    only if single days exceed comfortable file counts."""
+    (
+        df.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd"))
+        .repartition("dt")  # one writer wave per partition dir
+        .write.partitionBy("dt")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def write_dim_snapshot(df: DataFrame, path: str) -> None:
+    """Overwrite a dimension snapshot (S6). Dims are small by
+    definition (they get broadcast in J3); coalesce to a single file
+    so the broadcast read is one footer fetch."""
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_fact_partitioned(spark, path: str) -> DataFrame:
+    """Read back a date-partitioned fact; `dt` filters prune
+    directories before any IO (PartitionFilters in the explain)."""
+    return spark.read.parquet(path)
