@@ -139,4 +139,49 @@ def lsh_cosine_topk(
     )
 
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "hyperplane_buckets", "dot", "l2_norm"]
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the 5th dedup method of the
+    north star): multi-table LSH buckets the corpus against ITSELF,
+    candidate (id_a < id_b) pairs form only inside buckets, exact
+    cosine filters at `threshold`. Near-identical vectors agree on
+    all sign bits with high probability, so recall at high thresholds
+    is excellent with few planes — and all-pairs never materializes."""
+    dim = len(corpus.select(vec_col).first()[0])
+    buckets = hyperplane_buckets(n_planes, dim, n_tables, seed)
+    tagged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.explode(buckets(F.col(vec_col))).alias("bkt"),
+    ).repartition("bkt")  # identical exchange on both join sides → reused
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bkt"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bkt"
+    )
+    pairs = (
+        a.join(b, on="bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b", cosine("va", "vb").alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
+__all__ = [
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "hyperplane_buckets",
+    "embedding_near_duplicates",
+    "dot",
+    "l2_norm",
+]

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_realtime_edu_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_realtime_edu_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_cosine_topk,
+)
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
 
@@ -53,6 +57,17 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, queries, k=_K)
+
+
+@register("near_dup_embeddings", survey_rows=("X5", "X6"), oracle=None)
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at cos ≥ 0.95 (empty on
+    this synthetic corpus — random vectors top out near 0.5 — which
+    is the correct answer; semantics are pinned on constructed
+    duplicates in tests/test_operators.py)."""
+    return embedding_near_duplicates(
+        load(spark, sf_dir, "embeddings"), threshold=0.95
+    ).orderBy("id_a", "id_b")
 
 
 @register("ann_lsh_topk", survey_rows=("X6",), oracle=None)

@@ -39,6 +39,48 @@ EVENTS_FILE_SCHEMA = StructType(
 )
 
 
+def load_events_kafka(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """S1 proper: the Kafka form of the events source — JSON records
+    on a per-layer topic, exactly the reference's ODS layout [R].
+    Parses `value` with the same schema the file source uses, so
+    every downstream job in this module runs unchanged on either
+    source. No broker exists in this test container (and the kafka
+    connector jar ships separately), so this builder is exercised in
+    production deployments, not in tests/ — the file source below is
+    the tested stand-in with identical downstream semantics."""
+    configure(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).alias("r")
+    ).select("r.*")
+    return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
+    """S4: DWD fact out to a Kafka topic as JSON (the reference's
+    per-fact DWD topics [R]). Returns the started StreamingQuery."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def load_events_stream(
     spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

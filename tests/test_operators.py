@@ -52,6 +52,28 @@ def test_cosine_topk_self_excluded_and_k_rows(spark, sf_dir):
     assert all(-1.0 <= r.cos <= 1.0 for r in top)
 
 
+def test_embedding_near_dup_finds_planted_duplicates(spark, sf_dir):
+    """Plant a near-identical copy of vector 0 and an exact copy of
+    vector 1; the bucketed pipeline must find both pairs and nothing
+    from the random background (cos ≥ 0.99)."""
+    from flink_realtime_edu_spark.operators.similarity import embedding_near_duplicates
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = {r.vec_id: list(r.embedding) for r in emb.filter(F.col("vec_id") < 2).collect()}
+    near = [x * 1.001 for x in base[0]]  # same direction → cos ≈ 1
+    planted = spark.createDataFrame(
+        [(100000, near), (100001, base[1])], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_duplicates(corpus, threshold=0.99).collect()
+    }
+    assert (0, 100000) in pairs and pairs[(0, 100000)] >= 0.999
+    assert (1, 100001) in pairs and pairs[(1, 100001)] >= 0.999
+    assert len(pairs) == 2  # no false positives from the random background
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     """Multi-table LSH (8 tables × 4 planes) must recover a solid
     share of the true top-5 even on these weakly-clustered synthetic

@@ -169,6 +169,43 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir, tmp
     assert _rows(got) == _rows(want)
 
 
+def test_update_mode_converges_to_batch(spark, sf_dir, tmp_path):
+    """T9 update mode: each micro-batch emits changed windows; the
+    LAST emission per key must equal the batch result."""
+    src = tmp_path / "events_split"
+    spark.read.parquet(table_path(sf_dir, "events")).repartition(4).write.parquet(str(src))
+    # The 4 splits are round-robin, so every micro-batch spans the
+    # whole month: a short watermark would (correctly) drop batches
+    # 2-4 as late. Use a delay wider than the data span so update
+    # mode can converge to the batch result.
+    stream = tumbling_stats_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1), watermark="40 days"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t9_update")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    # The memory sink keeps every update; window counts only grow, so
+    # the final state per key is the row with the max n_events.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    got = (
+        spark.sql("SELECT * FROM t9_update")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    want = REGISTRY["tumbling_hourly_stats"].build(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
 def test_foreachbatch_upsert_latest_per_key(spark, sf_dir, tmp_path):
     """T8: multi-micro-batch foreachBatch upsert converges to the
     batch latest-per-key result (ReplacingMergeTree semantics)."""
