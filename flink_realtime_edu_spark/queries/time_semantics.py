@@ -202,6 +202,66 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CEP funnel (Flink CEP Pattern → join/window re-expression,
+# SURVEY.md §2.10 exhaustiveness note)
+# --------------------------------------------------------------------------
+@register(
+    "funnel_click_view_purchase",
+    survey_rows=("J4", "W3", "A3"),
+    oracle="""
+SELECT
+  (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS stage_click,
+  (SELECT COUNT(DISTINCT c.user_id)
+   FROM events c JOIN events v
+     ON c.user_id = v.user_id AND v.event_type = 'view'
+    AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 6 HOUR
+   WHERE c.event_type = 'click') AS stage_click_view,
+  (SELECT COUNT(DISTINCT c.user_id)
+   FROM events c
+   JOIN events v ON c.user_id = v.user_id AND v.event_type = 'view'
+    AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 6 HOUR
+   JOIN events p ON v.user_id = p.user_id AND p.event_type = 'purchase'
+    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+   WHERE c.event_type = 'click') AS stage_click_view_purchase
+""",
+)
+def funnel_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage funnel (click → view ≤6h later → purchase ≤6h after
+    that): users surviving each stage. The reference family does this
+    with Flink CEP `Pattern.begin("click").next("view")...` [R];
+    re-expressed as chained interval joins (each stage only shuffles
+    on user_id, and the time bound keeps join state finite — the same
+    reason the streaming form's state stays evictable)."""
+    ev = load(spark, sf_dir, "events")
+    six_h = F.expr("INTERVAL 6 HOURS")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    cv = clicks.join(
+        views,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts"))
+        & (F.col("vts") <= F.col("cts") + six_h),
+    )
+    cvp = cv.join(
+        purchases,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + six_h),
+    )
+    s1 = clicks.agg(F.countDistinct("cu").alias("stage_click"))
+    s2 = cv.agg(F.countDistinct("cu").alias("stage_click_view"))
+    s3 = cvp.agg(F.countDistinct("cu").alias("stage_click_view_purchase"))
+    return s1.crossJoin(s2).crossJoin(s3)
+
+
+# --------------------------------------------------------------------------
 # T7 — timeout detection (CEP-lite): clicks never followed by purchase
 # --------------------------------------------------------------------------
 @register(

@@ -130,6 +130,29 @@ def test_late_rows_below_watermark_dropped(spark, tmp_path):
     assert ("2024-01-01T00:00:00", 2) not in got
 
 
+def test_session_stream_emits_finalized_sessions(spark, sf_dir, events_dir, tmp_path):
+    """T3 streaming: append-mode session windows — everything emitted
+    must match the batch sessionization, and only sessions the
+    watermark could not yet close may be missing (≤ 1 open session
+    per user at end-of-stream)."""
+    from flink_realtime_edu_spark.streaming import session_stats_stream
+
+    stream = session_stats_stream(load_events_stream(spark, events_dir), watermark="1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t3_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = set(_rows(spark.sql("SELECT * FROM t3_sessions")))
+    want = set(_rows(REGISTRY["session_window_stats"].build(spark, sf_dir)))
+    n_users = 15  # sf0.001 user domain
+    assert got <= want
+    assert len(got) >= len(want) - n_users
+
+
 def test_dedup_stream_equals_batch_uv(spark, sf_dir, events_dir, tmp_path):
     """T5: streaming dedup (watermarked) → daily UV equals batch."""
     stream = dedup_users_stream(
