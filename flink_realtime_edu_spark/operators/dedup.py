@@ -179,8 +179,84 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# Winnowing fingerprints (rolling-hash document fingerprinting)
 # ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints_expr(
+    text_col: str, k: int = 8, window: int = 4
+) -> Column:
+    """array<long> winnowing fingerprint set (Schleimer/Wilkerson/
+    Aiken MOSS scheme): hash every k-char-gram, then keep the minimum
+    hash of each sliding window of `window` grams; distinct mins are
+    the document's fingerprints. Guarantees: any shared substring of
+    length ≥ k + window - 1 yields at least one shared fingerprint.
+
+    Entirely JVM-side higher-order functions — the k-gram hashes are
+    bound to a lambda variable once per row (same CollapseProject
+    trap as MinHash), then the winnow pass slides over the bound
+    array. ~O(len·window) comparisons per document, zero shuffles."""
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_grams = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(txt, i, k))
+    )
+
+    def winnow(hs: Column) -> Column:
+        n_windows = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda j: F.array_min(F.slice(hs, j + 1, window)),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(grams), winnow), 1)
+
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing ≥ min_shared
+    winnowing fingerprints — the MOSS-style containment/plagiarism
+    detector. Explode fingerprints → self-join on the fingerprint
+    value (bucket-local, like every dedup join here) → count per pair.
+
+    `max_df` drops fingerprints present in more than that many
+    documents BEFORE the self-join — the stop-fingerprint filter.
+    This is simultaneously a precision fix (boilerplate shared by
+    everyone is not plagiarism signal) and the hot-key mitigation: a
+    fingerprint in d documents contributes O(d²) pairs, so one
+    corpus-wide gram would otherwise re-create the all-pairs blowup
+    this operator exists to avoid."""
+    fp = docs.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints_expr(text_col, k, window)).alias("fp"),
+    )
+    if max_df is not None:
+        rare = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fp = fp.join(rare, on="fp", how="left_semi")
+    fp = fp.repartition("fp")
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def simhash64():

@@ -139,6 +139,70 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer partitions
+    the corpus into cluster lists; each query probes only its
+    `n_probe` nearest centroids, and exact cosine re-ranks inside the
+    probed lists. Expected work per query ≈ n_probe/n_clusters of the
+    corpus — the classic FAISS-style IVF-Flat layout, here as plain
+    DataFrame ops: the cluster id is just a join key (at 100 TB the
+    corpus would additionally be WRITTEN partitioned by cluster id so
+    probes prune files, not merely shuffle less).
+
+    Uses pyspark.ml KMeans (seeded, deterministic) for training; the
+    query→probe assignment is a vectorized pandas UDF over the
+    broadcast centroid matrix."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
+
+    assigned = (
+        model.transform(train)
+        .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cluster"))
+        .join(
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
+            on="nid",
+        )
+    )
+
+    @pandas_udf("array<int>")
+    def probe_clusters(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)  # (batch, C)
+        nearest = np.argsort(d2, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(nearest))
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_clusters(F.col(vec_col))).alias("cluster"),
+    )
+    pairs = assigned.join(F.broadcast(q), on="cluster").filter(
+        F.col("nid") != F.col("qid")
+    )
+    scored = pairs.select("qid", "nid", cosine("qv", "cv").alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.operators.dedup import (
+    fingerprint_overlap_pairs,
     minhash_near_duplicates,
     minhash_signature,
     simhash_near_duplicates,
+    winnow_fingerprints_expr,
 )
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
@@ -60,6 +62,29 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(load(spark, sf_dir, "documents")).orderBy(
         "id_a", "id_b"
     )
+
+
+@register("doc_fingerprint_stats", survey_rows=("X4", "X7", "F8"), oracle=None)
+def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint cardinality per document (rolling-hash
+    k-gram mins — the MOSS scheme; operators/dedup.py). Deterministic
+    but xxhash64-based → rows-only; overlap semantics pinned in
+    tests/test_operators.py on planted shared substrings."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.size(winnow_fingerprints_expr("text")).cast("bigint").alias("n_fingerprints"),
+    ).orderBy("doc_id")
+
+
+@register("fingerprint_overlap_docs", survey_rows=("X4", "X5"), oracle=None)
+def fingerprint_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥ 8 winnowing fingerprints — the
+    containment/plagiarism detector (catches partial overlap that
+    whole-document Jaccard misses)."""
+    return fingerprint_overlap_pairs(
+        load(spark, sf_dir, "documents"), min_shared=8
+    ).orderBy("id_a", "id_b")
 
 
 @register("minhash_signatures_sample", survey_rows=("X5",), oracle=None)

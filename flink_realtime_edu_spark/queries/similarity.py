@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from flink_realtime_edu_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from flink_realtime_edu_spark.queries import register
@@ -57,6 +58,16 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, queries, k=_K)
+
+
+@register("ivf_ann_topk", survey_rows=("X6",), oracle=None)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate neighbors (16-cluster k-means quantizer,
+    4-probe) — the second ANN scale path next to LSH; recall measured
+    against brute force in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_cosine_topk(emb, queries, k=_K).orderBy("qid", "nid")
 
 
 @register("near_dup_embeddings", survey_rows=("X5", "X6"), oracle=None)

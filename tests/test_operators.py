@@ -43,6 +43,28 @@ def test_simhash_finds_near_dups_with_tight_hamming(toy_docs):
     assert all(2 not in p for p in pairs)
 
 
+def test_winnowing_catches_partial_overlap(spark):
+    """Two documents sharing one long substring (but otherwise
+    different) must share fingerprints; unrelated docs must not.
+    Winnowing guarantee: shared substrings of length >= k+window-1
+    (here 11) produce at least one common fingerprint."""
+    from flink_realtime_edu_spark.operators.dedup import fingerprint_overlap_pairs
+
+    shared = "the catalyst optimizer rewrites logical plans before execution"
+    rows = [
+        (0, "intro text about nothing " + shared),
+        (1, shared + " and a completely different tail here"),
+        (2, "zebra quokka xylophone unrelated walrus content entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in fingerprint_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert all(2 not in p for p in pairs)
+
+
 def test_cosine_topk_self_excluded_and_k_rows(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
@@ -50,6 +72,22 @@ def test_cosine_topk_self_excluded_and_k_rows(spark, sf_dir):
     assert len(top) == 15
     assert all(r.nid != r.qid for r in top)
     assert all(-1.0 <= r.cos <= 1.0 for r in top)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-Flat (16 clusters, 4-probe = 25% of the corpus scanned)
+    should recover most true neighbors; results must be valid corpus
+    vectors, never the query itself."""
+    from flink_realtime_edu_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, q, k=5).collect()}
+    rows = ivf_cosine_topk(emb, q, k=5, n_clusters=16, n_probe=4).collect()
+    approx = {(r.qid, r.nid) for r in rows}
+    assert all(r.qid != r.nid for r in rows)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
 def test_embedding_near_dup_finds_planted_duplicates(spark, sf_dir):
