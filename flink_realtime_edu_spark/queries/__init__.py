@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "dedup",
     "similarity",
     "udfs",
+    "ads",
 )
 
 
