@@ -1,0 +1,129 @@
+"""Physical-plan assertions — the scale posture, pinned.
+
+These tests fail if a code change silently degrades the plan: a
+dropped broadcast, a filter that stops reaching the scan, a top-k
+that becomes a global sort. (`explain` strings are version-coupled;
+matched loosely on operator names.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.operators.skew import salted_count_distinct, salted_sum_count
+from flink_realtime_edu_spark.queries import load_registry
+from flink_realtime_edu_spark.sources import load
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "star_join_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pricing_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    # 7 needed columns, not all 11 — and never the big unused ones.
+    assert "l_orderkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_aggregates_are_partial_plus_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_is_key_equi_join_with_time_condition(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "interval_join_click_purchase")
+    assert "Join" in plan and "CartesianProduct" not in plan
+    assert "user_id" in plan  # equi key carries the join
+
+
+def test_salted_sum_matches_direct_aggregate(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    direct = {
+        (r.event_type): (r.sum_value, r.n_rows)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.sum_value, r.n_rows)
+        for r in salted_sum_count(
+            ev, ["event_type"], "value", unique_col="event_id"
+        ).collect()
+    }
+    assert direct == salted  # bit-equal thanks to decimal accumulation
+
+
+def test_salted_count_distinct_is_exact(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    direct = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    salted = {
+        r.event_type: r.n_distinct
+        for r in salted_count_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    assert direct == salted
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: bucketed tables on the join key need no
+    Exchange between scan and sort-merge join — the pre-partitioning
+    strategy the 100 TB posture prescribes for repeated fact-fact
+    joins."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load(spark, sf_dir, "orders")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("orders_b")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("lineitem_b")
+        )
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        exchanges = plan.count("Exchange hashpartitioning")
+        assert exchanges == 0, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == load(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
