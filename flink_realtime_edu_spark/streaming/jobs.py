@@ -110,6 +110,22 @@ def tumbling_stats_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def sliding_stats_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T2 streaming twin of sliding_window_traffic (1h window / 30min
+    slide): each event feeds 2 overlapping windows; state per window
+    evicted once the watermark passes its end."""
+    dec = "decimal(30,8)"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(dec)).cast("double"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
 def session_stats_stream(events: DataFrame, gap: str = "12 hours", watermark: str = "1 hour") -> DataFrame:
     """T3 streaming twin of session_window_stats (same gap)."""
     dec = "decimal(30,8)"

@@ -130,6 +130,24 @@ def test_late_rows_below_watermark_dropped(spark, tmp_path):
     assert ("2024-01-01T00:00:00", 2) not in got
 
 
+def test_sliding_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """T2 streaming: complete-mode sliding windows == batch query."""
+    from flink_realtime_edu_spark.streaming.jobs import sliding_stats_stream
+
+    stream = sliding_stats_stream(load_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t2_sliding")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = spark.sql("SELECT * FROM t2_sliding")
+    want = REGISTRY["sliding_window_traffic"].build(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
 def test_session_stream_emits_finalized_sessions(spark, sf_dir, events_dir, tmp_path):
     """T3 streaming: append-mode session windows — everything emitted
     must match the batch sessionization, and only sessions the
