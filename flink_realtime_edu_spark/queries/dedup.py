@@ -16,11 +16,13 @@ from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.operators.dedup import (
     fingerprint_overlap_pairs,
+    jaccard_verify,
     minhash_near_duplicates,
     minhash_signature,
     simhash_near_duplicates,
     winnow_fingerprints_expr,
 )
+from flink_realtime_edu_spark.functions import word_shingles
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
 
@@ -85,6 +87,54 @@ def fingerprint_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_overlap_pairs(
         load(spark, sf_dir, "documents"), min_shared=8
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "near_dup_jaccard",
+    survey_rows=("X5", "X4", "F5"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+""",
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (3-word shingles, J ≥ 0.5)
+    — the hash-free X5 variant. Candidate pairs form only where a
+    distinct shingle is shared (inverted-index self-join on the
+    shingle, i.e. blocking — never a global cross product), then
+    exact verification via array_intersect/array_union. No hashing →
+    fully DuckDB-expressible → oracle-checked, unlike the
+    minhash/simhash variants. Scale note: the inverted index is
+    O(Σ df²) on frequent shingles; at 100 TB use near_dup_minhash
+    (constant-size signatures) for candidates and this operator's
+    jaccard_verify stage only on the surviving pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+    ).repartition("s")  # identical exchange both sides → ReusedExchange
+    pairs = (
+        sh.select(F.col("doc_id").alias("id_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(pairs, docs).filter(F.col("jaccard") >= 0.5)
 
 
 @register("minhash_signatures_sample", survey_rows=("X5",), oracle=None)

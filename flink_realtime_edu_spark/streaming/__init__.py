@@ -25,8 +25,14 @@ from flink_realtime_edu_spark.streaming.jobs import (
     tumbling_stats_stream,
 )
 from flink_realtime_edu_spark.streaming.sinks import run_to_completion, upsert_latest_by_key
+from flink_realtime_edu_spark.streaming.stateful import (
+    detect_abandoned_stream,
+    tag_new_vs_returning,
+)
 
 __all__ = [
+    "detect_abandoned_stream",
+    "tag_new_vs_returning",
     "load_events_stream",
     "tumbling_stats_stream",
     "session_stats_stream",

@@ -11,11 +11,13 @@ timers for timeout detection [R]. Spark offers two APIs:
 - ``applyInPandasWithState`` (GroupState) — protobuf-free and fully
   sufficient for ValueState semantics → the default implementation.
 
-Here: first-visit tagging — per-user state holding the earliest seen
-event day; every event is emitted tagged is_new (first-ever visit
-day) vs returning. Streaming form of
-queries.time_semantics.new_vs_returning_daily; tests assert
-agreement with that oracle-checked batch twin.
+Here: (T6) first-visit tagging — per-user state holding the earliest
+seen event day; every event is emitted tagged is_new (first-ever
+visit day) vs returning — streaming form of
+queries.time_semantics.new_vs_returning_daily; and (T7)
+timeout-timer detection of abandoned clicks via GroupState
+event-time timeouts — streaming form of abandoned_clicks_daily.
+Tests assert agreement with the oracle-checked batch twins.
 
 Scale: state is partitioned by the grouping key across executors
 (RocksDB state store in production); only a date string per user, so
@@ -59,6 +61,86 @@ def _first_visit_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd
                 "is_new": days == first,
             }
         )
+
+
+ABANDONED_OUTPUT_SCHEMA = "user_id BIGINT, click_ts_ms BIGINT"
+ABANDONED_STATE_SCHEMA = "pending ARRAY<BIGINT>"
+
+
+def _make_abandoned_fn(timeout_ms: int):
+    """GroupState function for T7 timers: per-user ValueState holding
+    the epoch-ms of clicks not yet matched by a purchase. A purchase
+    at p matches (clears) every pending click c with c ≤ p ≤
+    c+timeout; when the event-time watermark passes c+timeout the
+    click is emitted as abandoned (the registered-timer firing)."""
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        pending = list(state.get[0]) if state.exists else []
+        wm = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            rows: list[tuple[str, int]] = []
+            for pdf in pdf_iter:
+                rows.extend(zip(pdf["event_type"], pdf["ts_ms"]))
+            # micro-batch rows arrive unordered; replay in event time
+            rows.sort(key=lambda r: int(r[1]))
+            for et, ts in rows:
+                ts = int(ts)
+                if et == "click":
+                    pending.append(ts)
+                elif et == "purchase":
+                    pending = [c for c in pending if not (c <= ts <= c + timeout_ms)]
+        expired = sorted(c for c in pending if c + timeout_ms <= wm)
+        pending = [c for c in pending if c + timeout_ms > wm]
+        if pending:
+            state.update((pending,))
+            # timer must be strictly above the current watermark
+            state.setTimeoutTimestamp(max(min(pending) + timeout_ms, wm + 1))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(expired), dtype="int64"),
+                "click_ts_ms": pd.Series(expired, dtype="int64"),
+            }
+        )
+
+    return fn
+
+
+def detect_abandoned_stream(
+    events: DataFrame, timeout_ms: int = 900_000, watermark: str = "1 minute"
+) -> DataFrame:
+    """T7 streaming timers: clicks with no purchase by the same user
+    within `timeout_ms` — the reference's order-no-pay-within-15-min
+    keyed process function + registered timer [R], on GroupState
+    event-time timeouts (``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout`` — protobuf-free, unlike
+    transformWithStateInPandas timers). Streaming twin of the batch
+    ``abandoned_clicks_daily`` anti-join.
+
+    Scale: state is O(unmatched clicks within the timeout horizon)
+    per user, partitioned by user_id; the watermark bounds state
+    lifetime to timeout + watermark delay."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    prepared = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        # keep ts: the watermark's event-time column must survive the
+        # projection for EventTimeTimeout to be legal
+        .select("user_id", "event_type", "ts", F.unix_millis("ts").alias("ts_ms"))
+    )
+    out = prepared.groupBy("user_id").applyInPandasWithState(
+        _make_abandoned_fn(timeout_ms),
+        outputStructType=ABANDONED_OUTPUT_SCHEMA,
+        stateStructType=ABANDONED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select("user_id", F.timestamp_millis("click_ts_ms").alias("click_ts"))
 
 
 def tag_new_vs_returning(events: DataFrame, output_mode: str = "append") -> DataFrame:

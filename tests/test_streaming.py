@@ -148,6 +148,64 @@ def test_sliding_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     assert _rows(got) == _rows(want)
 
 
+def test_stateful_timers_abandoned_clicks(spark, tmp_path):
+    """T7 streaming: GroupState event-time timers fire per click with
+    no purchase by the same user within 15 min (the reference's
+    order-no-pay timer). user 1 purchases in time (matched), user 2
+    never purchases (timer fires), user 3 purchases too late (timer
+    fires anyway)."""
+    from flink_realtime_edu_spark.streaming.stateful import detect_abandoned_stream
+
+    src = tmp_path / "t7_src"
+    src.mkdir()
+
+    def write_batch(name: str, rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (F.unix_micros(F.to_timestamp("ts_s")).cast("long") * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for i, f in enumerate((tmp_path / "stage").glob("*.parquet")):
+            shutil.copy(f, src / f"{name}-{i}.parquet")
+
+    stream = detect_abandoned_stream(
+        load_events_stream(spark, str(src)), timeout_ms=900_000, watermark="1 minute"
+    )
+    write_batch(
+        "a",
+        [
+            ("2024-01-01 00:00:00", 1, "click"),
+            ("2024-01-01 00:05:00", 1, "purchase"),
+            ("2024-01-01 00:00:00", 2, "click"),
+            ("2024-01-01 00:00:00", 3, "click"),
+            ("2024-01-01 00:20:00", 3, "purchase"),  # outside the 15 min window
+        ],
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t7_timers")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance the watermark far past every click's timeout horizon
+    write_batch("b", [("2024-01-01 03:00:00", 99, "view")])
+    run_to_completion(q)
+    got = {
+        (r["user_id"], r["click_ts"].isoformat())
+        for r in spark.sql("SELECT * FROM t7_timers").collect()
+    }
+    assert got == {(2, "2024-01-01T00:00:00"), (3, "2024-01-01T00:00:00")}
+
+
 def test_session_stream_emits_finalized_sessions(spark, sf_dir, events_dir, tmp_path):
     """T3 streaming: append-mode session windows — everything emitted
     must match the batch sessionization, and only sessions the
