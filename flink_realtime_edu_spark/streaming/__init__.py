@@ -19,6 +19,7 @@ Modules:
 
 from flink_realtime_edu_spark.streaming.jobs import (
     dedup_users_stream,
+    enrich_events_stream,
     interval_join_stream,
     load_events_stream,
     session_stats_stream,
@@ -32,6 +33,7 @@ from flink_realtime_edu_spark.streaming.stateful import (
 
 __all__ = [
     "detect_abandoned_stream",
+    "enrich_events_stream",
     "tag_new_vs_returning",
     "load_events_stream",
     "tumbling_stats_stream",

@@ -126,6 +126,20 @@ def sliding_stats_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def enrich_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """J3 streaming: stream–static broadcast join — the reference's
+    async HBase dim lookup with Redis cache [R] re-expressed on
+    Structured Streaming. The static side is re-resolved every
+    micro-batch (so dim updates land on batch boundaries — the
+    cache-refresh analogue) and broadcast, keeping the unbounded
+    stream side entirely shuffle-free; left join so facts without a
+    dim row survive with NULLs (the reference side-outputs these for
+    retry [R] — here they are filterable downstream).
+
+    `dim` must already expose the join key as `user_id`."""
+    return events.join(F.broadcast(dim), on="user_id", how="left")
+
+
 def session_stats_stream(events: DataFrame, gap: str = "12 hours", watermark: str = "1 hour") -> DataFrame:
     """T3 streaming twin of session_window_stats (same gap)."""
     dec = "decimal(30,8)"

@@ -148,6 +148,35 @@ def test_sliding_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
     assert _rows(got) == _rows(want)
 
 
+def test_stream_static_dim_join_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """J3 streaming: stream–static broadcast dim enrichment ≡ the
+    same left join in batch, and the micro-batch plan must broadcast
+    the dim (no shuffle on the stream side)."""
+    from flink_realtime_edu_spark.streaming import enrich_events_stream
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    enriched = enrich_events_stream(load_events_stream(spark, events_dir), dim)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("j3_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    plan = q._jsq.explainInternal(False)  # what StreamingQuery.explain prints
+    q.stop()
+    q.awaitTermination()
+    assert "BroadcastHashJoin" in plan
+    got = spark.sql("SELECT * FROM j3_enrich")
+    want = load(spark, sf_dir, "events").join(dim, on="user_id", how="left")
+    assert _rows(got.drop("ts")) == _rows(want.drop("ts"))
+
+
 def test_stateful_timers_abandoned_clicks(spark, tmp_path):
     """T7 streaming: GroupState event-time timers fire per click with
     no purchase by the same user within 15 min (the reference's
