@@ -89,3 +89,157 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         cands = [rt for (rk, rt) in right if rk == k and rt <= t]
         want = max(cands) if cands else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (X5) vs brute force
+# ---------------------------------------------------------------------------
+
+word = st.sampled_from(["a", "b", "c", "d"])
+doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
+
+
+def _shingles(text: str) -> set[str]:
+    w = text.split(" ")
+    k = max(len(w) - 2, 1)
+    return {" ".join(w[i : i + 3]) for i in range(k)}
+
+
+@given(texts=st.lists(doc, min_size=2, max_size=8))
+@SET
+def test_jaccard_pairs_match_bruteforce(spark, texts):
+    """The blocked inverted-index + jaccard_verify pipeline must find
+    EXACTLY the pairs an all-pairs brute force finds at J ≥ 0.3
+    (blocking loses nothing: any pair with J > 0 shares a shingle)."""
+    from flink_realtime_edu_spark.functions import word_shingles
+    from flink_realtime_edu_spark.operators.dedup import jaccard_verify
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+    )
+    pairs = (
+        sh.select(F.col("doc_id").alias("id_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(pairs, docs).filter(F.col("jaccard") >= 0.3).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            sa, sb = _shingles(texts[i]), _shingles(texts[j])
+            jac = round(len(sa & sb) / len(sa | sb), 6)
+            if jac >= 0.3:
+                want[(i, j)] = jac
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# T7 timer state function vs the batch anti-join semantics
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState for _make_abandoned_fn."""
+
+    def __init__(self):
+        self._v = None
+        self.timeout = None
+        self.hasTimedOut = False
+        self.wm = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.timeout = None
+
+    def setTimeoutTimestamp(self, ts):
+        assert ts > self.wm, "Spark rejects timers at/below the watermark"
+        self.timeout = ts
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+
+timer_events = st.lists(
+    st.tuples(
+        st.sampled_from(["click", "purchase", "view"]),
+        st.integers(min_value=0, max_value=1000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=timer_events, cuts=st.sets(st.integers(min_value=1, max_value=29)), data=st.data())
+@SET
+def test_abandoned_state_fn_matches_antijoin(evs, cuts, data):
+    """Replaying any in-order batch split of an event sequence through
+    the GroupState timer function must emit exactly the clicks the
+    batch anti-join calls abandoned (no purchase in [c, c+T]),
+    regardless of batching and watermark pacing. Pure-python harness:
+    emulates Spark's end-of-batch watermark update and timer firing."""
+    import pandas as pd
+
+    from flink_realtime_edu_spark.streaming.stateful import _make_abandoned_fn
+
+    T, DELAY = 100, 50
+    evs = sorted(evs, key=lambda e: e[1])  # in-order delivery across batches
+    idx = sorted(c for c in cuts if c < len(evs))
+    batches, prev = [], 0
+    for c in idx + [len(evs)]:
+        if c > prev:
+            batches.append(evs[prev:c])
+            prev = c
+    fn = _make_abandoned_fn(T)
+    state, emitted, max_seen = _FakeGroupState(), [], None
+
+    def drain_timers():
+        while state.timeout is not None and state.wm >= state.timeout:
+            state.hasTimedOut = True
+            state.timeout = None
+            for out in fn((7,), iter([]), state):
+                emitted.extend(int(t) for t in out["click_ts_ms"])
+            state.hasTimedOut = False
+
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "event_type": [e[0] for e in batch],
+                "ts_ms": pd.Series([e[1] for e in batch], dtype="int64"),
+            }
+        )
+        # shuffle within the batch: arrival order is arbitrary
+        pdf = pdf.sample(frac=1, random_state=data.draw(st.integers(0, 10)))
+        for out in fn((7,), iter([pdf]), state):
+            emitted.extend(int(t) for t in out["click_ts_ms"])
+        max_seen = max([e[1] for e in batch] + ([max_seen] if max_seen is not None else []))
+        state.wm = max_seen - DELAY  # Spark: watermark updates at end of batch
+        drain_timers()
+    state.wm = 10**9  # end of stream: advance past every horizon
+    drain_timers()
+
+    purchases = [t for et, t in evs if et == "purchase"]
+    want = sorted(
+        t
+        for et, t in evs
+        if et == "click" and not any(t <= p <= t + T for p in purchases)
+    )
+    assert sorted(emitted) == want
