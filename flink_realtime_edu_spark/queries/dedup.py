@@ -137,6 +137,88 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(pairs, docs).filter(F.col("jaccard") >= 0.5)
 
 
+@register(
+    "corpus_curation_pipeline",
+    survey_rows=("X4", "X5", "X7", "J5", "J6", "A1"),
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+  FROM documents
+), good AS (
+  SELECT * FROM scored
+  WHERE len(toks) BETWEEN 20 AND 80
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.5
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(text)
+), uniq AS (
+  SELECT * FROM good WHERE doc_id IN (SELECT doc_id FROM canon)
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+  FROM uniq, unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dups AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+), kept AS (
+  SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+FROM kept GROUP BY 1, 2
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over `documents`, every stage
+    oracle-checked as ONE composed plan: (1) quality filter (token
+    count 20-80, type-token ratio > 0.5 — the doc_quality_scores
+    'good' rule); (2) exact dedup keeping the smallest doc_id per
+    md5(text); (3) near-dup removal dropping every doc with an exact
+    3-shingle Jaccard ≥ 0.5 neighbor of smaller id (greedy,
+    deterministic); (4) per-(lang, source) surviving doc and token
+    counts.
+
+    Scale: the filter prunes before any shuffle; exact dedup shuffles
+    (hash, id) only; near-dup candidates form only inside shingle
+    buckets (at 100 TB swap stage 3's candidate generator for the
+    MinHash signatures of near_dup_minhash, same verify stage);
+    integer token sums need no decimal repair."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    good = d.filter(n.between(20, 80) & (ttr > 0.5))
+    canon = good.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    uniq = good.join(canon.select("doc_id"), on="doc_id", how="left_semi")
+    sh = uniq.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+    ).repartition("s")
+    pairs = (
+        sh.select(F.col("doc_id").alias("id_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dup_ids = (
+        jaccard_verify(pairs, uniq)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = uniq.join(dup_ids, on="doc_id", how="left_anti")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n.cast("bigint")).alias("total_tokens"),
+    )
+
+
 @register("minhash_signatures_sample", survey_rows=("X5",), oracle=None)
 def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 MinHash signature values for the lowest 100 doc_ids —
