@@ -16,13 +16,12 @@ from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.operators.dedup import (
     fingerprint_overlap_pairs,
-    jaccard_verify,
+    jaccard_pairs_exact,
     minhash_near_duplicates,
     minhash_signature,
     simhash_near_duplicates,
     winnow_fingerprints_expr,
 )
-from flink_realtime_edu_spark.functions import word_shingles
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
 
@@ -116,25 +115,16 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (3-word shingles, J ≥ 0.5)
     — the hash-free X5 variant. Candidate pairs form only where a
     distinct shingle is shared (inverted-index self-join on the
-    shingle, i.e. blocking — never a global cross product), then
-    exact verification via array_intersect/array_union. No hashing →
-    fully DuckDB-expressible → oracle-checked, unlike the
-    minhash/simhash variants. Scale note: the inverted index is
-    O(Σ df²) on frequent shingles; at 100 TB use near_dup_minhash
-    (constant-size signatures) for candidates and this operator's
-    jaccard_verify stage only on the surviving pairs."""
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
-    ).repartition("s")  # identical exchange both sides → ReusedExchange
-    pairs = (
-        sh.select(F.col("doc_id").alias("id_a"), "s")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    shingle, i.e. blocking — never a global cross product), and the
+    intersection size is counted in the same join (see
+    operators.dedup.jaccard_pairs_exact). No hashing → fully
+    DuckDB-expressible → oracle-checked, unlike the minhash/simhash
+    variants. Scale note: the inverted index is O(Σ df²) on frequent
+    shingles; at 100 TB use near_dup_minhash (constant-size
+    signatures) for candidates instead."""
+    return jaccard_pairs_exact(
+        load(spark, sf_dir, "documents"), shingle_words=3, threshold=0.5
     )
-    return jaccard_verify(pairs, docs).filter(F.col("jaccard") >= 0.5)
 
 
 @register(
@@ -196,19 +186,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = d.filter(n.between(20, 80) & (ttr > 0.5))
     canon = good.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     uniq = good.join(canon.select("doc_id"), on="doc_id", how="left_semi")
-    sh = uniq.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
-    ).repartition("s")
-    pairs = (
-        sh.select(F.col("doc_id").alias("id_a"), "s")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     dup_ids = (
-        jaccard_verify(pairs, uniq)
-        .filter(F.col("jaccard") >= 0.5)
+        jaccard_pairs_exact(uniq, shingle_words=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

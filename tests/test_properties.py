@@ -108,28 +108,17 @@ def _shingles(text: str) -> set[str]:
 @given(texts=st.lists(doc, min_size=2, max_size=8))
 @SET
 def test_jaccard_pairs_match_bruteforce(spark, texts):
-    """The blocked inverted-index + jaccard_verify pipeline must find
-    EXACTLY the pairs an all-pairs brute force finds at J ≥ 0.3
+    """jaccard_pairs_exact (the production count-based pipeline) must
+    find EXACTLY the pairs an all-pairs brute force finds at J ≥ 0.3
     (blocking loses nothing: any pair with J > 0 shares a shingle)."""
-    from flink_realtime_edu_spark.functions import word_shingles
-    from flink_realtime_edu_spark.operators.dedup import jaccard_verify
+    from flink_realtime_edu_spark.operators.dedup import jaccard_pairs_exact
 
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
-    )
-    pairs = (
-        sh.select(F.col("doc_id").alias("id_a"), "s")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     got = {
         (r.id_a, r.id_b): r.jaccard
-        for r in jaccard_verify(pairs, docs).filter(F.col("jaccard") >= 0.3).collect()
+        for r in jaccard_pairs_exact(docs, shingle_words=3, threshold=0.3).collect()
     }
     want = {}
     for i in range(len(texts)):
