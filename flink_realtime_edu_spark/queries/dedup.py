@@ -1,12 +1,15 @@
 """Deduplication queries — SURVEY.md §2.10 X4/X5.
 
-Exact dedup is oracle-checked (md5 agrees across engines). MinHash /
-SimHash near-dup run the full bucketed pipelines from
-operators/dedup.py; their hash functions (xxhash64, blake2b-derived
-SimHash) have no DuckDB twin → rows-only checks, with unit tests in
-tests/test_operators.py pinning semantics on constructed corpora
-(the testdata word soup contains no true near-dups, so these return
-few/no pairs there — by design).
+Exact dedup and exact n-gram Jaccard are oracle-checked (md5 and
+pure counting agree across engines). MinHash / SimHash near-dup run
+the full bucketed pipelines from operators/dedup.py; their hash
+functions (xxhash64, blake2b-derived SimHash) have no DuckDB twin →
+rows-only checks, with unit tests in tests/test_operators.py pinning
+semantics on constructed corpora. The testdata contains 25 planted
+near-dup pairs at sf0.01 (shingle Jaccard ≈ 0.9-0.99): MinHash at
+J ≥ 0.7 recovers EXACTLY the oracle-checked exact-Jaccard J ≥ 0.7
+set (pinned in tests/test_operators.py), and SimHash — a bit-level
+similarity, not Jaccard — finds a heavily overlapping set.
 """
 
 from __future__ import annotations

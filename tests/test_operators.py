@@ -132,3 +132,25 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
         for r in lsh_cosine_topk(emb, q, k=5, n_planes=4, n_tables=8).collect()
     }
     assert approx == approx2
+
+
+def test_minhash_cross_validates_exact_jaccard(spark, sf_dir):
+    """The hashed pipeline (rows-only checked) against the
+    oracle-checked exact one: on the testdata's planted near-dups,
+    MinHash+LSH at J >= 0.7 must recover EXACTLY the exact-Jaccard
+    J >= 0.7 pair set (32 hashes / 8 bands makes a miss at
+    J ~ 0.9-0.99 astronomically unlikely, and the verify stage
+    removes any false positive)."""
+    from flink_realtime_edu_spark.operators.dedup import jaccard_pairs_exact
+
+    docs = load(spark, sf_dir, "documents")
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, threshold=0.7).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs_exact(docs, threshold=0.7).collect()
+    }
+    assert mh == exact
+    assert len(exact) > 0  # the corpus really contains planted dups
