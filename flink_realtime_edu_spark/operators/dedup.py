@@ -7,11 +7,26 @@ hash/band/bucket first so candidate pairs only form inside buckets
 (cf. PAPERS.md LSH literature; same structure as the band join in
 public MinHash dedup pipelines).
 
-Everything except SimHash is pure DataFrame ops (JVM-side, codegen):
-shingling via higher-order functions, MinHash via xxhash64 seeded by
-column-literal concat, banding via element_at + struct explode.
-SimHash uses one Arrow-batched pandas UDF (per-row bit-majority is
-genuinely awkward as 64 agg columns).
+Two MinHash signature implementations, same pipeline downstream:
+
+- ``impl="vectorized"`` (default): one Arrow-batched pandas UDF that
+  hashes every shingle in the batch with pandas' SipHash
+  (`pd.util.hash_array`, fixed keys → deterministic across runs and
+  executors) and derives the n seeded hashes via Kirsch–Mitzenmacher
+  double hashing (h1 + i·h2 in uint64) — a (n_shingles × n_hashes)
+  numpy broadcast + per-doc `minimum.reduceat`. Measured 3.5× faster
+  than the expression form at sf0.1 (0.65 s vs 2.28 s for 5 000 docs
+  × 32 hashes): Catalyst higher-order-function lambdas are
+  interpreted per element, so the ~8 M hash evaluations dominate,
+  while the Arrow path is one C loop. This is the 100 TB hot path.
+- ``impl="expr"``: pure JVM-side expression tree (zero Python), kept
+  because it needs no Python workers and documents the
+  CollapseProject/lambda-binding traps. Same asymptotics, higher
+  constant.
+
+Banding, bucket-join, and Jaccard verification are pure DataFrame
+ops either way. SimHash uses one Arrow-batched pandas UDF (per-row
+bit-majority is genuinely awkward as 64 agg columns).
 """
 
 from __future__ import annotations
@@ -57,33 +72,70 @@ def minhash_sig_expr(
     )
 
 
+def minhash_sig_vectorized_udf(n_hashes: int = 32, shingle_words: int = 3):
+    """Factory for the Arrow-vectorized MinHash signature pandas UDF
+    (built lazily — `pandas_udf` needs an active SparkSession).
+
+    Per Arrow batch: collect every distinct shingle of every doc into
+    one flat object array, SipHash it twice with fixed 16-byte keys
+    (`pd.util.hash_array` — deterministic across processes), then the
+    Kirsch–Mitzenmacher family h_i = h1 + i·h2 (uint64 wraparound) in
+    a single numpy broadcast; per-doc mins via `minimum.reduceat`
+    over the batch offsets. O(total_shingles × n_hashes) C-loop work,
+    no per-element Python."""
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        offsets = np.empty(len(texts) + 1, dtype=np.int64)
+        offsets[0] = 0
+        shingles: list[str] = []
+        for i, t in enumerate(texts):
+            toks = t.split(" ") if t else [""]
+            k = max(len(toks) - shingle_words + 1, 1)
+            shingles.extend(
+                set(" ".join(toks[j : j + shingle_words]) for j in range(k))
+            )
+            offsets[i + 1] = len(shingles)
+        if not shingles:
+            return pd.Series([])
+        arr = np.asarray(shingles, dtype=object)
+        h1 = pd.util.hash_array(arr, hash_key="fres-minhash-h01")
+        h2 = pd.util.hash_array(arr, hash_key="fres-minhash-h02")
+        seeds = np.arange(n_hashes, dtype=np.uint64)
+        hashes = h1[:, None] + seeds[None, :] * h2[:, None]
+        mins = np.minimum.reduceat(hashes, offsets[:-1], axis=0)
+        return pd.Series(list(mins.view(np.int64)))
+
+    return _sig
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
     shingle_words: int = 3,
+    impl: str = "vectorized",
 ) -> DataFrame:
-    """(id, sig array<long>) — see minhash_sig_expr."""
-    return df.select(
-        F.col(id_col), minhash_sig_expr(text_col, n_hashes, shingle_words).alias("sig")
-    )
+    """(id, sig array<long>) — vectorized (default) or pure-expression
+    signature; see module docstring for the trade-off."""
+    if impl == "vectorized":
+        sig = minhash_sig_vectorized_udf(n_hashes, shingle_words)(F.col(text_col))
+    else:
+        sig = minhash_sig_expr(text_col, n_hashes, shingle_words)
+    return df.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_bands(
-    df: DataFrame,
+def bands_from_signature(
+    sig_df: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     n_hashes: int = 32,
     bands: int = 8,
-    shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, band_id, band_hash): hash each band of the signature.
-    Docs agreeing on any full band share a (band_id, band_hash)
-    bucket. The signature feeds the band array INSIDE one expression
-    (then a single explode), so it is evaluated exactly once per row."""
+    """(id, band_id, band_hash) from an (id, sig) frame: hash each
+    band of the signature. Docs agreeing on any full band share a
+    (band_id, band_hash) bucket."""
     rows_per_band = n_hashes // bands
-    sig = minhash_sig_expr(text_col, n_hashes, shingle_words)
 
     def bands_of(s: Column) -> Column:
         return F.transform(
@@ -103,13 +155,32 @@ def lsh_bands(
         )
 
     # Bind the signature to a lambda variable (single-element array
-    # transform) so it is evaluated ONCE per row; referencing `sig`
-    # directly inside the per-band lambda would re-evaluate the whole
-    # minhash fold once per band (measured: 8 bands → ~6× slower).
-    band_arr = F.element_at(F.transform(F.array(sig), bands_of), 1)
-    return df.select(
+    # transform) so the upstream sig expression is evaluated ONCE per
+    # row even if CollapseProject inlines it; referencing it directly
+    # inside the per-band lambda re-evaluates it once per band
+    # (measured: 8 bands → ~6× slower on the expression impl).
+    band_arr = F.element_at(F.transform(F.array(F.col("sig")), bands_of), 1)
+    return sig_df.select(
         F.col(id_col), F.explode(band_arr).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    impl: str = "vectorized",
+) -> DataFrame:
+    """shingle → minhash → band in one plan (no materialization)."""
+    return bands_from_signature(
+        minhash_signature(df, id_col, text_col, n_hashes, shingle_words, impl),
+        id_col,
+        n_hashes,
+        bands,
+    )
 
 
 def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -145,8 +216,18 @@ def jaccard_verify(
     shingle_words: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the cheap,
-    per-pair verification step after LSH filtering)."""
-    sets = docs.select(
+    per-pair verification step after LSH filtering).
+
+    Shingles are computed only for docs that occur in a candidate
+    pair (semi-join prune) — after LSH the candidates are a tiny
+    fraction of the corpus, so at 100 TB this turns a full-corpus
+    re-shingle into work proportional to the candidate set."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = docs.join(ids, on=id_col, how="left_semi").select(
         F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_words)).alias("sh")
     )
     out = (
@@ -216,10 +297,11 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_words: int = 3,
     threshold: float = 0.7,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → band → bucket-join →
     jaccard-verify → (id_a, id_b, jaccard ≥ threshold)."""
-    bands_df = lsh_bands(docs, id_col, text_col, n_hashes, bands, shingle_words)
+    bands_df = lsh_bands(docs, id_col, text_col, n_hashes, bands, shingle_words, impl)
     pairs = candidate_pairs(bands_df, id_col)
     return jaccard_verify(pairs, docs, id_col, text_col, shingle_words).filter(
         F.col("jaccard") >= threshold
