@@ -101,10 +101,21 @@ def minhash_sig_vectorized_udf(n_hashes: int = 32, shingle_words: int = 3):
         arr = np.asarray(shingles, dtype=object)
         h1 = pd.util.hash_array(arr, hash_key="fres-minhash-h01")
         h2 = pd.util.hash_array(arr, hash_key="fres-minhash-h02")
-        seeds = np.arange(n_hashes, dtype=np.uint64)
-        hashes = h1[:, None] + seeds[None, :] * h2[:, None]
-        mins = np.minimum.reduceat(hashes, offsets[:-1], axis=0)
-        return pd.Series(list(mins.view(np.int64)))
+        # One seed at a time with preallocated buffers: the obvious
+        # (n_shingles × n_hashes) broadcast materializes ~120 MB of
+        # temporaries per batch, and those large fresh mmaps stall
+        # 10-40 s under THP/compaction pressure next to the JVM heap
+        # (measured; the compute itself is ~0.1 s). Working set here
+        # is 2 small buffers, reused across seeds.
+        tmp = np.empty_like(h1)
+        mins = np.empty((n_hashes, len(offsets) - 1), dtype=np.uint64)
+        row = np.empty(len(offsets) - 1, dtype=np.uint64)
+        for i in range(n_hashes):
+            np.multiply(h2, np.uint64(i), out=tmp)
+            np.add(tmp, h1, out=tmp)
+            np.minimum.reduceat(tmp, offsets[:-1], out=row)
+            mins[i] = row
+        return pd.Series(list(mins.T.copy().view(np.int64)))
 
     return _sig
 
