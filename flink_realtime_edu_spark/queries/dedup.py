@@ -23,7 +23,7 @@ from flink_realtime_edu_spark.operators.dedup import (
     minhash_near_duplicates,
     minhash_signature,
     simhash_near_duplicates,
-    winnow_fingerprints_expr,
+    winnow_fingerprints_udf,
 )
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
@@ -80,7 +80,9 @@ def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select(
         "doc_id",
-        F.size(winnow_fingerprints_expr("text")).cast("bigint").alias("n_fingerprints"),
+        F.size(winnow_fingerprints_udf()(F.col("text")))
+        .cast("bigint")
+        .alias("n_fingerprints"),
     ).orderBy("doc_id")
 
 
