@@ -129,6 +129,38 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize stage: binary in → binary out via mapInPandas,
+    metadata updated to the target dimensions. This is the
+    decode→resize→re-encode integration point; with no codec in the
+    container the payload transform is a deterministic stand-in
+    (sha256-seeded bytes of length ∝ target area — stable across
+    runs and partitionings), while the production concerns are real:
+    payload bytes cross the JVM↔Python boundary once, the output
+    schema is the same media struct (stages compose), non-image rows
+    pass through untouched, and the work is partition-local (no
+    shuffle)."""
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            is_img = out["modality"] == "image"
+            if is_img.any():
+                new_payloads = []
+                for mid in out.loc[is_img, "media_id"]:
+                    seed = hashlib.sha256(f"resized-{mid}-{width}x{height}".encode())
+                    reps = (width * height) // 32 + 1
+                    new_payloads.append(bytearray(seed.digest() * reps))
+                out.loc[is_img, "payload"] = pd.Series(
+                    new_payloads, index=out.index[is_img], dtype=object
+                )
+                out.loc[is_img, "width"] = width
+                out.loc[is_img, "height"] = height
+            yield out
+
+    return media.mapInPandas(transform, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one row per (video, frame index to
     decode) — pure JVM sequence/explode, no Python. The decode itself

@@ -9,10 +9,12 @@ from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.multimodal import (
     FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
     decode_image,
     demo_media_frame,
     extract_features,
     frame_sample_plan,
+    resize_images,
 )
 
 
@@ -76,3 +78,24 @@ def test_frame_sample_plan(media):
 def test_decode_stub_raises(media):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", "image/png")
+
+
+def test_resize_stage_composes_and_preserves_schema(media):
+    resized = resize_images(media, width=32, height=48)
+    assert resized.schema == MEDIA_SCHEMA  # stages compose
+    rows = {r.media_id: r for r in resized.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    assert rows.keys() == orig.keys()
+    for mid, r in rows.items():
+        if r.modality == "image":
+            assert (r.width, r.height) == (32, 48)
+            assert bytes(r.payload) != bytes(orig[mid].payload)
+        else:  # pass-through for non-images
+            assert bytes(r.payload) == bytes(orig[mid].payload)
+            assert (r.width, r.height) == (orig[mid].width, orig[mid].height)
+    # deterministic + partitioning-invariant, and feeds the featurizer
+    again = {r.media_id: bytes(r.payload)
+             for r in resize_images(media.repartition(7), width=32, height=48).collect()}
+    assert {m: bytes(r.payload) for m, r in rows.items()} == again
+    feats = extract_features(resize_images(media, width=32, height=48))
+    assert feats.count() == len(rows)
