@@ -18,9 +18,11 @@ Modules:
 """
 
 from flink_realtime_edu_spark.streaming.jobs import (
+    ads_top_segments,
     dedup_users_stream,
     enrich_events_stream,
     interval_join_stream,
+    layered_warehouse_stream,
     load_events_stream,
     session_stats_stream,
     tumbling_stats_stream,
@@ -40,6 +42,8 @@ __all__ = [
     "session_stats_stream",
     "dedup_users_stream",
     "interval_join_stream",
+    "layered_warehouse_stream",
+    "ads_top_segments",
     "upsert_latest_by_key",
     "run_to_completion",
 ]

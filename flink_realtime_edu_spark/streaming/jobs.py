@@ -207,3 +207,78 @@ def interval_join_stream(
     return clicks.join(purchases, cond).select(
         "click_id", "purchase_id", F.col("c_user_id").alias("user_id")
     )
+
+
+def layered_warehouse_stream(
+    events: DataFrame, user_dim: DataFrame, dws_dir: str, watermark: str = "1 hour"
+):
+    """The reference's full layered architecture [R] composed as ONE
+    streaming job — ODS → DWD → DWS in a single incrementalized plan,
+    the ADS layer being batch SQL over the DWS table it maintains:
+
+    - **ODS**: the raw events stream (file source in tests, Kafka via
+      ``load_events_kafka`` in production — identical downstream).
+    - **DWD**: cleaning + splitting + dim enrichment: parse the
+      ``props`` JSON payload (`from_json` → NULL on dirty rows, the
+      side-output rule S7), keep the behavior facts, and broadcast-
+      join the user dim (J3 stream–static lookup; `user_dim` must
+      expose `user_id` + `nation`).
+    - **DWS**: per-day per-(event_type, nation) windowed aggregate
+      with a watermark for state eviction (T1), written in update
+      mode through the idempotent ``upsert_latest_by_key`` sink (T8 —
+      the ClickHouse ReplacingMergeTree analogue). ``n_events`` only
+      grows as a window accumulates, so it doubles as the upsert
+      version column — replays converge on the same table state.
+
+    Returns the DWS streaming DataFrame; callers attach the sink
+    (tests) or ``foreachBatch(upsert_latest_by_key(dws_dir, ...))``.
+
+    ``watermark`` must cover the source's out-of-orderness: for a
+    live Kafka stream the reference's seconds-scale delay suffices;
+    REPLAYING unordered history (the test replays 30 days across 4
+    unsorted micro-batches) needs a delay ≥ the replay span or
+    genuinely-late rows are dropped from the aggregates (T4 rule) and
+    the result diverges from batch.
+    """
+    dec = "decimal(30,8)"
+    dwd = (
+        events.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .join(F.broadcast(user_dim), on="user_id", how="left")
+    )
+    return (
+        dwd.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type", "nation"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast(dec)).cast("double"), 2).alias(
+                "sum_value"
+            ),
+            F.count("k").alias("n_with_props"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "nation",
+            "n_events",
+            "sum_value",
+            "n_with_props",
+        )
+    )
+
+
+def ads_top_segments(dws: DataFrame, k: int = 5) -> DataFrame:
+    """ADS serving query over the DWS table (batch, like the
+    reference's ClickHouse SQL layer [R]): top-k (event_type, nation)
+    segments by total value across days, deterministic tie-break."""
+    from flink_realtime_edu_spark.functions import dec_sum
+
+    totals = dws.groupBy("event_type", "nation").agg(
+        dec_sum("sum_value").alias("total_value"),
+        F.sum("n_events").alias("total_events"),
+    )
+    return totals.orderBy(
+        F.col("total_value").desc(), "event_type", "nation"
+    ).limit(k)

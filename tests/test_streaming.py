@@ -388,3 +388,74 @@ def test_transform_with_state_first_visit(spark, sf_dir, events_dir, tmp_path):
     assert _rows(got.select("day", "new_users", "returning_users")) == _rows(
         want.select("day", "new_users", "returning_users")
     )
+
+
+def test_layered_warehouse_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The composed ODS→DWD→DWS→ADS pipeline (the reference's whole
+    architecture as one job): replay events in 4 micro-batches,
+    maintain the DWS table via the idempotent upsert sink, then the
+    ADS batch query over the maintained table must equal the same
+    layered computation done directly in batch."""
+    from flink_realtime_edu_spark.streaming.jobs import (
+        ads_top_segments,
+        layered_warehouse_stream,
+        load_events_stream,
+    )
+
+    # Split events into 4 files so the file source replays them as
+    # separate micro-batches (cross-batch agg state + upserts).
+    src = tmp_path / "ods"
+    load(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * 1000  # back to the on-disk nanos shape
+    ).repartition(4).write.parquet(str(src))
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    dws_dir = str(tmp_path / "dws")
+    # Watermark must cover the replay's out-of-orderness (30 days of
+    # history in unsorted micro-batches) or late rows drop (T4).
+    dws = layered_warehouse_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        dim,
+        dws_dir,
+        watermark="60 days",
+    )
+    q = (
+        dws.writeStream.outputMode("update")
+        .foreachBatch(upsert_latest_by_key(dws_dir, ["day_start", "event_type", "nation"], "n_events"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    # Batch re-expression of the same layering over the same data.
+    ev = load(spark, sf_dir, "events")
+    batch_dwd = (
+        ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .join(dim, on="user_id", how="left")
+    )
+    batch_dws = (
+        batch_dwd.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type", "nation"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 2).alias("sum_value"),
+            F.count("k").alias("n_with_props"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type", "nation", "n_events", "sum_value", "n_with_props",
+        )
+    )
+    got_dws = spark.read.parquet(dws_dir)
+    assert _rows(got_dws) == _rows(batch_dws)
+    # ADS layer: serving query over the maintained table == over batch.
+    assert _rows(ads_top_segments(got_dws)) == _rows(ads_top_segments(batch_dws))
