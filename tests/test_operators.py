@@ -154,3 +154,21 @@ def test_minhash_cross_validates_exact_jaccard(spark, sf_dir):
     }
     assert mh == exact
     assert len(exact) > 0  # the corpus really contains planted dups
+
+
+def test_cosine_topk_partitioning_invariant_and_impls_agree(spark, sf_dir):
+    """The vectorized scorer prunes to a LOCAL top-k per Arrow batch
+    before the global rank — only safe because the local comparator is
+    the exact final total order, so the answer must be identical under
+    any partitioning. And the numpy sequential-dimension accumulation
+    must reproduce the JVM fold bit-for-bit (both feed the same
+    oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def rows(df):
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    base = rows(cosine_topk(emb, queries, k=5))
+    assert base == rows(cosine_topk(emb.repartition(13), queries, k=5))
+    assert base == rows(cosine_topk(emb, queries, k=5, impl="expr"))
