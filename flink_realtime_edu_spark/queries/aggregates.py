@@ -261,3 +261,44 @@ def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+# --------------------------------------------------------------------------
+# Salted two-phase aggregation over a genuinely skewed key (the 100 TB
+# skew posture, run through the driver's oracle gate)
+# --------------------------------------------------------------------------
+@register(
+    "skewed_event_type_stats",
+    survey_rows=("A1", "A2", "A3"),
+    oracle="""
+SELECT event_type,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_value,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def skewed_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals computed through the SALTED two-phase
+    operators (operators/skew.py): event_type has only 5 values, so
+    a direct groupBy gives each reducer a fifth of the fact table —
+    the power-law-key shape that melts a 1000-executor job. Phase 1
+    shuffles on (key, salt-of-unique-id) spreading each hot key over
+    16 reducers; phase 2 combines 16 tiny partials. The exact salted
+    COUNT(DISTINCT user_id) salts by hash(user_id) so shard-local
+    distincts are globally disjoint. Bit-equal to the direct
+    aggregate — which is exactly what the DuckDB oracle computes."""
+    from flink_realtime_edu_spark.operators.skew import (
+        salted_count_distinct,
+        salted_sum_count,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sums = salted_sum_count(ev, ["event_type"], "value", "event_id")
+    uniq = salted_count_distinct(ev, ["event_type"], "user_id")
+    return sums.join(uniq, on="event_type").select(
+        "event_type",
+        "sum_value",
+        "n_rows",
+        F.col("n_distinct").alias("n_users"),
+    )
