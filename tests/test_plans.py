@@ -127,3 +127,17 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_no_query_uses_row_at_a_time_python(spark, sf_dir):
+    """Global guard: Python appears in query plans ONLY as Arrow-
+    batched evaluation (ArrowEvalPython / MapInPandas / FlatMapGroups
+    InPandas...). A plain `udf` would show up as BatchEvalPython —
+    per-row pickling, the 10-100x slow path — and must never enter a
+    registered query."""
+    offenders = []
+    for name in sorted(REGISTRY):
+        plan = plan_of(spark, sf_dir, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
