@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""10× scale-stress experiment (BASELINE.md scale sweep).
+
+Derives a dataset ~10× sf0.1 (≈ sf1) from the driver's sf0.1 tables
+— facts replicated 10× with shifted unique keys (join keys and dims
+untouched, so join fan-outs stay realistic; document/embedding
+payloads replicated verbatim, making the corpus dup-heavy, which is
+exactly the dedup operators' production shape) — written as
+multi-file parquet so scans actually parallelize (the driver's
+single-row-group files cap scan parallelism at 1 task, BASELINE.md
+caveat). Then runs the headline queries at both scales and prints a
+JSON line with per-query wall times and the 10×-data wall-time
+ratio. This is a PERFORMANCE artifact only: correctness stays pinned
+to the driver's own tables + DuckDB oracle.
+
+Usage: python scripts/scale_stress.py [--out /root/repo/.scratch/sf1d]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+BASE_SF = "/root/testdata/sf0.1"
+REPLICAS = 10
+N_FILES = 8  # files per derived fact table → scan parallelism
+
+# (table, unique key columns to shift per replica, shift stride)
+FACT_SHIFTS = {
+    "orders": (["o_orderkey"], 100_000_000),
+    "lineitem": (["l_orderkey"], 100_000_000),
+    "events": (["event_id"], 100_000_000),
+    "documents": (["doc_id"], 10_000_000),
+    "embeddings": (["vec_id"], 10_000_000),
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def build(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_spark.sources import load
+
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    for t in DIMS:
+        load(spark, BASE_SF, t).write.parquet(str(out / f"{t}.parquet"))
+    for t, (key_cols, stride) in FACT_SHIFTS.items():
+        base = load(spark, BASE_SF, t)
+        parts = []
+        for r in range(REPLICAS):
+            df = base
+            for kc in key_cols:
+                df = df.withColumn(kc, F.col(kc) + F.lit(r * stride))
+            parts.append(df)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        union.repartition(N_FILES).write.parquet(str(out / f"{t}.parquet"))
+
+
+def bench_at(spark, sf_dir: str, names, repeats: int = 2) -> dict[str, float]:
+    from flink_realtime_edu_spark.queries import load_registry
+
+    registry = load_registry()
+    timings = {}
+    for name in names:
+        registry[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warmup
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            registry[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / ".scratch" / "sf1d"))
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from flink_realtime_edu_spark.queries import load_registry
+    from flink_realtime_edu_spark.session import get_spark
+
+    spark = get_spark(app_name="fres-scale-stress")
+    if not args.skip_build:
+        build(spark, args.out)
+    names = sorted(n for n, s in load_registry().items() if s.bench)
+    small = bench_at(spark, BASE_SF, names)
+    big = bench_at(spark, args.out, names)
+    ratios = {n: round(big[n] / small[n], 2) for n in names}
+    print(
+        json.dumps(
+            {
+                "metric": "scale_stress_10x",
+                "base_sf_dir": BASE_SF,
+                "derived_dir": args.out,
+                "replicas": REPLICAS,
+                "small_s": small,
+                "big_s": big,
+                "wall_ratio_10x_data": ratios,
+                "small_total": round(sum(small.values()), 3),
+                "big_total": round(sum(big.values()), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
