@@ -177,21 +177,25 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
   ROUND(quantile_cont(value, 0.5), 6) AS p50,
   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(median(value), 6) AS med,
   COUNT(*) AS n
 FROM events GROUP BY event_type
 """,
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type. Spark
-    `percentile` (exact) ≡ DuckDB `quantile_cont`; at 100 TB swap to
-    `percentile_approx` (mergeable t-digest-style sketch, no global
-    sort) — exact percentiles need all values of a group together."""
+    `percentile` (exact) ≡ DuckDB `quantile_cont`, and `median` ≡
+    `quantile_cont(0.5)` on both engines (checked as its own output
+    column); at 100 TB swap to `percentile_approx` (mergeable
+    t-digest-style sketch, no global sort) — exact percentiles need
+    all values of a group together."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.round(F.percentile("value", 0.5), 6).alias("p50"),
             F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.round(F.median("value"), 6).alias("med"),
             F.count(F.lit(1)).alias("n"),
         )
     )
