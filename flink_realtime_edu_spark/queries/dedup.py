@@ -49,14 +49,47 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_dup_minhash", survey_rows=("X5",), oracle=None, bench=True)
+@register(
+    "near_dup_minhash",
+    survey_rows=("X5",),
+    bench=True,
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.7
+""",
+)
 def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (32 hashes, 8 bands, 3-word
     shingles, Jaccard ≥ 0.7). Bucketed end-to-end: the only join is
     on (band_id, band_hash). Signatures come from the Arrow-vectorized
     SipHash+Kirsch–Mitzenmacher pandas UDF (operators/dedup.py) —
     measured 3.5× faster than the pure-expression form; verification
-    re-shingles only docs present in candidate pairs."""
+    re-shingles only docs present in candidate pairs.
+
+    Oracle note (semantic, not algebraic): the DuckDB side computes
+    the EXACT Jaccard ≥ 0.7 pair set. The LSH stage can only miss
+    pairs (the verify stage computes exact Jaccard, so false
+    positives are impossible); with 8 bands × 4 rows, recall at the
+    corpus's planted similarity (J ≈ 0.9–0.99) is ≈ 0.9998, and the
+    recovered set is verified equal to the exact set at sf0.001/0.01/
+    0.1 (deterministic data + fixed hash keys ⇒ stable). A borderline
+    J≈0.7 pair could in principle be missed — that is the documented
+    LSH recall trade-off, and exactly what the oracle would surface."""
     return minhash_near_duplicates(
         load(spark, sf_dir, "documents"), threshold=0.7
     ).orderBy("id_a", "id_b")
