@@ -70,12 +70,35 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, queries, k=_K).orderBy("qid", "nid")
 
 
-@register("near_dup_embeddings", survey_rows=("X5", "X6"), oracle=None)
+_PAIR_COS = (
+    "list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+@register(
+    "near_dup_embeddings",
+    survey_rows=("X5", "X6"),
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_PAIR_COS}, 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND({_PAIR_COS}, 6) >= 0.95
+""",
+)
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at cos ≥ 0.95 (empty on
-    this synthetic corpus — random vectors top out near 0.5 — which
-    is the correct answer; semantics are pinned on constructed
-    duplicates in tests/test_operators.py)."""
+    """Embedding-cosine near-duplicate pairs at cos ≥ 0.95.
+
+    Oracle (semantic, like near_dup_minhash's): DuckDB computes the
+    exact all-pairs cos ≥ 0.95 set — empty on this synthetic corpus
+    (random 64-dim vectors top out near 0.5), and the LSH pipeline's
+    exact-cosine verify stage makes false positives impossible, so
+    both sides agree (verified; deterministic data + seeded
+    hyperplanes ⇒ stable). Recall on real near-identical vectors is
+    pinned on constructed duplicates in tests/test_operators.py. The
+    oracle's O(n²) cross join is for the sf0.01 gate only — the whole
+    point of the LSH side is never materializing it at scale."""
     return embedding_near_duplicates(
         load(spark, sf_dir, "embeddings"), threshold=0.95
     ).orderBy("id_a", "id_b")
