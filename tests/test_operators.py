@@ -172,3 +172,19 @@ def test_cosine_topk_partitioning_invariant_and_impls_agree(spark, sf_dir):
     base = rows(cosine_topk(emb, queries, k=5))
     assert base == rows(cosine_topk(emb.repartition(13), queries, k=5))
     assert base == rows(cosine_topk(emb, queries, k=5, impl="expr"))
+
+
+def test_approx_distinct_within_hll_error_bounds(spark, sf_dir):
+    """A4: both HLL estimators must land within their documented
+    relative standard deviation of the exact count (default rsd for
+    approx_count_distinct is 5%; assert 4 sigma to be flake-proof,
+    and that the estimate is never catastrophically off)."""
+    from flink_realtime_edu_spark.queries import load_registry
+
+    df = load_registry()["approx_unique_visitors"].build(spark, sf_dir)
+    for r in df.collect():
+        for est_col in ("approx_uv", "hll_uv"):
+            est, exact = r[est_col], r["exact_uv"]
+            assert exact > 0
+            rel_err = abs(est - exact) / exact
+            assert rel_err <= 0.20, (r["event_type"], est_col, est, exact)
