@@ -170,3 +170,45 @@ def lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", guessed.alias("guessed")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# X7/X1 — BPE-style pre-tokenizer counting (regex token counting, the
+# second tokenizer of the north star next to whitespace splitting)
+# --------------------------------------------------------------------------
+# GPT-2-style pre-tokenizer, ASCII form: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs, then
+# leftover whitespace. Leftmost-first alternation semantics agree
+# between Java regex (Spark) and RE2 (DuckDB) for this pattern.
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # escape for the SQL literal
+
+
+@register(
+    "bpe_token_counts",
+    survey_rows=("X7", "X1", "F1"),
+    oracle=f"""
+SELECT source,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT) AS bpe_tokens,
+  ROUND(CAST(SUM(CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS DECIMAL(30,8))) AS DOUBLE)
+        / SUM(len(string_split(text, ' '))), 6) AS bpe_per_ws
+FROM documents GROUP BY source
+""",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the GPT-2
+    pattern's ASCII form) next to plain whitespace counts — the
+    fertility-style ratio an LLM data pipeline tracks per source.
+    `regexp_extract_all(..., 0)` stays JVM-side (codegen); the same
+    RE2-compatible pattern runs in the DuckDB oracle."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.sum(ws.cast("bigint")).alias("ws_tokens"),
+        F.sum(bpe.cast("bigint")).alias("bpe_tokens"),
+        F.round(
+            F.sum(bpe.cast("decimal(30,8)")).cast("double") / F.sum(ws), 6
+        ).alias("bpe_per_ws"),
+    )
