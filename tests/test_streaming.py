@@ -459,3 +459,40 @@ def test_layered_warehouse_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert _rows(got_dws) == _rows(batch_dws)
     # ADS layer: serving query over the maintained table == over batch.
     assert _rows(ads_top_segments(got_dws)) == _rows(ads_top_segments(batch_dws))
+
+
+def test_stream_split_union_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """U1 streaming: the reference's DWD split-then-union shape
+    (Flink `union`) — fork one stream into per-fact branches with
+    different transforms, unionByName them back, aggregate, and the
+    end-of-stream result must equal the same split/union in batch."""
+    stream = load_events_stream(spark, events_dir)
+
+    def split_union(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.lit("behavior").alias("fact"), F.col("value")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.lit("trade").alias("fact"), (F.col("value") * 2).alias("value")
+        )
+        return (
+            clicks.unionByName(purchases)
+            .groupBy("fact")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 2).alias("total"),
+            )
+        )
+
+    q = (
+        split_union(stream)
+        .writeStream.format("memory")
+        .queryName("u1_split_union")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = spark.sql("SELECT * FROM u1_split_union")
+    want = split_union(load(spark, sf_dir, "events"))
+    assert _rows(got) == _rows(want)
