@@ -72,50 +72,68 @@ def minhash_sig_expr(
     )
 
 
+def minhash_batch(texts, n_hashes: int = 32, shingle_words: int = 3) -> list:
+    """Batch core of the vectorized MinHash signature (pure
+    numpy/pandas — property-tested without Spark in
+    tests/test_properties.py).
+
+    Collect every distinct shingle of every doc into one flat object
+    array, SipHash it twice with fixed 16-byte keys
+    (`pd.util.hash_array` — deterministic across processes), then the
+    Kirsch–Mitzenmacher family h_i = h1 + i·h2 (uint64 wraparound);
+    per-doc mins via `minimum.reduceat` over the batch offsets.
+    O(total_shingles × n_hashes) C-loop work, no per-element Python.
+
+    One seed at a time with preallocated buffers: the obvious
+    (n_shingles × n_hashes) broadcast materializes ~120 MB of
+    temporaries per batch, and those large fresh mmaps stall 10-40 s
+    under THP/compaction pressure next to the JVM heap (measured; the
+    compute itself is ~0.1 s). Working set here is 2 small buffers,
+    reused across seeds."""
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    shingles: list[str] = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else [""]
+        k = max(len(toks) - shingle_words + 1, 1)
+        shingles.extend(set(" ".join(toks[j : j + shingle_words]) for j in range(k)))
+        offsets[i + 1] = len(shingles)
+    if not shingles:
+        return []
+    arr = np.asarray(shingles, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key="fres-minhash-h01")
+    h2 = pd.util.hash_array(arr, hash_key="fres-minhash-h02")
+    tmp = np.empty_like(h1)
+    mins = np.empty((n_hashes, len(offsets) - 1), dtype=np.uint64)
+    row = np.empty(len(offsets) - 1, dtype=np.uint64)
+    for i in range(n_hashes):
+        np.multiply(h2, np.uint64(i), out=tmp)
+        np.add(tmp, h1, out=tmp)
+        np.minimum.reduceat(tmp, offsets[:-1], out=row)
+        mins[i] = row
+    return list(mins.T.copy().view(np.int64))
+
+
+def _register_module_by_value() -> None:
+    """The vectorized UDF closures reference module-level batch cores;
+    pickle this module by value so executor workers need no importable
+    copy of the repo (the driver may launch from any cwd)."""
+    import sys
+
+    from pyspark import cloudpickle  # the vendored copy Spark serializes with
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
 def minhash_sig_vectorized_udf(n_hashes: int = 32, shingle_words: int = 3):
     """Factory for the Arrow-vectorized MinHash signature pandas UDF
-    (built lazily — `pandas_udf` needs an active SparkSession).
-
-    Per Arrow batch: collect every distinct shingle of every doc into
-    one flat object array, SipHash it twice with fixed 16-byte keys
-    (`pd.util.hash_array` — deterministic across processes), then the
-    Kirsch–Mitzenmacher family h_i = h1 + i·h2 (uint64 wraparound) in
-    a single numpy broadcast; per-doc mins via `minimum.reduceat`
-    over the batch offsets. O(total_shingles × n_hashes) C-loop work,
-    no per-element Python."""
+    (built lazily — `pandas_udf` needs an active SparkSession); the
+    batch math lives in :func:`minhash_batch`."""
+    _register_module_by_value()
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
-        offsets = np.empty(len(texts) + 1, dtype=np.int64)
-        offsets[0] = 0
-        shingles: list[str] = []
-        for i, t in enumerate(texts):
-            toks = t.split(" ") if t else [""]
-            k = max(len(toks) - shingle_words + 1, 1)
-            shingles.extend(
-                set(" ".join(toks[j : j + shingle_words]) for j in range(k))
-            )
-            offsets[i + 1] = len(shingles)
-        if not shingles:
-            return pd.Series([])
-        arr = np.asarray(shingles, dtype=object)
-        h1 = pd.util.hash_array(arr, hash_key="fres-minhash-h01")
-        h2 = pd.util.hash_array(arr, hash_key="fres-minhash-h02")
-        # One seed at a time with preallocated buffers: the obvious
-        # (n_shingles × n_hashes) broadcast materializes ~120 MB of
-        # temporaries per batch, and those large fresh mmaps stall
-        # 10-40 s under THP/compaction pressure next to the JVM heap
-        # (measured; the compute itself is ~0.1 s). Working set here
-        # is 2 small buffers, reused across seeds.
-        tmp = np.empty_like(h1)
-        mins = np.empty((n_hashes, len(offsets) - 1), dtype=np.uint64)
-        row = np.empty(len(offsets) - 1, dtype=np.uint64)
-        for i in range(n_hashes):
-            np.multiply(h2, np.uint64(i), out=tmp)
-            np.add(tmp, h1, out=tmp)
-            np.minimum.reduceat(tmp, offsets[:-1], out=row)
-            mins[i] = row
-        return pd.Series(list(mins.T.copy().view(np.int64)))
+        return pd.Series(minhash_batch(texts, n_hashes, shingle_words))
 
     return _sig
 
@@ -351,28 +369,34 @@ def winnow_fingerprints_udf(k: int = 8, window: int = 4):
     Guarantee preserved: any shared substring of ≥ k + window - 1
     bytes yields a shared fingerprint (byte-grams, not char-grams —
     identical on ASCII corpora)."""
-    base = np.uint64(1099511628211)  # FNV-1a prime
-    powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    _register_module_by_value()
 
     @pandas_udf("array<long>")
     def _fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            bs = np.frombuffer((t or " ").encode("utf-8"), dtype=np.uint8)
-            if len(bs) < k:
-                bs = np.pad(bs, (0, k - len(bs)))
-            win = np.lib.stride_tricks.sliding_window_view(bs, k).astype(np.uint64)
-            grams = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
-            if len(grams) >= window:
-                mins = np.lib.stride_tricks.sliding_window_view(grams, window).min(
-                    axis=1
-                )
-            else:
-                mins = grams.min(keepdims=True)
-            out.append(np.unique(mins).view(np.int64))
-        return pd.Series(out)
+        return pd.Series(winnow_batch(texts, k, window))
 
     return _fp
+
+
+def winnow_batch(texts, k: int = 8, window: int = 4) -> list:
+    """Batch core of the vectorized winnowing fingerprints (pure
+    numpy — property-tested without Spark): polynomial rolling hash
+    of each k-byte gram, min per sliding window, distinct."""
+    base = np.uint64(1099511628211)  # FNV-1a prime
+    powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    out = []
+    for t in texts:
+        bs = np.frombuffer((t or " ").encode("utf-8"), dtype=np.uint8)
+        if len(bs) < k:
+            bs = np.pad(bs, (0, k - len(bs)))
+        win = np.lib.stride_tricks.sliding_window_view(bs, k).astype(np.uint64)
+        grams = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        if len(grams) >= window:
+            mins = np.lib.stride_tricks.sliding_window_view(grams, window).min(axis=1)
+        else:
+            mins = grams.min(keepdims=True)
+        out.append(np.unique(mins).view(np.int64))
+    return out
 
 
 def winnow_fingerprints_expr(
@@ -462,38 +486,53 @@ def simhash64():
     as the MinHash UDF). Built lazily — `pandas_udf` needs an active
     SparkSession, so no decorator at module import."""
 
+    _register_module_by_value()
+
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        tokens: list[str] = []
-        offsets = np.empty(len(texts) + 1, dtype=np.int64)
-        offsets[0] = 0
-        for i, t in enumerate(texts):
-            if t:
-                tokens.extend(t.split(" "))
-            offsets[i + 1] = len(tokens)
-        n_docs = len(texts)
-        if not tokens:
-            return pd.Series(np.zeros(n_docs, dtype=np.int64))
-        h = pd.util.hash_array(
-            np.asarray(tokens, dtype=object), hash_key="fres-simhash-064"
-        )
-        counts = np.diff(offsets)
-        # reduceat needs in-range indices; empty tail segments are
-        # masked out after the loop via counts == 0.
-        idx = np.minimum(offsets[:-1], len(h) - 1)
-        bits = np.empty_like(h)
-        sums = np.empty(n_docs, dtype=np.uint64)
-        sig = np.zeros(n_docs, dtype=np.uint64)
-        for b in range(64):
-            np.right_shift(h, np.uint64(b), out=bits)
-            np.bitwise_and(bits, np.uint64(1), out=bits)
-            np.add.reduceat(bits, idx, out=sums)
-            majority = (2 * sums.astype(np.int64)) > counts
-            sig |= majority.astype(np.uint64) << np.uint64(b)
-        sig[counts == 0] = 0
-        return pd.Series(sig.view(np.int64))
+        return pd.Series(simhash_batch(texts))
 
     return _simhash
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Batch core of the vectorized SimHash (pure numpy/pandas —
+    property-tested without Spark): int64 signatures, one per text."""
+    tokens: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        if t:
+            tokens.extend(t.split(" "))
+        offsets[i + 1] = len(tokens)
+    n_docs = len(texts)
+    if not tokens:
+        return np.zeros(n_docs, dtype=np.int64)
+    h = pd.util.hash_array(
+        np.asarray(tokens, dtype=object), hash_key="fres-simhash-064"
+    )
+    counts = np.diff(offsets)
+    # reduceat over NON-EMPTY docs' start offsets only: these are
+    # strictly increasing and in-range, and each segment ends at the
+    # next non-empty doc's start (empty docs contribute no tokens).
+    # (Clamping out-of-range starts instead silently truncated the
+    # last tokens of a doc followed by empty docs — caught by the
+    # batch-composition property test.)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    ne_counts = counts[nonempty]
+    bits = np.empty_like(h)
+    sums = np.empty(len(starts), dtype=np.uint64)
+    sig_ne = np.zeros(len(starts), dtype=np.uint64)
+    for b in range(64):
+        np.right_shift(h, np.uint64(b), out=bits)
+        np.bitwise_and(bits, np.uint64(1), out=bits)
+        np.add.reduceat(bits, starts, out=sums)
+        majority = (2 * sums.astype(np.int64)) > ne_counts
+        sig_ne |= majority.astype(np.uint64) << np.uint64(b)
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    sig[nonempty] = sig_ne
+    return sig.view(np.int64)
 
 
 def simhash_near_duplicates(

@@ -232,3 +232,69 @@ def test_abandoned_state_fn_matches_antijoin(evs, cuts, data):
         if et == "click" and not any(t <= p <= t + T for p in purchases)
     )
     assert sorted(emitted) == want
+
+
+# ---------------------------------------------------------------------------
+# Batch-core invariants of the vectorized dedup kernels (no Spark —
+# these run the numpy cores directly, so hypothesis can afford many
+# examples). The scary bug class in batched reduceat code is offset
+# arithmetic: a doc's result silently depending on its batch
+# neighbors. Batch composition invariance kills that whole class.
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=0, max_size=30
+)
+_texts = st.lists(_words.map(" ".join), min_size=1, max_size=8)
+
+FAST = settings(max_examples=100, deadline=None)
+
+
+@FAST
+@given(_texts)
+def test_minhash_batch_composition_invariant(texts):
+    from flink_realtime_edu_spark.operators.dedup import minhash_batch
+
+    batched = minhash_batch(texts, n_hashes=8)
+    solo = [minhash_batch([t], n_hashes=8)[0] for t in texts]
+    assert all((a == b).all() for a, b in zip(batched, solo))
+    # identical text → identical signature, wherever it sits
+    dup = minhash_batch([texts[0], "zzz unrelated text", texts[0]], n_hashes=8)
+    assert (dup[0] == dup[2]).all()
+
+
+@FAST
+@given(_texts)
+def test_simhash_batch_composition_invariant(texts):
+    from flink_realtime_edu_spark.operators.dedup import simhash_batch
+
+    batched = simhash_batch(texts)
+    solo = [simhash_batch([t])[0] for t in texts]
+    assert list(batched) == solo
+
+
+@FAST
+@given(
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=60),
+    st.text(alphabet="abcdefgh ", min_size=0, max_size=60),
+    st.text(alphabet="qrstuvwx", min_size=11, max_size=24),
+)
+def test_winnow_shared_substring_guarantee(prefix_a, prefix_b, shared):
+    """MOSS guarantee: any shared substring of length ≥ k + window - 1
+    (= 11 bytes at k=8, window=4) yields ≥ 1 shared fingerprint —
+    regardless of what surrounds it. The shared alphabet is disjoint
+    from the prefixes' so the substring really is the only overlap."""
+    from flink_realtime_edu_spark.operators.dedup import winnow_batch
+
+    fa, fb = winnow_batch([prefix_a + shared, prefix_b + shared])
+    assert set(fa) & set(fb)
+
+
+@FAST
+@given(_texts)
+def test_winnow_batch_composition_invariant(texts):
+    from flink_realtime_edu_spark.operators.dedup import winnow_batch
+
+    batched = winnow_batch(texts)
+    solo = [winnow_batch([t])[0] for t in texts]
+    assert all((a == b).all() for a, b in zip(batched, solo))
