@@ -210,7 +210,7 @@ def interval_join_stream(
 
 
 def layered_warehouse_stream(
-    events: DataFrame, user_dim: DataFrame, dws_dir: str, watermark: str = "1 hour"
+    events: DataFrame, user_dim: DataFrame, watermark: str = "1 hour"
 ):
     """The reference's full layered architecture [R] composed as ONE
     streaming job — ODS → DWD → DWS in a single incrementalized plan,

@@ -423,7 +423,6 @@ def test_layered_warehouse_pipeline_end_to_end(spark, sf_dir, tmp_path):
     dws = layered_warehouse_stream(
         load_events_stream(spark, str(src), max_files_per_trigger=1),
         dim,
-        dws_dir,
         watermark="60 days",
     )
     q = (
