@@ -281,14 +281,21 @@ def jaccard_pairs_exact(
     ops: explode distinct shingles, self-join on the shingle
     (inverted-index blocking — any pair with J > 0 shares one), and
     count matches per pair; |A∩B| is that count, |A∪B| =
-    |A|+|B|-|A∩B|, and the |A|/|B| terms come from two joins against
-    the per-doc shingle counts (left to AQE: broadcast at test
-    scale, shuffle join when the doc count is too big to broadcast). Cheaper than
-    rejoining full shingle arrays per candidate pair (measured ~3× on
-    the word-soup corpus at sf0.1, where frequent shingles make
-    candidates dense).
+    |A|+|B|-|A∩B|, and the |A|/|B| terms come straight from the doc
+    projection (`size(array_distinct(...))` — no explode, no extra
+    shuffle) and are BROADCAST into the pair frame (the sizes table
+    is one row per doc — dim-sized even at corpus scale). Cheaper
+    than rejoining full shingle arrays per candidate pair (measured
+    ~3× on the word-soup corpus at sf0.1, where frequent shingles
+    make candidates dense).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 and
     filtered to ≥ threshold.
+
+    Known AQE caveat (measured on 4.1.2): the self-join's two
+    identical exchange subtrees are NOT stage-reused under AQE (plain
+    ReuseExchange fires with AQE off), so the shingle projection
+    executes twice. Accepted: disabling AQE per-query would forfeit
+    skew-join handling, which matters more at 100 TB.
 
     The inverted index carries xxhash64(shingle), not the shingle
     string: the self-join shuffles and compares 8-byte longs instead
@@ -306,7 +313,7 @@ def jaccard_pairs_exact(
                 )
             )
         ).alias("s"),
-    ).repartition("s")  # identical exchange both sides → ReusedExchange
+    ).repartition("s")  # aligns both join sides on the same partitioning
     inter = (
         sh.select(F.col("doc_id").alias("id_a"), "s")
         .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
@@ -314,7 +321,16 @@ def jaccard_pairs_exact(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("n"),
+    )
     jac = F.round(
         F.col("n_inter").cast("double")
         / (F.col("na") + F.col("nb") - F.col("n_inter")),
@@ -322,10 +338,16 @@ def jaccard_pairs_exact(
     )
     return (
         inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), on="id_a"
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+            ),
+            on="id_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), on="id_b"
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+            ),
+            on="id_b",
         )
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
