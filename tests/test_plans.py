@@ -8,6 +8,8 @@ matched loosely on operator names.)
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -160,7 +162,14 @@ def test_ivf_cluster_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
     probed = spark.read.parquet(root).filter(F.col("cluster").isin(0, 3, 7, 11))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "IN (0,3,7,11)" in plan
-    # only the 4 probed clusters' directories may be touched
-    touched = {f.split("cluster=")[1].split("/")[0] for f in probed.inputFiles()}
-    assert touched == {"0", "3", "7", "11"}
     assert probed.select("cluster").distinct().count() == 4
+    # Black-box proof the pruned directories are never OPENED: corrupt
+    # an unprobed partition — the probe must still succeed, while an
+    # unpruned full scan must hit the corruption and fail.
+    victim = Path(root) / "cluster=5"
+    next(victim.glob("*.parquet")).write_bytes(b"not a parquet file")
+    assert spark.read.parquet(root).filter(
+        F.col("cluster").isin(0, 3, 7, 11)
+    ).count() == probed.count()
+    with pytest.raises(Exception):
+        spark.read.parquet(root).count()
