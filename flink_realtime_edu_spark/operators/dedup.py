@@ -217,11 +217,13 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     key is (band_id, band_hash) — the cross product only happens
     inside buckets, which is the entire point of LSH.
 
-    The pre-partition on the join key gives both self-join sides an
-    IDENTICAL exchange → Spark materializes it once (ReusedExchange),
-    so the upstream signature projection is computed exactly once
-    (without it, the whole 32-hash pipeline runs twice — measured
-    ~30× slower on wide signatures)."""
+    The pre-partition on the join key aligns both self-join sides on
+    one exchange shape. Caveat (measured on 4.1.2): under AQE the two
+    identical exchange subtrees are NOT stage-reused, so the upstream
+    signature projection runs once per side (plain ReuseExchange does
+    fire with AQE off); AQE stays on because skew-join splitting
+    matters more at scale, and the vectorized signature stage is
+    cheap enough that the duplicate compute is acceptable."""
     bands_df = bands_df.repartition("band_id", "band_hash")
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"

@@ -344,7 +344,7 @@ def embedding_near_duplicates(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         F.explode(buckets(F.col(vec_col))).alias("bkt"),
-    ).repartition("bkt")  # identical exchange on both join sides → reused
+    ).repartition("bkt")  # aligns both self-join sides on one exchange shape
     a = tagged.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bkt"
     )
