@@ -5,17 +5,20 @@ North-star operator (BASELINE.json): top-k cosine neighbors over an
 
 Two paths, as the north star prescribes:
 
-- ``cosine_topk`` — brute force, the correctness baseline. Queries
-  are broadcast against the corpus; the corpus is scanned ONCE, the
-  per-pair cosine stays in whole-stage codegen (higher-order
-  functions, no UDF), and ranking happens per query id. Cost is
-  O(|Q|·|corpus|): fine for |Q| ≪ corpus, which is the batch-scoring
-  shape; NOT for all-pairs.
+- ``cosine_topk`` — brute force, the correctness baseline. The
+  corpus is scanned ONCE; the default impl scores each Arrow batch
+  against the (driver-sized) query matrix in vectorized numpy with
+  sequential-dimension accumulation (bit-identical to the JVM fold
+  and the DuckDB oracle) and emits per-batch local top-k before the
+  global rank; ``impl="expr"`` keeps the pure higher-order-function
+  form. Cost is O(|Q|·|corpus|): fine for |Q| ≪ corpus, which is the
+  batch-scoring shape; NOT for all-pairs.
 - ``lsh_cosine_topk`` — the scale path: random-hyperplane LSH
   buckets (sign bits of h·x), candidates only form inside buckets,
-  then exact cosine re-ranks candidates. Recall < 1 by construction;
-  tests measure it against brute force. Hyperplanes are generated
-  from a fixed seed so results are deterministic.
+  then exact cosine (vectorized pair UDF) re-ranks candidates.
+  Recall < 1 by construction; tests measure it against brute force.
+  Hyperplanes are generated from a fixed seed so results are
+  deterministic.
 """
 
 from __future__ import annotations
