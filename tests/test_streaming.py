@@ -495,3 +495,68 @@ def test_stream_split_union_equals_batch(spark, sf_dir, events_dir, tmp_path):
     got = spark.sql("SELECT * FROM u1_split_union")
     want = split_union(load(spark, sf_dir, "events"))
     assert _rows(got) == _rows(want)
+
+
+def test_layered_pipeline_survives_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill the layered job mid-replay and restart it from the same
+    checkpoint: offset tracking resumes where it stopped, agg state is
+    recovered from the state store, and the idempotent upsert sink
+    converges to exactly the batch answer — the reference's
+    checkpoint/restore + ReplacingMergeTree end-to-end guarantee."""
+    from flink_realtime_edu_spark.streaming.jobs import (
+        layered_warehouse_stream,
+        load_events_stream,
+    )
+
+    src = tmp_path / "ods"
+    load(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_micros("ts") * 1000
+    ).repartition(4).write.parquet(str(src))
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(load(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    dws_dir, ckpt = str(tmp_path / "dws"), str(tmp_path / "ckpt")
+
+    def start():
+        dws = layered_warehouse_stream(
+            load_events_stream(spark, str(src), max_files_per_trigger=1),
+            dim,
+            watermark="60 days",
+        )
+        return (
+            dws.writeStream.outputMode("update")
+            .foreachBatch(
+                upsert_latest_by_key(dws_dir, ["day_start", "event_type", "nation"], "n_events")
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    while q1.lastProgress is None or q1.lastProgress["batchId"] < 1:
+        time.sleep(0.2)  # let ≥2 micro-batches commit, then kill mid-stream
+    q1.stop()
+    q1.awaitTermination()
+
+    q2 = start()  # same checkpoint → resumes from committed offsets
+    run_to_completion(q2)
+
+    ev = load(spark, sf_dir, "events")
+    batch_dws = (
+        ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .join(dim, on="user_id", how="left")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 2).alias("sum_value"),
+            F.count("k").alias("n_with_props"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type", "nation", "n_events", "sum_value", "n_with_props",
+        )
+    )
+    assert _rows(spark.read.parquet(dws_dir)) == _rows(batch_dws)
