@@ -560,3 +560,24 @@ def test_layered_pipeline_survives_restart_from_checkpoint(spark, sf_dir, tmp_pa
         )
     )
     assert _rows(spark.read.parquet(dws_dir)) == _rows(batch_dws)
+
+
+def test_kafka_payload_roundtrip_contract(spark, sf_dir):
+    """S1/S4 contract: the JSON encode used by the Kafka sink
+    (to_json over the full struct) must decode losslessly with the
+    schema the Kafka source parses with — so DWD facts survive a
+    hop through a topic byte-identical. Tested in batch (no broker
+    in this container); the streaming builders use the same
+    expressions."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.unix_millis("ts")  # wire format: epoch-millis, like the source expects
+    )
+    encoded = ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
+    decoded = encoded.select(
+        F.from_json(
+            F.col("value"),
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).alias("r")
+    ).select("r.*")
+    assert _rows(decoded) == _rows(ev.select(*decoded.columns))
