@@ -306,3 +306,32 @@ def skewed_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("n_distinct").alias("n_users"),
     )
+
+
+@register(
+    "unpivot_daily_activity",
+    survey_rows=("A1", "F2"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+counts AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+FROM days d
+CROSS JOIN (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')) t(event_type)
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+""",
+)
+def unpivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the wide daily-activity matrix back to long form
+    — the wide→long inverse of pivot_daily_activity, zero-filled
+    cells preserved (the oracle reconstructs them as the day × type
+    cross join)."""
+    wide = pivot_daily_activity(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
