@@ -53,6 +53,8 @@ _QUERY_MODULES = (
     "similarity",
     "udfs",
     "ads",
+    "subqueries",
+    "statistics",
 )
 
 

@@ -188,3 +188,45 @@ def test_approx_distinct_within_hll_error_bounds(spark, sf_dir):
             assert exact > 0
             rel_err = abs(est - exact) / exact
             assert rel_err <= 0.20, (r["event_type"], est_col, est, exact)
+
+
+def test_power_sum_moments_match_native_aggregates(spark, sf_dir):
+    """price_moments_by_flag derives stddev/var/covar/corr from exact
+    decimal power sums (queries/statistics.py — the native moment
+    aggregates are float-order-dependent, so they can't be value-
+    hashed cross-engine). Check the formulas compute the same
+    statistics as Spark's native stddev_samp/var_samp/covar_samp/corr
+    to tight relative tolerance, so the oracle is checking real
+    statistics."""
+    from flink_realtime_edu_spark.queries import load_registry
+
+    ours = {
+        r["l_returnflag"]: r
+        for r in load_registry()["price_moments_by_flag"].build(spark, sf_dir).collect()
+    }
+    native = {
+        r["l_returnflag"]: r
+        for r in (
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.stddev_samp("l_extendedprice").alias("sd"),
+                F.var_samp("l_extendedprice").alias("var"),
+                F.covar_samp("l_extendedprice", "l_quantity").alias("cov"),
+                F.corr("l_extendedprice", "l_quantity").alias("corr"),
+            )
+        ).collect()
+    }
+    assert set(ours) == set(native)
+    for flag, r in ours.items():
+        n = native[flag]
+        for got, want, dp in [
+            (r["stddev_price"], n["sd"], 4),
+            (r["var_price"], n["var"], 2),
+            (r["covar_price_qty"], n["cov"], 2),
+            (r["corr_price_qty"], n["corr"], 6),
+        ]:
+            # got is rounded to dp places in the query; allow half an ulp
+            # of that rounding plus float slack in the native aggregate.
+            tol = 0.5 * 10**-dp + 1e-9 * max(1.0, abs(want))
+            assert abs(got - want) <= tol, (flag, got, want, dp)

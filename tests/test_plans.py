@@ -173,3 +173,30 @@ def test_ivf_cluster_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
     ).count() == probed.count()
     with pytest.raises(Exception):
         spark.read.parquet(root).count()
+
+
+@pytest.mark.parametrize(
+    ("name", "fragment"),
+    [
+        # EXISTS with two-column correlation → one left-semi join.
+        ("late_ship_priority_counts", "LeftSemi"),
+        # IN + HAVING subquery → left-semi against the aggregated keys.
+        ("big_volume_customers", "LeftSemi"),
+        # Correlated scalar AVG → aggregate joined back, not per-row rescan.
+        ("small_qty_parts_revenue", "partial_avg"),
+    ],
+)
+def test_subqueries_decorrelate_to_joins(spark, sf_dir, name, fragment):
+    """Catalyst must rewrite every subquery shape into a join
+    (SURVEY.md §4.2); a per-outer-row re-execution would be a
+    100 TB disaster. Matched loosely on operator names."""
+    plan = plan_of(spark, sf_dir, name)
+    assert fragment in plan, plan[:2000]
+
+
+def test_uncorrelated_scalar_subquery_is_single_execution(spark, sf_dir):
+    """Q15-shape scalar MAX over the CTE runs as a (reused) subquery
+    node, and the whole plan stays join-based — no CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "top_revenue_supplier")
+    assert "Subquery" in plan or "ReusedSubquery" in plan
+    assert "CartesianProduct" not in plan
