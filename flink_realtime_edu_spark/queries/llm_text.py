@@ -10,7 +10,7 @@ leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.functions import dec_avg_sql, dec_sum_sql
@@ -211,4 +211,64 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(bpe.cast("decimal(30,8)")).cast("double") / F.sum(ws), 6
         ).alias("bpe_per_ws"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X7 — TF-IDF top terms per document
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    survey_rows=("X7", "X1", "A1", "W1"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT tf.doc_id, tf.term,
+    ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+    ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
+               tf.term) AS rnk
+  FROM tf JOIN dfreq df ON tf.term = df.term CROSS JOIN n) s
+WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic quality /
+    topicality signal a training-data pipeline computes corpus-wide.
+    tf = in-doc term count, idf = ln(N/df) with df counted from the
+    per-doc term set; score rounded to 6 dp BEFORE ranking with the
+    term string as unique tie-breaker (SURVEY.md §5.2 determinism
+    rule — ln() may differ from DuckDB's libm by an ulp, rounding
+    absorbs it; verified hash-equal at sf0.001/0.01/0.1).
+
+    Scale: two hash aggregates (doc,term) and (term), one shuffle
+    each; the doc-frequency side joins back on term (dictionary-
+    sized → AQE broadcasts it); N is a one-row broadcast. No
+    collect, no cross product beyond the scalar."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
     )

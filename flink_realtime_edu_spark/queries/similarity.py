@@ -159,3 +159,54 @@ def label_homophily_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("same_label_neighbors")
     )
+
+
+# --------------------------------------------------------------------------
+# X6 — per-label centroid (the vector aggregate behind IVF / k-means)
+# --------------------------------------------------------------------------
+@register(
+    "label_centroids",
+    survey_rows=("X6", "A1", "F5"),
+    oracle="""
+SELECT label, dim,
+  ROUND(CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6)
+    AS centroid,
+  COUNT(*) AS n_vectors
+FROM (SELECT label,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+             UNNEST(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings) x
+GROUP BY label, dim
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label, long-form (label, dim, centroid) —
+    the vector aggregate at the heart of IVF training / k-means
+    assignment steps (operators/similarity.py uses the same shape to
+    fit coarse quantizers). posexplode widens n×64 rows, then one
+    hash aggregate on (label, dim) with the exact DECIMAL(30,8) sum
+    so shuffle order can't move the mean; long form keeps the oracle
+    a plain scalar hash instead of a float-array compare.
+
+    Scale: the explode is map-side (no shuffle) and the aggregate
+    carries 64× the key cardinality of labels — still tiny relative
+    to the input; partial aggregation collapses it before the
+    exchange. For wide fleets prefer aggregating per-dimension sums
+    into fixed-width arrays via pandas UDAF only if the 64× row
+    inflation ever dominates (it does not at dim≤1k)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    )
+    return (
+        ex.groupBy("label", (F.col("dim0") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
