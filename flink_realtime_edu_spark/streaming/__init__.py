@@ -21,6 +21,7 @@ from flink_realtime_edu_spark.streaming.jobs import (
     ads_top_segments,
     dedup_users_stream,
     enrich_events_stream,
+    interval_join_outer_stream,
     interval_join_stream,
     layered_warehouse_stream,
     load_events_stream,
@@ -41,6 +42,7 @@ __all__ = [
     "tumbling_stats_stream",
     "session_stats_stream",
     "dedup_users_stream",
+    "interval_join_outer_stream",
     "interval_join_stream",
     "layered_warehouse_stream",
     "ads_top_segments",

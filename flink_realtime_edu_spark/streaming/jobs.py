@@ -209,6 +209,46 @@ def interval_join_stream(
     )
 
 
+def interval_join_outer_stream(
+    events: DataFrame, watermark: str = "2 days", horizon: str = "INTERVAL 1 DAY"
+) -> DataFrame:
+    """J9 + J2: stream-stream LEFT OUTER interval join. Matched pairs
+    emit like the inner form; a click with NO purchase inside its
+    [c_ts, c_ts + horizon] window emits null-padded only once the
+    watermark has passed the window end (before that, a match could
+    still arrive — Spark holds the row in state). This is the
+    streaming twin of the batch abandoned-click anti-join (T7):
+    unmatched rows ARE the timeout detections. SURVEY.md §7 hard
+    part #4: rows still inside the horizon at end-of-stream never
+    emit — documented, asserted in tests, not fought."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(horizon))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        "click_id", "purchase_id", F.col("c_user_id").alias("user_id"), "c_ts"
+    )
+
+
 def layered_warehouse_stream(
     events: DataFrame, user_dim: DataFrame, watermark: str = "1 hour"
 ):

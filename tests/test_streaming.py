@@ -581,3 +581,56 @@ def test_kafka_payload_roundtrip_contract(spark, sf_dir):
         ).alias("r")
     ).select("r.*")
     assert _rows(decoded) == _rows(ev.select(*decoded.columns))
+
+
+def test_stream_stream_left_outer_join_emits_timeouts(spark, sf_dir, events_dir, tmp_path):
+    """J9+J2: left-outer stream-stream interval join. Invariants at
+    end-of-stream (final watermark W = max ts - 2 days):
+      1. matched pairs == the batch inner interval join, exactly;
+      2. every null-padded row is a click the batch join left
+         unmatched (no false timeouts);
+      3. every batch-unmatched click whose horizon closed safely
+         below W emitted exactly one null-padded row (no lost
+         timeouts). Clicks near/above W are withheld by design
+         (state not yet evictable) — excluded via a 1-hour band so
+         the test doesn't pin Spark's exact eviction boundary."""
+    from flink_realtime_edu_spark.streaming.jobs import interval_join_outer_stream
+
+    stream = interval_join_outer_stream(load_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("j9_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_j9o"))
+        .start()
+    )
+    run_to_completion(q)
+    got = spark.sql("SELECT * FROM j9_outer").collect()
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    batch_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in REGISTRY["interval_join_click_purchase"].build(spark, sf_dir).collect()
+    }
+    matched_clicks = {c for c, _ in batch_pairs}
+
+    got_pairs = {(r["click_id"], r["purchase_id"]) for r in got if r["purchase_id"] is not None}
+    assert got_pairs == batch_pairs
+
+    null_clicks = {r["click_id"] for r in got if r["purchase_id"] is None}
+    all_clicks = {r["event_id"]: r["ts"] for r in clicks.collect()}
+    batch_unmatched = set(all_clicks) - matched_clicks
+    # 2. no false timeouts
+    assert null_clicks <= batch_unmatched
+    # 3. no lost timeouts for decidable clicks: horizon end (+1d) must
+    # sit a band (1h) below the final watermark (max ts - 2d).
+    import datetime as dt
+
+    max_ts = max(r["ts"] for r in events.select("ts").collect())
+    cutoff = max_ts - dt.timedelta(days=3, hours=1)
+    decidable = {c for c in batch_unmatched if all_clicks[c] < cutoff}
+    assert decidable <= null_clicks, sorted(decidable - null_clicks)[:5]
+    # and each timeout emitted exactly once
+    null_rows = [r["click_id"] for r in got if r["purchase_id"] is None]
+    assert len(null_rows) == len(set(null_rows))
