@@ -10,7 +10,7 @@ path → rows-only here, recall-tested in tests/test_operators.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.operators.similarity import (
@@ -210,3 +210,38 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X6 — k-means corpus clustering (IVF training / domain bucketing)
+# --------------------------------------------------------------------------
+@register("kmeans_cluster_profile", survey_rows=("X6",), oracle=None)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 4 iterations, deterministic first-k
+    init) over the embeddings, profiled per cluster: size, exact-
+    decimal inertia share, and the dominant label with its count
+    (labels cluster together — the homophily the testdata encodes).
+    Iterative ⇒ not ANSI-SQL-expressible → rows-only check
+    (SURVEY.md §2 legend B*); convergence, assignment optimality and
+    partitioning invariance are pinned in tests/test_operators.py."""
+    from flink_realtime_edu_spark.operators.clustering import kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, assigned, _ = kmeans_fit(emb, k=8, iters=4)
+    labeled = assigned.select("vec_id", "cluster", "dist2").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    per_label = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n_label").desc(), F.col("label"))
+    dominant = (
+        per_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"), F.col("n_label").alias("top_label_n"))
+    )
+    profile = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum(F.col("dist2").cast("decimal(30,8)")).cast("double"), 4).alias("inertia"),
+    )
+    return profile.join(dominant, "cluster")

@@ -230,3 +230,32 @@ def test_power_sum_moments_match_native_aggregates(spark, sf_dir):
             # of that rounding plus float slack in the native aggregate.
             tol = 0.5 * 10**-dp + 1e-9 * max(1.0, abs(want))
             assert abs(got - want) <= tol, (flag, got, want, dp)
+
+
+def test_kmeans_converges_and_assigns_optimally(spark, sf_dir):
+    """operators/clustering.py: (1) Lloyd's inertia is non-increasing;
+    (2) final assignments are argmin-distance to the final centroids
+    (recomputed in plain numpy); (3) the fit is partitioning-
+    invariant (exact-decimal centroid means + row-local assignment)."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.operators.clustering import kmeans_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents, assigned, hist = kmeans_fit(emb, k=6, iters=4)
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), hist
+
+    rows = assigned.select("vec_id", "cluster", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    got = np.array([r["cluster"] for r in rows])
+    # Allow distance ties (argmin picks lowest id on both paths, but
+    # float formula differs: |x-c|^2 vs expanded form) — compare
+    # distances, not ids.
+    picked = d2[np.arange(len(x)), got]
+    best = d2[np.arange(len(x)), want]
+    assert np.allclose(picked, best, rtol=1e-9, atol=1e-9)
+
+    _, _, hist2 = kmeans_fit(emb.repartition(17), k=6, iters=4)
+    assert hist == hist2
