@@ -272,3 +272,33 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# A4/X7 — Count-Min Sketch heavy-hitter estimates over document tokens
+# --------------------------------------------------------------------------
+@register("cms_token_frequencies", survey_rows=("A4", "X7"), oracle=None)
+def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 exact token counts side by side with their Count-Min
+    Sketch estimates (operators/sketch.py: 4×1024 counters built as
+    one hash aggregate, probed via broadcast join). CMS is one-sided
+    (est ≥ exact, bounded overestimate) — asserted corpus-wide in
+    tests/test_operators.py; Spark's xxhash64 has no DuckDB twin →
+    rows-only check (B*), like the other F8 hash queries."""
+    from flink_realtime_edu_spark.operators.sketch import cms_build, cms_estimate
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cms = cms_build(tok, "term", width=1024, depth=4)
+    est = cms_estimate(cms, tok, "term", width=1024, depth=4)
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("term"))
+    return (
+        exact.join(est, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("term", "exact_cnt", F.col("est").alias("cms_est"), "rnk")
+    )

@@ -259,3 +259,31 @@ def test_kmeans_converges_and_assigns_optimally(spark, sf_dir):
 
     _, _, hist2 = kmeans_fit(emb.repartition(17), k=6, iters=4)
     assert hist == hist2
+
+
+def test_cms_one_sided_and_bounded(spark, sf_dir):
+    """operators/sketch.py: for EVERY distinct token in the corpus,
+    the CMS estimate is >= the exact count (one-sided guarantee,
+    exact property, not probabilistic) and the overestimate stays
+    within the e/width * N bound (probabilistic with prob
+    ~1-(1/e)^depth; at depth=4, width=1024 a corpus-wide violation
+    would be a ~2% event — use 2x slack to make it flake-proof)."""
+    import math
+
+    from flink_realtime_edu_spark.operators.sketch import cms_build, cms_estimate
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    n_total = tok.count()
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cms = cms_build(tok, "term", width=1024, depth=4)
+    est = cms_estimate(cms, tok, "term", width=1024, depth=4)
+    joined = exact.join(est, "term").collect()
+    assert len(joined) == exact.count()
+    bound = 2 * math.e / 1024 * n_total
+    for r in joined:
+        assert r["est"] >= r["exact_cnt"], r
+        assert r["est"] - r["exact_cnt"] <= bound, (r, bound)
