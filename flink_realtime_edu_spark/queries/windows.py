@@ -174,3 +174,47 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# W4 — RANGE frame: value-based (event-time) trailing window
+# --------------------------------------------------------------------------
+@register(
+    "trailing_24h_user_value",
+    survey_rows=("W4", "F2"),
+    oracle="""
+SELECT event_id, user_id,
+  COUNT(*) OVER w AS n_24h,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE), 4)
+    AS sum_value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def trailing_24h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: that user's event count and value sum over the
+    trailing 24 hours of EVENT TIME — a RANGE frame over epoch
+    micros, W4's value-based half (the ROWS-frame half lives in
+    running_customer_spend / revenue_trend_daily). RANGE frames are
+    peer-inclusive, so equal timestamps share one frame and the
+    result is deterministic without a tie-breaker; the inner SUM is
+    the exact decimal so frame evaluation order can't move it.
+
+    Scale: one shuffle on user_id, per-partition sort on ts —
+    identical cost to any ordered window; the frame bound is a
+    pointer walk, not a self-join (contrast the J4 interval join,
+    which materializes pairs)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,8)")).over(w).cast("double"), 4
+        ).alias("sum_value_24h"),
+    )
