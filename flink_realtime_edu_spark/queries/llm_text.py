@@ -302,3 +302,78 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("term", "exact_cnt", F.col("est").alias("cms_est"), "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# X7/X4 — benchmark decontamination: n-gram overlap vs a held-out source
+# --------------------------------------------------------------------------
+_NGRAM = 7
+
+
+@register(
+    "benchmark_contamination",
+    survey_rows=("X7", "X4", "J5", "F5"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, source,
+    list_distinct(CASE WHEN len(string_split(text, ' ')) >= {_NGRAM}
+      THEN list_transform(range(1, len(string_split(text, ' ')) - {_NGRAM} + 2),
+             i -> array_to_string(list_slice(string_split(text, ' '),
+                                             i, i + {_NGRAM} - 1), ' '))
+      ELSE [] END) AS grams
+  FROM documents),
+ex AS (SELECT doc_id, source, UNNEST(grams) AS gram FROM g),
+bench AS (SELECT DISTINCT gram FROM ex WHERE source = 'src0')
+SELECT e.doc_id AS doc_id,
+  COUNT(*) AS n_grams,
+  COUNT(*) FILTER (WHERE b.gram IS NOT NULL) AS n_contaminated,
+  ROUND(CAST(COUNT(*) FILTER (WHERE b.gram IS NOT NULL) AS DOUBLE)
+        / COUNT(*), 6) AS contamination,
+  CASE WHEN COUNT(*) FILTER (WHERE b.gram IS NOT NULL) > 0
+       THEN 1 ELSE 0 END AS flagged
+FROM ex e LEFT JOIN bench b ON e.gram = b.gram
+WHERE e.source <> 'src0'
+GROUP BY e.doc_id
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: treat source src0 as the held-out
+    benchmark; for every other document, the fraction of its
+    distinct 7-gram shingles that also occur anywhere in src0 —
+    the n-gram-overlap contamination test LLM training pipelines run
+    before training (docstring-level parity with the public recipe:
+    distinct grams per doc, any-hit flag + fraction).
+
+    Spark shape: gram construction is all higher-order functions
+    (sequence/transform/slice → JVM, no UDF), one explode, then a
+    LEFT join against the DISTINCT benchmark gram set. At 100 TB
+    you'd join on xxhash64(gram) (8-byte keys, same plan shape —
+    the F8/X5 queries already pin that pattern); here the raw-string
+    join keeps the DuckDB oracle exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(_NGRAM - 1))
+    grams = F.when(
+        F.size(toks) >= _NGRAM,
+        F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = (
+        ex.filter(F.col("source") == "src0").select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ex.filter(F.col("source") != "src0")
+        .join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+                "contamination"
+            ),
+            F.when(F.count("hit") > 0, 1).otherwise(0).alias("flagged"),
+        )
+    )

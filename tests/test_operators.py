@@ -287,3 +287,38 @@ def test_cms_one_sided_and_bounded(spark, sf_dir):
     for r in joined:
         assert r["est"] >= r["exact_cnt"], r
         assert r["est"] - r["exact_cnt"] <= bound, (r, bound)
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """benchmark_contamination on a constructed corpus: a doc copying
+    a 7+-token run from the benchmark source is flagged with the
+    right gram fraction; an unrelated doc is clean (flagged=0)."""
+    from flink_realtime_edu_spark.queries import load_registry
+    import tempfile, os
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leaked = "xx yy " + bench_text + " zz"   # contains benchmark 7-grams
+    clean = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (0, bench_text, "en", "src0", len(bench_text)),
+        (1, leaked, "en", "src1", len(leaked)),
+        (2, clean, "en", "src2", len(clean)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            os.symlink(src, os.path.join(td, f"{t}.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in load_registry()["benchmark_contamination"].build(spark, td).collect()
+        }
+    # leaked doc: 13 tokens -> 7 distinct grams, of which the 4 fully
+    # inside the copied 10-token run are benchmark grams.
+    assert out[1]["flagged"] == 1
+    assert out[1]["n_grams"] == 7 and out[1]["n_contaminated"] == 4
+    assert out[2]["flagged"] == 0 and out[2]["n_contaminated"] == 0
