@@ -377,3 +377,54 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.count("hit") > 0, 1).otherwise(0).alias("flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X7 — deterministic stratified sampling (training-mixture weighting)
+# --------------------------------------------------------------------------
+# Per-source keep rates expressed as md5-hex prefixes: a row is kept
+# iff md5(doc_id) < threshold, so the sample is a pure function of the
+# data (reproducible across engines, partitionings, and reruns — what
+# a training-mixture pipeline needs for auditability). '8' = 50%,
+# '4' = 25%, 'c' = 75%.
+_MIX_RATES = {"src0": "c", "src1": "8", "src2": "4"}
+_MIX_DEFAULT = "8"
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN '{t}'" for s, t in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {whens} ELSE '{_MIX_DEFAULT}' END"
+
+
+@register(
+    "mixture_sample_by_source",
+    survey_rows=("X7", "F8", "A1"),
+    oracle=f"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(*) FILTER (WHERE md5(CAST(doc_id AS VARCHAR)) < {_mix_case_sql()})
+    AS n_sampled
+FROM documents
+GROUP BY source
+""",
+)
+def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampler: keep a document iff the md5
+    of its id sorts below a per-source hex threshold (~75% of src0,
+    50% of src1, 25% of src2, 50% elsewhere) — the data-mixture
+    reweighting step of an LLM corpus build, as a pure filter instead
+    of `sampleBy` (whose output depends on partitioning). md5 agrees
+    across Spark/DuckDB, making even the sampled COUNT oracle-exact.
+    Scale: a codegen'd filter — no shuffle, no state, no seed
+    bookkeeping; changing mixture weights is a constant edit."""
+    d = load(spark, sf_dir, "documents")
+    thr = F.lit(_MIX_DEFAULT)
+    for s, t in sorted(_MIX_RATES.items(), reverse=True):
+        thr = F.when(F.col("source") == s, t).otherwise(thr)
+    kept = F.md5(F.col("doc_id").cast("string")) < thr
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_sampled"),
+    )
