@@ -101,7 +101,17 @@ def main() -> None:
     spark = get_spark(app_name="fres-scale-stress")
     if not args.skip_build:
         build(spark, args.out)
-    names = sorted(n for n, s in load_registry().items() if s.bench)
+    # Headline set + the heavier late-r1 pipeline operators: the point
+    # of the sweep is how the WORK scales, so include the ops with
+    # real data-volume-proportional cost.
+    extra = [
+        "tfidf_top_terms",
+        "benchmark_contamination",
+        "cms_token_frequencies",
+        "kmeans_cluster_profile",
+        "trailing_24h_user_value",
+    ]
+    names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
     big = bench_at(spark, args.out, names)
     ratios = {n: round(big[n] / small[n], 2) for n in names}
