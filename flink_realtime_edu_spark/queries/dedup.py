@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_realtime_edu_spark.operators.graph import connected_components
 from flink_realtime_edu_spark.operators.dedup import (
     fingerprint_overlap_pairs,
     jaccard_pairs_exact,
@@ -236,6 +237,59 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n.cast("bigint")).alias("total_tokens"),
+    )
+
+
+@register(
+    "near_dup_clusters",
+    survey_rows=("X4", "X5"),
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+""",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: transitive closure of the exact
+    3-shingle Jaccard ≥ 0.5 pair set (near_dup_jaccard's edges),
+    labeling every paired doc with the minimum doc_id of its connected
+    component — the "keep one per duplicate group" step a pair list
+    alone cannot express (A~B, B~C must cluster A,B,C together).
+
+    Spark side: hash-min label propagation (operators/graph.py) — per
+    round one equi-join + one keyed min, lineage truncated per round;
+    converges in diameter+1 rounds (dup clusters are near-cliques).
+    Oracle: DuckDB recursive CTE computing min reachable id — a
+    genuinely different closure algorithm agreeing exactly."""
+    pairs = jaccard_pairs_exact(
+        load(spark, sf_dir, "documents"), shingle_words=3, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
 

@@ -322,3 +322,42 @@ def test_contamination_flags_planted_overlap(spark):
     assert out[1]["flagged"] == 1
     assert out[1]["n_grams"] == 7 and out[1]["n_contaminated"] == 4
     assert out[2]["flagged"] == 0 and out[2]["n_contaminated"] == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4-5 (diameter 4 → multiple propagation rounds),
+    separate pair 10-11, and a self-loop 20-20 (dropped: no edge)."""
+    from flink_realtime_edu_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11), (20, 20)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_partitioning_invariant(spark):
+    """Same labels regardless of input partitioning/order."""
+    from flink_realtime_edu_spark.operators.graph import connected_components
+
+    rows = [(i + 1, i) for i in range(20)] + [(100, 200), (300, 200)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(
+        map(tuple, connected_components(edges.repartition(13).orderBy(F.desc("src"))).collect())
+    )
+    assert a == b
+    assert dict(a)[19] == 0 and dict(a)[300] == 100
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    from flink_realtime_edu_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)

@@ -200,3 +200,12 @@ def test_uncorrelated_scalar_subquery_is_single_execution(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "top_revenue_supplier")
     assert "Subquery" in plan or "ReusedSubquery" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_round_is_checkpoint_scan(spark, sf_dir):
+    """The iterative closure must not re-derive the pair pipeline per
+    round: the executed plan ends at a localCheckpoint scan (lineage
+    truncated), not at the Jaccard join tree."""
+    plan = plan_of(spark, sf_dir, "near_dup_clusters")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
