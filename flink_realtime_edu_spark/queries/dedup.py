@@ -293,6 +293,80 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_safe_split",
+    survey_rows=("X4", "X5", "X7", "F8", "J2", "A3"),
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+), comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY 1
+), grouped AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id,
+         len(string_split(d.text, ' ')) AS n_toks
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT CASE WHEN md5(CAST(group_id AS VARCHAR)) < 'c' THEN 'train'
+            WHEN md5(CAST(group_id AS VARCHAR)) < 'e' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT group_id) AS n_groups,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM grouped GROUP BY 1
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split (~75/12.5/12.5 by md5-hex
+    threshold): the split unit is the near-dup CLUSTER (connected
+    component of exact Jaccard ≥ 0.5 pairs; singletons are their own
+    group), so near-duplicates can never straddle train and test —
+    the leakage rule a per-document split violates. Deterministic and
+    engine-independent: assignment is a pure function of the group id
+    (md5 prefix, mixture_sample_by_source's idiom), not of
+    partitioning or seeds. Scale: components over the (small) pair
+    list, one broadcastable left join to attach group ids, then a
+    codegen'd group-by — no per-doc state."""
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(d, shingle_words=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    grouped = d.join(comp, d.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("group_id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+    )
+    h = F.md5(F.col("group_id").cast("string"))
+    split = F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    return grouped.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+
+
 @register("minhash_signatures_sample", survey_rows=("X5",), oracle=None)
 def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 MinHash signature values for the lowest 100 doc_ids —

@@ -361,3 +361,34 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=3)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup cluster members must land in the same split, and every
+    document must be assigned exactly once (row conservation)."""
+    import os
+    import tempfile
+
+    from flink_realtime_edu_spark.queries import load_registry
+
+    near2 = BASE.replace("quick", "quickest")
+    rows = [
+        (i, t, "en", "s", len(t))
+        for i, t in [(0, BASE), (1, NEAR), (2, FAR), (3, BASE), (4, near2)]
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = load_registry()["leakage_safe_split"].build(spark, td).collect()
+    # docs {0,1,3,4} are one Jaccard cluster, doc 2 a singleton group:
+    # whichever splits the two group hashes land in, each split must
+    # hold WHOLE groups (4-doc and/or 1-doc), never a fragment.
+    got = {r["split"]: (r["n_docs"], r["n_groups"]) for r in out}
+    assert sum(n for n, _ in got.values()) == 5
+    assert sum(g for _, g in got.values()) == 2
+    for n_docs, n_groups in got.values():
+        assert (n_docs, n_groups) in {(4, 1), (1, 1), (5, 2)}
