@@ -428,3 +428,59 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(kept, 1)).alias("n_sampled"),
     )
+
+
+@register(
+    "doc_unigram_surprisal",
+    survey_rows=("X7", "X1", "A1", "F3"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term <> '' GROUP BY doc_id, term
+), cnt AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cnt)
+SELECT tf.doc_id,
+  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+  ROUND(CAST(SUM(CAST(
+      tf.tf * ROUND(LN(CAST(tot.tot AS DOUBLE) / cnt.c), 6)
+    AS DECIMAL(30,8))) AS DOUBLE) / SUM(tf.tf), 6) AS mean_surprisal_nats
+FROM tf JOIN cnt ON tf.term = cnt.term CROSS JOIN tot
+GROUP BY tf.doc_id
+""",
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal −ln p(term) under the
+    corpus-wide unigram MLE — the cross-entropy-style quality signal
+    (low = repetitive/boilerplate, high = rare-token noise) a
+    training-data pipeline scores every document with before
+    perplexity-based filtering.
+
+    Determinism: per-term surprisal is rounded to 6 dp (ln ulp
+    agreement, the tfidf rule), then the tf-weighted mean uses the
+    exact DECIMAL(30,8) sum discipline — hash-equal vs DuckDB.
+    Scale: two hash aggregates and a dictionary-sized join on term
+    (AQE broadcasts it); the corpus total is a one-row broadcast —
+    same shape as tfidf_top_terms, no new shuffle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("tot"))
+    s = F.round(F.log(F.col("tot").cast("double") / F.col("c")), 6)
+    w = (F.col("tf") * s).cast("decimal(30,8)")
+    return (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum(w).cast("double") / F.sum("tf"), 6).alias(
+                "mean_surprisal_nats"
+            ),
+        )
+    )
