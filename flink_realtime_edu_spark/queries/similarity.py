@@ -245,3 +245,80 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("dist2").cast("decimal(30,8)")).cast("double"), 4).alias("inertia"),
     )
     return profile.join(dominant, "cluster")
+
+
+@register(
+    "embedding_quantization_snr",
+    survey_rows=("X6", "F3", "F5", "A1"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), s AS (
+  SELECT vec_id, label, x,
+         list_max(list_transform(x, v -> abs(v))) / 127.0 AS sc
+  FROM e
+  WHERE list_max(list_transform(x, v -> abs(v))) > 0
+), m AS (
+  SELECT label, vec_id,
+    ROUND(10 * LOG10(
+      list_dot_product(x, x) /
+      list_dot_product(list_transform(x, v -> v - round(v / sc) * sc),
+                       list_transform(x, v -> v - round(v / sc) * sc))
+    ), 6) AS snr_db
+  FROM s
+)
+SELECT label, COUNT(*) AS n_vecs,
+  ROUND(CAST(SUM(CAST(snr_db AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_snr_db,
+  MIN(snr_db) AS min_snr_db,
+  MAX(snr_db) AS max_snr_db
+FROM m GROUP BY label
+""",
+)
+def embedding_quantization_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label reconstruction SNR of symmetric int8 scalar
+    quantization (per-vector scale = max|x|/127 — the 4× memory
+    compression an ANN index applies before distance computation at
+    100 TB). SNR_db = 10·log10(Σx² / Σ(x−dequant(quant(x)))²),
+    rounded to 6 dp per vector, then exact-decimal averaged per label.
+
+    All arithmetic is sequential-order double folds (functions.dot
+    discipline ≡ DuckDB list_dot_product bit-for-bit); round() on
+    doubles is ties-away-from-zero in both engines. The per-vector
+    scale binds ONCE via the array(...)-transform trick (an outer
+    expression referenced inside a lambda re-evaluates per element
+    otherwise). ~400 interpreted lambda evals per row — fine at this
+    corpus; quantize inside the existing mapInPandas scorer if this
+    ever joins the ANN hot path."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    x = F.col("x")
+    sc_expr = F.array_max(F.transform(x, F.abs)) / F.lit(127.0)
+
+    def per_row(s):
+        errv = F.transform(x, lambda v: v - F.round(v / s) * s)
+        sse = F.aggregate(
+            F.zip_with(errv, errv, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = F.aggregate(
+            F.zip_with(x, x, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.round(F.lit(10.0) * F.log10(sig / sse), 6)
+
+    snr = F.element_at(F.transform(F.array(sc_expr), per_row), 1)
+    per_vec = e.filter(sc_expr > 0).select("label", snr.alias("snr_db"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("snr_db").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_snr_db"),
+        F.min("snr_db").alias("min_snr_db"),
+        F.max("snr_db").alias("max_snr_db"),
+    )
