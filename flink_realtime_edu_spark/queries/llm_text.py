@@ -484,3 +484,67 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "doc_repetition_stats",
+    survey_rows=("X7", "X1", "A1", "W1", "F5"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), cnt AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct
+  FROM cnt GROUP BY 1
+), top AS (
+  SELECT doc_id, gram AS top_gram, CAST(c AS BIGINT) AS top_gram_n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+  FROM cnt
+)
+SELECT p.doc_id, p.n_grams, p.n_distinct,
+       ROUND(1 - CAST(p.n_distinct AS DOUBLE) / p.n_grams, 6) AS dup_frac,
+       t.top_gram, t.top_gram_n
+FROM per_doc p JOIN top t ON p.doc_id = t.doc_id AND t.rn = 1
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher/RefinedWeb quality rule
+    unigram TTR misses): per doc the 3-gram total/distinct counts,
+    duplicate-gram fraction, and the most repeated 3-gram (count
+    desc, gram string as the deterministic tie-breaker). High
+    dup_frac = boilerplate/templating — a standard drop rule before
+    training. Shingling matches the dedup operators exactly (3-word
+    grams, short docs collapse to one whole-doc gram).
+
+    Scale: explode → two (doc,gram)-keyed hash aggregates + a per-doc
+    window on the already-aggregated (small) count table; no joins
+    beyond the final doc-keyed one, which AQE plans broadcast-side."""
+    from flink_realtime_edu_spark.functions import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("gram"))
+    cnt = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("gram"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_gram"), F.col("c").alias("top_gram_n"))
+    )
+    return per_doc.join(top, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(1 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6).alias(
+            "dup_frac"
+        ),
+        "top_gram",
+        "top_gram_n",
+    )
