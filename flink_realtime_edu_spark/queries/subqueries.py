@@ -198,3 +198,83 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it; no per-group rescan."""
     _views(spark, sf_dir, "lineitem", "supplier", "nation")
     return spark.sql(_NATION_SHARE_SQL)
+
+
+# --------------------------------------------------------------------------
+# EXISTS + correlated NOT EXISTS over the same fact (TPC-H Q21 shape)
+# --------------------------------------------------------------------------
+_WAITING_SUPPLIER_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+@register(
+    "waiting_supplier_counts",
+    survey_rows=("J5", "J6", "J1", "A1", "F2"),
+    oracle=_WAITING_SUPPLIER_SQL,
+)
+def waiting_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper (>60 days after order
+    date) on finished multi-supplier orders — TPC-H Q21 restated on
+    this schema (no commit/receipt dates, FIXTURES.md). The hard
+    decorrelation shape: an EXISTS and a NOT EXISTS over the same
+    fact, the NOT EXISTS correlating on l1's key AND the outer
+    orders' o_orderdate. Catalyst rewrites both into left-semi /
+    left-anti joins on l_orderkey (plans/waiting_supplier_counts.txt)
+    — no per-row subquery re-execution, so the shape survives a
+    100 TB lineitem (three key-partitioned shuffles of the same
+    fact, which AQE can co-plan)."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_WAITING_SUPPLIER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Uncorrelated scalar threshold + NOT EXISTS (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+_WEALTHY_INACTIVE_SQL = """
+SELECT c_mktsegment AS segment, COUNT(*) AS n_custs,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE), 2)
+    AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT ROUND(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,8)))
+                                 AS DOUBLE) / COUNT(*), 6)
+                   FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderstatus = 'O'
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "wealthy_inactive_customers",
+    survey_rows=("J6", "A5", "A1"),
+    oracle=_WEALTHY_INACTIVE_SQL,
+)
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-positive-average balance and no OPEN
+    URGENT order, per segment — TPC-H Q22 restated (no phone column;
+    every customer in this testdata has *some* order, so the anti
+    condition is restricted to open+urgent to stay non-vacuous,
+    ~50% selective at every SF). One uncorrelated scalar subquery
+    (broadcast single-row threshold, exact-decimal-derived so
+    membership can't flip engines) + a NOT EXISTS Catalyst turns
+    into a left-anti join on o_custkey with the status/priority
+    filter pushed below the join — at scale the anti join shuffles
+    only the filtered orders' custkeys."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_WEALTHY_INACTIVE_SQL)
