@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "udfs",
     "ads",
     "subqueries",
+    "tpch",
     "statistics",
 )
 

@@ -209,3 +209,30 @@ def test_connected_components_round_is_checkpoint_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "near_dup_clusters")
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "fragments"),
+    [
+        # Q19: disjunctive predicate — part-side residual (brand/size)
+        # must still reach the part scan as pushed filters, and the
+        # join stays an equi hash join, never a cross evaluation.
+        ("disjunctive_predicate_revenue", ("Or(And(EqualTo(p_brand", "BroadcastHashJoin")),
+        # Q16: NOT IN over a key column → anti join, not a per-row scan.
+        ("part_supplier_diversity", ("Anti",)),
+        # Q20: nested IN + correlated scalar → semi join over a
+        # decorrelated per-partkey aggregate.
+        ("excess_share_suppliers", ("LeftSemi", "partial_sum")),
+        # Q2: correlated MIN → per-partkey aggregate joined back.
+        ("min_cost_supplier_per_part", ("partial_min",)),
+        # Q10: LIMIT over ORDER BY → heap top-k, no global sort.
+        ("returned_item_top_customers", ("TakeOrderedAndProject",)),
+    ],
+)
+def test_tpch_shapes_plan_posture(spark, sf_dir, name, fragments):
+    """The TPC-H-shaped ADS pack (queries/tpch.py) pins its scale
+    posture: pushed disjunctive residuals, anti/semi joins for
+    NOT IN / nested IN, decorrelated aggregates, heap top-k."""
+    plan = plan_of(spark, sf_dir, name)
+    for fragment in fragments:
+        assert fragment in plan, f"{name} missing {fragment!r}:\n{plan[:2000]}"
