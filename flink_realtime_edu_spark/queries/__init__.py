@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "ads",
     "subqueries",
     "tpch",
+    "temporal",
     "statistics",
 )
 

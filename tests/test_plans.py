@@ -236,3 +236,28 @@ def test_tpch_shapes_plan_posture(spark, sf_dir, name, fragments):
     plan = plan_of(spark, sf_dir, name)
     for fragment in fragments:
         assert fragment in plan, f"{name} missing {fragment!r}:\n{plan[:2000]}"
+
+
+def test_temporal_join_is_keyed_hash_join(spark, sf_dir):
+    """The SCD2 temporal join (queries/temporal.py) must extract the
+    user_id equi key and carry interval containment as a residual —
+    a nested-loop or cartesian plan here would be quadratic per
+    micro-batch at scale."""
+    plan = plan_of(spark, sf_dir, "temporal_join_purchase_state")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_state_intervals_windows_are_keyed(spark, sf_dir):
+    """Changelog compaction windows partition by user_id — a global
+    (unpartitioned) WindowExec would single-thread 100 TB."""
+    from flink_realtime_edu_spark.queries.temporal import state_intervals
+
+    iv = state_intervals(load(spark, sf_dir, "events"))
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(user_id" in plan
+    # every Window operator in the plan is keyed
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(user_id" in line
