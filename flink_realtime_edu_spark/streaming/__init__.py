@@ -26,6 +26,7 @@ from flink_realtime_edu_spark.streaming.jobs import (
     layered_warehouse_stream,
     load_events_stream,
     session_stats_stream,
+    temporal_join_stream,
     tumbling_stats_stream,
 )
 from flink_realtime_edu_spark.streaming.sinks import run_to_completion, upsert_latest_by_key

@@ -140,6 +140,38 @@ def enrich_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), on="user_id", how="left")
 
 
+def temporal_join_stream(facts: DataFrame, versioned_dim: DataFrame) -> DataFrame:
+    """J8/S2 streaming: stream–static TEMPORAL join — Flink's
+    ``FOR SYSTEM_TIME AS OF fact.ts`` [R] on Structured Streaming.
+    ``versioned_dim`` is an SCD2 table keyed by user_id with
+    half-open [valid_from, valid_to) validity (built by
+    queries/temporal.py::state_intervals, or any dim snapshot
+    history); each streamed fact left-joins the version covering its
+    event time, so late-arriving facts still bind their historical
+    version — the property a plain latest-value dim join loses.
+
+    The static side re-resolves every micro-batch (version updates
+    land on batch boundaries) and is broadcast: user_id is the equi
+    key, containment is the join residual, and the unbounded stream
+    side never shuffles."""
+    dim = versioned_dim.select(
+        F.col("user_id").alias("dim_user_id"),
+        F.col("state").alias("dim_state"),
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (F.col("dim_user_id") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & ((F.col("ts") < F.col("valid_to")) | F.col("valid_to").isNull())
+    )
+    return (
+        facts.join(F.broadcast(dim), cond, "left")
+        .drop("dim_user_id", "valid_from", "valid_to")
+        .withColumnRenamed("dim_state", "state_asof")
+    )
+
+
 def session_stats_stream(events: DataFrame, gap: str = "12 hours", watermark: str = "1 hour") -> DataFrame:
     """T3 streaming twin of session_window_stats (same gap)."""
     dec = "decimal(30,8)"

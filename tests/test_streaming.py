@@ -634,3 +634,43 @@ def test_stream_stream_left_outer_join_emits_timeouts(spark, sf_dir, events_dir,
     # and each timeout emitted exactly once
     null_rows = [r["click_id"] for r in got if r["purchase_id"] is None]
     assert len(null_rows) == len(set(null_rows))
+
+
+def test_stream_static_temporal_join_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """J8/S2 streaming: the stream–static TEMPORAL join binds each
+    streamed purchase to the SCD2 state version covering its event
+    time, equals the batch temporal join exactly, and broadcasts the
+    versioned dim (stream side shuffle-free)."""
+    from flink_realtime_edu_spark.queries.temporal import state_intervals
+    from flink_realtime_edu_spark.streaming import temporal_join_stream
+
+    ev = load(spark, sf_dir, "events")
+    states = state_intervals(ev.filter(F.col("event_type") != "purchase"))
+    stream = load_events_stream(spark, events_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = temporal_join_stream(stream, states)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("j8_temporal")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    plan = q._jsq.explainInternal(False)
+    q.stop()
+    q.awaitTermination()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = spark.sql("SELECT event_id, user_id, state_asof FROM j8_temporal")
+    from flink_realtime_edu_spark.streaming import temporal_join_stream as _tjs
+
+    want = _tjs(ev.filter(F.col("event_type") == "purchase"), states).select(
+        "event_id", "user_id", "state_asof"
+    )
+    assert _rows(got) == _rows(want)
+    # every purchase appears exactly once (intervals partition the timeline)
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert got.count() == n_purchases
