@@ -298,3 +298,48 @@ def test_winnow_batch_composition_invariant(texts):
     batched = winnow_batch(texts)
     solo = [winnow_batch([t])[0] for t in texts]
     assert all((a == b).all() for a, b in zip(batched, solo))
+
+
+changelog_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id (few keys → long runs)
+        st.integers(min_value=0, max_value=10_000),  # distinct ts offsets (seconds)
+        st.sampled_from(["a", "b", "c"]),  # state
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: (t[0], t[1]),  # (user, ts) unique, like the testdata
+)
+
+
+@given(rows=changelog_strategy, n_parts=st.integers(min_value=1, max_value=5))
+@SET
+def test_state_intervals_partition_each_users_timeline(spark, rows, n_parts):
+    """SCD2 compaction invariants (queries/temporal.py), under any
+    input partitioning: (1) per user, intervals tile the timeline
+    exactly — each valid_to equals the next valid_from, one open
+    interval per user; (2) consecutive intervals never share a state
+    (runs are maximal); (3) interval n_events sums back to the raw
+    changelog count."""
+    from flink_realtime_edu_spark.queries.temporal import state_intervals
+
+    df = spark.createDataFrame(
+        [
+            (i, 1_700_000_000_000_000 + ts * 1_000_000, u, s)
+            for i, (u, ts, s) in enumerate(rows)
+        ],
+        "event_id long, ts_us long, user_id long, event_type string",
+    ).withColumn("ts", F.timestamp_micros("ts_us")).repartition(n_parts)
+
+    iv = state_intervals(df).collect()
+    by_user: dict[int, list] = {}
+    for r in iv:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert sum(r.n_events for r in iv) == len(rows)
+    for user, items in by_user.items():
+        items.sort(key=lambda r: r.valid_from)
+        opens = [r for r in items if r.valid_to is None]
+        assert len(opens) == 1 and items[-1].valid_to is None
+        for a, b in zip(items, items[1:]):
+            assert a.valid_to == b.valid_from  # tiling, half-open
+            assert a.state != b.state  # maximal runs
