@@ -110,6 +110,14 @@ def main() -> None:
         "cms_token_frequencies",
         "kmeans_cluster_profile",
         "trailing_24h_user_value",
+        # r1 third/fourth batches: multi-way join + decorrelation
+        # shapes and the SCD2 window/temporal-join stack
+        "volume_shipping_pairs",
+        "nation_profit_trend",
+        "excess_share_suppliers",
+        "customer_order_distribution",
+        "user_state_intervals",
+        "temporal_join_purchase_state",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
