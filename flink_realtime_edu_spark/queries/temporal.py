@@ -245,3 +245,43 @@ def state_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keyed shuffle reused across the three window functions."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_TRANSITIONS_SQL)
+
+
+# --------------------------------------------------------------------------
+# T7/W3 — CEP consecutive-pattern detection: PATTERN (error{3,})
+# --------------------------------------------------------------------------
+_ERROR_BURST_ORACLE = (
+    "WITH "
+    + _INTERVALS_CTE.format(src="events")
+    + """
+SELECT COUNT(*) AS n_bursts,
+  COUNT(DISTINCT user_id) AS n_users_with_bursts,
+  CAST(MAX(n_events) AS BIGINT) AS longest_burst,
+  CAST(SUM(n_events) AS BIGINT) AS error_events_in_bursts
+FROM versioned
+WHERE state = 'error' AND n_events >= 3
+"""
+)
+
+
+@register(
+    "error_burst_stats",
+    survey_rows=("T7", "W3", "A1"),
+    oracle=_ERROR_BURST_ORACLE,
+)
+def error_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP ``PATTERN (error{3,})`` analogue: maximal runs of
+    >= 3 consecutive error events per user, detected on the compacted
+    interval table (a run IS the match — strict contiguity within the
+    user's event sequence, Flink's skip-past-last-event semantics).
+    Output: burst count, affected users, the longest burst, and the
+    error volume inside bursts. One keyed-window pass + one global
+    agg — no per-row pattern automaton needed in batch."""
+    iv = state_intervals(load(spark, sf_dir, "events"))
+    bursts = iv.filter((F.col("state") == "error") & (F.col("n_events") >= 3))
+    return bursts.agg(
+        F.count(F.lit(1)).alias("n_bursts"),
+        F.countDistinct("user_id").alias("n_users_with_bursts"),
+        F.max("n_events").alias("longest_burst"),
+        F.sum("n_events").alias("error_events_in_bursts"),
+    )
