@@ -136,7 +136,15 @@ def enrich_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     dim row survive with NULLs (the reference side-outputs these for
     retry [R] — here they are filterable downstream).
 
-    `dim` must already expose the join key as `user_id`."""
+    `dim` must already expose the join key as `user_id`.
+
+    Dim refresh caveat (pinned by tests/test_streaming.py::
+    test_dim_update_lands_on_microbatch_boundary): a path-bound
+    static DataFrame captures its file listing at analysis time, so
+    an overwritten snapshot is NOT picked up by later micro-batches
+    of a running query. For dims that update while the stream runs,
+    re-read the snapshot inside foreachBatch (fresh listing per
+    batch — updates land exactly on batch boundaries)."""
     return events.join(F.broadcast(dim), on="user_id", how="left")
 
 

@@ -674,3 +674,59 @@ def test_stream_static_temporal_join_equals_batch(spark, sf_dir, events_dir, tmp
     # every purchase appears exactly once (intervals partition the timeline)
     n_purchases = ev.filter(F.col("event_type") == "purchase").count()
     assert got.count() == n_purchases
+
+
+def test_dim_update_lands_on_microbatch_boundary(spark, tmp_path):
+    """J3/S2 semantics pin: a path-bound static DataFrame captures
+    its file listing at analysis time, so an overwritten dim is NOT
+    visible to later micro-batches of the same query (it errors on
+    the deleted files). The engine's dim-refresh recipe is therefore
+    a FRESH read inside foreachBatch — the Flink cache-refresh dim
+    lookup analogue — and this test pins it: facts processed before
+    the dim rewrite join the old version, facts after join the new
+    one, with no retro-rewrite of already-emitted rows."""
+    dim_dir = str(tmp_path / "dim")
+    src = tmp_path / "ev_src"
+    src.mkdir()
+
+    def write_dim(tag):
+        spark.createDataFrame(
+            [(1, f"seg_{tag}")], "user_id long, segment string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    def write_events(name, event_id):
+        spark.createDataFrame(
+            [(event_id, 1_700_000_000_000_000_000, 1, "click", 1.0, "{}")],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        import glob
+        import shutil as sh
+
+        part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        sh.copy(part, src / name)
+
+    write_dim("v1")
+    write_events("f1.parquet", 100)
+
+    out: list[tuple[int, str]] = []
+
+    def enrich_with_fresh_dim(batch_df, _batch_id):
+        dim = spark.read.parquet(dim_dir)  # re-listed every batch
+        rows = batch_df.join(dim, on="user_id", how="left").collect()
+        out.extend((r.event_id, r.segment) for r in rows)
+
+    stream = load_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(enrich_with_fresh_dim)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+
+    write_dim("v2")
+    write_events("f2.parquet", 200)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    assert dict(out) == {100: "seg_v1", 200: "seg_v2"}
