@@ -335,3 +335,33 @@ def unpivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n",
     )
+
+
+# --------------------------------------------------------------------------
+# A8/A4 — mergeable approximate percentiles (the 100 TB path)
+# --------------------------------------------------------------------------
+@register(
+    "approx_value_percentiles",
+    survey_rows=("A8", "A4"),
+    # No oracle: Spark's percentile_approx is a Greenwald-Khanna
+    # sketch; DuckDB's approx_quantile is t-digest — different
+    # algorithms, different (both valid) answers. Accuracy vs the
+    # exact percentiles is bounded in
+    # tests/test_operators.py::test_approx_percentiles_within_rank_error.
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`value_percentiles`' scale twin: percentile_approx is a
+    mergeable Greenwald-Khanna sketch — partial sketches combine at
+    the reducer like any partial agg, so no group ever needs all its
+    values co-resident (exact `percentile` does). accuracy=10000
+    bounds rank error at n/10000 per group. This is the operator the
+    exact query's docstring promises for 100 TB."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -51,3 +51,38 @@ def read_fact_partitioned(spark, path: str) -> DataFrame:
     """Read back a date-partitioned fact; `dt` filters prune
     directories before any IO (PartitionFilters in the explain)."""
     return spark.read.parquet(path)
+
+
+def export_training_shards(
+    df: DataFrame, path: str, n_shards: int, key_col: str, salt: str = "v1"
+) -> None:
+    """Deterministic sharded + shuffled training-data export.
+
+    Training loaders want (a) fixed-count shards a 1000-worker job
+    can claim independently, (b) rows shuffled so each shard is an
+    unbiased sample (no source/time clumping), (c) bit-identical
+    re-runs (resumable pipelines, reproducible ablations). All three
+    come from hashing, never from randomness or a global sort:
+
+    - shard  = pmod(xxhash64(key, salt), n_shards) — balanced by the
+      hash, stable across runs and partitionings;
+    - within-shard order = xxhash64(key, salt||'#order') — a
+      deterministic shuffle (sortWithinPartitions after a shard
+      repartition: per-shard local sort, no global exchange).
+
+    One keyed shuffle total; scales linearly in rows. The salt
+    versions the permutation — bump it to reshuffle epochs without
+    touching the data.
+    """
+    shard = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(n_shards))
+    order = F.xxhash64(F.col(key_col), F.lit(salt + "#order"))
+    (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("_ord", order)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord")
+        .drop("_ord")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -392,3 +392,33 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert sum(g for _, g in got.values()) == 2
     for n_docs, n_groups in got.values():
         assert (n_docs, n_groups) in {(4, 1), (1, 1), (5, 2)}
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=10000) must land within the GK
+    rank-error bound of the exact percentile: for group size n the
+    returned value's rank differs from ceil(q*n) by at most
+    n/accuracy (+1 for interpolation slack)."""
+    from flink_realtime_edu_spark.queries import load_registry
+
+    reg = load_registry()
+    approx = {
+        r.event_type: r for r in reg["approx_value_percentiles"].build(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .collect()
+    )
+    for r in rows:
+        vs, n = r.vs, len(r.vs)
+        tol = max(1, n // 10000) + 1
+        for q, got in ((0.5, approx[r.event_type].p50), (0.9, approx[r.event_type].p90)):
+            import bisect
+
+            lo = bisect.bisect_left(vs, got)
+            hi = bisect.bisect_right(vs, got)
+            target = q * n
+            assert lo - tol <= target <= hi + tol, (r.event_type, q, got, lo, hi, target)

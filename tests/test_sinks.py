@@ -42,3 +42,41 @@ def test_dim_snapshot_single_file(spark, sf_dir, tmp_path):
     assert sorted(r.n_nationkey for r in back.collect()) == sorted(
         r.n_nationkey for r in nation.collect()
     )
+
+
+def test_training_shard_export_is_deterministic_and_balanced(spark, sf_dir, tmp_path):
+    """Sharded training export: fixed shard count, hash-balanced,
+    deterministically shuffled within shards, and bit-identical
+    across re-runs (including a different input partitioning)."""
+    from flink_realtime_edu_spark.sources.sinks import export_training_shards
+
+    docs = load(spark, sf_dir, "documents")
+    n = 8
+    out1 = str(tmp_path / "run1")
+    out2 = str(tmp_path / "run2")
+    export_training_shards(docs, out1, n_shards=n, key_col="doc_id")
+    export_training_shards(docs.repartition(13), out2, n_shards=n, key_col="doc_id")
+
+    back = spark.read.parquet(out1)
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() == n
+    sizes = {r.shard: r.n for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    mean = docs.count() / n
+    assert all(0.5 * mean <= s <= 1.5 * mean for s in sizes.values())  # hash balance
+
+    # per-shard ORDER must be identical across runs: read each shard
+    # file in row order and compare doc_id sequences
+    import glob
+
+    def shard_orders(base):
+        orders = {}
+        for d in sorted(glob.glob(base + "/shard=*")):
+            sdf = spark.read.parquet(d).select("doc_id")
+            orders[d.rsplit("=", 1)[1]] = [r.doc_id for r in sdf.collect()]
+        return orders
+
+    o1, o2 = shard_orders(out1), shard_orders(out2)
+    assert o1.keys() == o2.keys()
+    for k in o1:
+        assert o1[k] == o2[k]
+        assert sorted(o1[k]) != o1[k]  # genuinely shuffled, not key-ordered
