@@ -424,3 +424,141 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity."""
     _views(spark, sf_dir, "part", "lineitem", "supplier")
     return spark.sql(_MIN_COST_SUPPLIER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q3 — unshipped-order revenue for a market segment, heap top-10
+# --------------------------------------------------------------------------
+_UNSHIPPED_REVENUE_SQL = """
+SELECT o_orderkey,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "unshipped_order_revenue",
+    survey_rows=("J1", "O2", "A1"),
+    oracle=_UNSHIPPED_REVENUE_SQL,
+)
+def unshipped_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-revenue orders of one market segment placed
+    before but not fully shipped by a cutoff date (TPC-H Q3 shape;
+    ``o_orderpriority`` stands in for ``o_shippriority``). Ranking
+    is over the exact-decimal rounded revenue with o_orderkey as the
+    unique tie-breaker, so both engines select the identical set;
+    Spark plans the LIMIT as TakeOrderedAndProject (per-partition
+    heaps, no global sort)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_UNSHIPPED_REVENUE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q5 — local-supplier volume per nation within a region
+# --------------------------------------------------------------------------
+_LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register(
+    "local_supplier_volume",
+    survey_rows=("J1", "J3", "A1"),
+    oracle=_LOCAL_SUPPLIER_SQL,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation where customer and supplier share the
+    nation, within one region-year (TPC-H Q5 shape). The
+    c_nationkey = s_nationkey condition rides the supplier join as
+    an extra equi key — Catalyst keeps the whole 6-way join keyed
+    (dims broadcast), no theta residuals."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return spark.sql(_LOCAL_SUPPLIER_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change (pure scan-filter-aggregate)
+# --------------------------------------------------------------------------
+_FORECAST_REVENUE_SQL = """
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                      AS DECIMAL(30,8))) AS DOUBLE), 2) AS promo_uplift,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "forecast_revenue_change",
+    survey_rows=("P2", "A5", "A1"),
+    oracle=_FORECAST_REVENUE_SQL,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be recovered by eliminating a discount band
+    (TPC-H Q6 shape): single scan, all four predicates pushed to the
+    parquet reader, one global aggregate — the canonical
+    filter-pushdown benchmark. Discount bounds compare STORED doubles
+    against literals (no arithmetic), so the selected set is
+    identical on both engines."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_FORECAST_REVENUE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Q12 shape — late-line priority mix by line status
+# --------------------------------------------------------------------------
+_LATE_PRIORITY_MIX_SQL = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@register(
+    "late_priority_mix",
+    survey_rows=("J1", "A2", "F4"),
+    oracle=_LATE_PRIORITY_MIX_SQL,
+)
+def late_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other order counts among lines shipped >90 days
+    after ordering, by line status (TPC-H Q12 shape; the shipdate
+    lag stands in for the missing commit/receipt dates, and
+    o_orderpriority for l_shipmode). Conditional SUM(CASE ...)
+    aggregates fold into one pass; the date-lag predicate evaluates
+    on the join output, everything else pushes to the scans."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_LATE_PRIORITY_MIX_SQL)

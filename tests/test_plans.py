@@ -227,6 +227,11 @@ def test_connected_components_round_is_checkpoint_scan(spark, sf_dir):
         ("min_cost_supplier_per_part", ("partial_min",)),
         # Q10: LIMIT over ORDER BY → heap top-k, no global sort.
         ("returned_item_top_customers", ("TakeOrderedAndProject",)),
+        # Q3: same heap top-k posture for the segment revenue ranking.
+        ("unshipped_order_revenue", ("TakeOrderedAndProject",)),
+        # Q6: all four predicates must reach the parquet scan.
+        ("forecast_revenue_change",
+         ("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)",)),
     ],
 )
 def test_tpch_shapes_plan_posture(spark, sf_dir, name, fragments):
