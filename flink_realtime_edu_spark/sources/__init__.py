@@ -46,18 +46,31 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one testdata table as a DataFrame.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
-    BIGINT and is converted here to a microsecond TimestampType
-    (truncating, exactly how DuckDB reads the same file — verified:
-    ...778549829ns → ...778549µs on both engines).
+    ``events.ts`` is normalized to a session-UTC TimestampType (LTZ)
+    whatever the driver session reads from disk:
+
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+      TIMESTAMP_NTZ (the current testdata shape); cast to
+      ``timestamp_ltz`` — value-identical because :func:`configure`
+      pins the session timezone to UTC first, and it matches how
+      DuckDB (tz-naive) sees the same file.
+    - parquet TIMESTAMP(NANOS) under ``nanosAsLong`` → epoch-nanos
+      BIGINT; truncate to micros (exactly DuckDB's read of nanos).
+
+    The explicit ``timestamp_ltz`` target (not plain ``timestamp``)
+    keeps this correct even if the caller's session sets
+    ``spark.sql.timestampType=TIMESTAMP_NTZ``.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 

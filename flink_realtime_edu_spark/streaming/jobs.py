@@ -21,16 +21,19 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from flink_realtime_edu_spark.session import configure
 
-# Schema of events.parquet as the reader sees it with nanosAsLong
-# (ts arrives as epoch-nanos BIGINT; converted below like sources.load).
+# Schema of events.parquet as stored by the driver: `ts` is parquet
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ. The
+# reader below normalizes it to session-UTC TimestampType exactly
+# like sources.load does for batch.
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -65,7 +68,9 @@ def load_events_kafka(
             "value DOUBLE, props STRING",
         ).alias("r")
     ).select("r.*")
-    return parsed.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # JSON log records carry epoch-millis `ts` (the reference's log
+    # convention [R]); normalize to session-UTC TimestampType.
+    return parsed.withColumn("ts", F.timestamp_millis(F.col("ts")))
 
 
 def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
@@ -92,7 +97,9 @@ def load_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(directory)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ → LTZ is value-identical under the UTC session timezone
+    # configure() pins; downstream jobs then match the batch queries.
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
 
 
 def tumbling_stats_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
