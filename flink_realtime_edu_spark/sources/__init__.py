@@ -43,34 +43,87 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# On-disk shapes of the events `ts` column, in the order they have
+# actually occurred in driver snapshots (FIXTURES.md):
+#   - "nanos_long": parquet INT64 epoch-nanos (either a plain BIGINT
+#     column, or TIMESTAMP(NANOS) surfaced as BIGINT under the
+#     `nanosAsLong` conf session.configure sets).
+#   - "ntz_micros": parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+#     which Spark reads as TIMESTAMP_NTZ.
+# Batch reads branch on the loaded dtype; the STREAMING file source
+# needs the schema up front, so it sniffs one parquet footer via
+# pyarrow (no JVM round-trip) with `sniff_events_ts_shape`.
+TS_SHAPE_NANOS_LONG = "nanos_long"
+TS_SHAPE_NTZ_MICROS = "ntz_micros"
+
+
+def sniff_events_ts_shape(path: str, default: str = TS_SHAPE_NANOS_LONG) -> str:
+    """Classify the on-disk `ts` shape of an events parquet file/dir.
+
+    Reads ONE footer (O(KB), driver-side, once per query build — never
+    per batch). `default` covers a not-yet-populated stream directory;
+    callers that know the shape can skip the sniff entirely.
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    if not files:
+        return default
+    schema = pq.read_schema(files[0])
+    if "ts" not in schema.names:
+        return default
+    t = schema.field("ts").type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return TS_SHAPE_NTZ_MICROS
+    return TS_SHAPE_NANOS_LONG
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize a loaded events DataFrame's `ts` to session-UTC
+    TimestampType (LTZ), whatever shape the reader surfaced:
+
+    - BIGINT epoch-nanos → truncate to micros (exactly DuckDB's read
+      of TIMESTAMP(NANOS)).
+    - TIMESTAMP_NTZ → cast to ``timestamp_ltz``; value-identical
+      because :func:`configure` pins the session timezone to UTC, and
+      it matches how DuckDB (tz-naive) sees the same file.
+
+    The explicit ``timestamp_ltz`` target (not plain ``timestamp``)
+    stays correct even under ``spark.sql.timestampType=TIMESTAMP_NTZ``.
+    Shared by batch :func:`load` and the streaming file source —
+    keep it the ONLY place ts-shape handling lives.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one testdata table as a DataFrame.
 
     ``events.ts`` is normalized to a session-UTC TimestampType (LTZ)
-    whatever the driver session reads from disk:
-
-    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
-      TIMESTAMP_NTZ (the current testdata shape); cast to
-      ``timestamp_ltz`` — value-identical because :func:`configure`
-      pins the session timezone to UTC first, and it matches how
-      DuckDB (tz-naive) sees the same file.
-    - parquet TIMESTAMP(NANOS) under ``nanosAsLong`` → epoch-nanos
-      BIGINT; truncate to micros (exactly DuckDB's read of nanos).
-
-    The explicit ``timestamp_ltz`` target (not plain ``timestamp``)
-    keeps this correct even if the caller's session sets
-    ``spark.sql.timestampType=TIMESTAMP_NTZ``.
+    whatever the driver session reads from disk — both on-disk shapes
+    are handled by :func:`normalize_events_ts` (shared with the
+    streaming file source so the two paths can never drift).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -29,7 +29,11 @@ from flink_realtime_edu_spark.streaming.jobs import (
     temporal_join_stream,
     tumbling_stats_stream,
 )
-from flink_realtime_edu_spark.streaming.sinks import run_to_completion, upsert_latest_by_key
+from flink_realtime_edu_spark.streaming.sinks import (
+    await_progress,
+    run_to_completion,
+    upsert_latest_by_key,
+)
 from flink_realtime_edu_spark.streaming.stateful import (
     detect_abandoned_stream,
     tag_new_vs_returning,
@@ -49,4 +53,5 @@ __all__ = [
     "ads_top_segments",
     "upsert_latest_by_key",
     "run_to_completion",
+    "await_progress",
 ]

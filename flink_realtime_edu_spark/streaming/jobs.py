@@ -25,21 +25,31 @@ from pyspark.sql.types import (
 )
 
 from flink_realtime_edu_spark.session import configure
-
-# Schema of events.parquet as stored by the driver: `ts` is parquet
-# TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ. The
-# reader below normalizes it to session-UTC TimestampType exactly
-# like sources.load does for batch.
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
+from flink_realtime_edu_spark.sources import (
+    TS_SHAPE_NANOS_LONG,
+    TS_SHAPE_NTZ_MICROS,
+    normalize_events_ts,
+    sniff_events_ts_shape,
 )
+
+
+def events_file_schema(ts_shape: str) -> StructType:
+    """Read schema for events-shaped parquet. The streaming file
+    source needs an explicit schema up front, and the driver's
+    snapshots have shipped `ts` in two shapes (INT64 epoch-nanos and
+    TIMESTAMP_NTZ micros — see sources.sniff_events_ts_shape), so the
+    ts field is shape-dependent; everything else is fixed."""
+    ts_type = LongType() if ts_shape == TS_SHAPE_NANOS_LONG else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def load_events_kafka(
@@ -68,15 +78,36 @@ def load_events_kafka(
             "value DOUBLE, props STRING",
         ).alias("r")
     ).select("r.*")
-    # JSON log records carry epoch-millis `ts` (the reference's log
-    # convention [R]); normalize to session-UTC TimestampType.
+    # Wire contract (ours, defined here + write_kafka, pinned by
+    # tests/test_streaming.py::test_kafka_payload_roundtrip_contract
+    # and the ts-range unit test): JSON records carry `ts` as epoch-
+    # MILLIS — the conventional unit of log-shipped JSON (it fits a
+    # double-backed JSON number; nanos would not round-trip through
+    # lossy JSON parsers). Normalize to session-UTC TimestampType.
     return parsed.withColumn("ts", F.timestamp_millis(F.col("ts")))
+
+
+def kafka_json_payload(df: DataFrame) -> DataFrame:
+    """Encode rows to the single-column `value` JSON payload the Kafka
+    sink ships. Timestamp columns are serialized as epoch-millis LONGs
+    (not the ISO-8601 string `to_json` would emit) so a write_kafka →
+    load_events_kafka round-trip over a DWD topic is lossless at
+    millisecond precision — producer and consumer share ONE wire
+    format. Batch-testable (no broker needed); pinned by
+    test_kafka_payload_roundtrip_contract + the ts-unit test."""
+    cols = [
+        F.unix_millis(F.col(name).cast("timestamp_ltz")).alias(name)
+        if dtype in ("timestamp", "timestamp_ntz")
+        else F.col(name)
+        for name, dtype in df.dtypes
+    ]
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))
 
 
 def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str):
     """S4: DWD fact out to a Kafka topic as JSON (the reference's
     per-fact DWD topics [R]). Returns the started StreamingQuery."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    payload = kafka_json_payload(df)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -87,19 +118,29 @@ def write_kafka(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: s
 
 
 def load_events_stream(
-    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    directory: str,
+    max_files_per_trigger: int | None = None,
+    ts_shape: str | None = None,
 ) -> DataFrame:
     """File-source stream over events-shaped parquet files (the Kafka
     stand-in, S1). `maxFilesPerTrigger` slices the replay into
-    multiple micro-batches to exercise cross-batch state."""
+    multiple micro-batches to exercise cross-batch state.
+
+    `ts_shape` (sources.TS_SHAPE_*) pins the on-disk ts layout; when
+    None it is sniffed from one parquet footer already in `directory`.
+    A directory that is EMPTY at plan time defaults to the nanos-long
+    shape — pass `ts_shape` explicitly if later-arriving files will
+    carry TIMESTAMP_NTZ. Either way `ts` is normalized to session-UTC
+    TimestampType by the same `normalize_events_ts` the batch loader
+    uses, so the two paths cannot drift."""
     configure(spark)
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if ts_shape is None:
+        ts_shape = sniff_events_ts_shape(directory)
+    reader = spark.readStream.schema(events_file_schema(ts_shape))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(directory)
-    # NTZ → LTZ is value-identical under the UTC session timezone
-    # configure() pins; downstream jobs then match the batch queries.
-    return df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return normalize_events_ts(reader.parquet(directory))
 
 
 def tumbling_stats_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

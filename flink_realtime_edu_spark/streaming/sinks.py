@@ -56,9 +56,44 @@ def upsert_latest_by_key(target_dir: str, key_cols: list[str], version_col: str)
 
 
 def run_to_completion(query: StreamingQuery) -> None:
-    """Drain all available input then stop (end-of-stream for tests)."""
+    """Drain all available input then stop (end-of-stream for tests).
+
+    If the query died, surface its ROOT CAUSE as the raised error —
+    `processAllAvailable` alone buries e.g. a parquet schema mismatch
+    twenty frames deep in a Py4J trace (or, worse, a caller polling
+    `lastProgress` never learns the query is dead at all)."""
     try:
         query.processAllAvailable()
     finally:
         query.stop()
         query.awaitTermination()
+    exc = query.exception()
+    if exc is not None:
+        raise exc
+
+
+def await_progress(
+    query: StreamingQuery, min_batch_id: int = 0, timeout_s: float = 120.0
+) -> None:
+    """Block until the running query has committed a batch with id ≥
+    `min_batch_id`. BOUNDED: re-raises the query's own exception the
+    moment it dies, and fails after `timeout_s` instead of spinning
+    forever — every poll loop in tests must go through this (a dead
+    query never produces progress, so a bare `while lastProgress is
+    None` loop hangs the whole suite)."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        exc = query.exception()
+        if exc is not None:
+            raise exc
+        progress = query.lastProgress
+        if progress is not None and progress["batchId"] >= min_batch_id:
+            return
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"streaming query made no progress to batch {min_batch_id} "
+                f"within {timeout_s}s (lastProgress={progress})"
+            )
+        time.sleep(0.2)

@@ -78,17 +78,29 @@ def _make_abandoned_fn(timeout_ms: int):
         pending = list(state.get[0]) if state.exists else []
         wm = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
-            rows: list[tuple[str, int]] = []
+            clicks: list[int] = []
+            purchases: list[int] = []
             for pdf in pdf_iter:
-                rows.extend(zip(pdf["event_type"], pdf["ts_ms"]))
-            # micro-batch rows arrive unordered; replay in event time
-            rows.sort(key=lambda r: int(r[1]))
-            for et, ts in rows:
-                ts = int(ts)
-                if et == "click":
-                    pending.append(ts)
-                elif et == "purchase":
-                    pending = [c for c in pending if not (c <= ts <= c + timeout_ms)]
+                for et, ts in zip(pdf["event_type"], pdf["ts_ms"]):
+                    if et == "click":
+                        clicks.append(int(ts))
+                    elif et == "purchase":
+                        purchases.append(int(ts))
+            # Two-phase: ingest ALL the batch's clicks into pending
+            # BEFORE applying any purchase. Micro-batch rows arrive in
+            # no particular order, and replaying them one-by-one (even
+            # sorted by event time) is order-sensitive at ts ties — a
+            # purchase processed before its same-timestamp click left
+            # the click pending forever → false timeout. Two-phase is
+            # order-insensitive within the batch and matches the batch
+            # anti-join spec exactly (a purchase at p clears every
+            # click c with c ≤ p ≤ c+timeout, wherever each sat in
+            # the batch). Pinned by tests/test_properties.py::
+            # test_abandoned_state_fn_matches_antijoin (hypothesis
+            # shuffles arrival order).
+            pending.extend(clicks)
+            for p in purchases:
+                pending = [c for c in pending if not (c <= p <= c + timeout_ms)]
         expired = sorted(c for c in pending if c + timeout_ms <= wm)
         pending = [c for c in pending if c + timeout_ms > wm]
         if pending:

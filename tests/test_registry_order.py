@@ -1,0 +1,50 @@
+"""Registry-ordering contract (SURVEY.md §5.2 / VERDICT r2 item 3).
+
+The driver's correctness gate oracles only the FIRST
+``DRIVER_CHECK_WINDOW`` keys of ``__spark_entry__.queries()``, so the
+registry's iteration order IS the coverage contract: if the prefix
+misses a §2 row, that operator never gets a driver verdict no matter
+how good its pytest oracle is (exactly what happened to X3–X6/S2 in
+rounds 1–2). These tests pin the invariant structurally so adding a
+query can never silently push an operator class out of the window.
+"""
+
+from __future__ import annotations
+
+from flink_realtime_edu_spark.queries import (
+    DRIVER_CHECK_WINDOW,
+    _PRIORITY_PREFIX,
+    load_registry,
+)
+
+
+def test_prefix_fits_and_resolves():
+    reg = load_registry()
+    assert len(_PRIORITY_PREFIX) <= DRIVER_CHECK_WINDOW
+    assert len(set(_PRIORITY_PREFIX)) == len(_PRIORITY_PREFIX)
+    assert list(reg)[: len(_PRIORITY_PREFIX)] == list(_PRIORITY_PREFIX)
+    # entry() contract: flagship query first
+    assert next(iter(reg)) == "pricing_summary"
+    # nothing lost in the reorder
+    assert set(reg) == set(load_registry())
+
+
+def test_driver_window_covers_every_survey_row():
+    """Every §2 row claimed by ANY registered query has at least one
+    representative inside the driver's check window."""
+    reg = load_registry()
+    all_rows = {r for spec in reg.values() for r in spec.survey_rows}
+    window = list(reg.values())[:DRIVER_CHECK_WINDOW]
+    window_rows = {r for spec in window for r in spec.survey_rows}
+    assert window_rows == all_rows, f"rows outside window: {sorted(all_rows - window_rows)}"
+
+
+def test_driver_window_reps_are_oracled():
+    """Window representatives should carry a DuckDB oracle (strong
+    check) except the sketches whose estimates legitimately differ
+    from exact SQL (A4-class, documented rows-only)."""
+    reg = load_registry()
+    allowed_rows_only = {"approx_unique_visitors"}
+    window = list(reg.items())[:DRIVER_CHECK_WINDOW]
+    bad = [n for n, s in window if s.oracle is None and n not in allowed_rows_only]
+    assert not bad, f"window queries without oracle: {bad}"

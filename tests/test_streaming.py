@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from flink_realtime_edu_spark.queries import load_registry
 from flink_realtime_edu_spark.sources import load, table_path
 from flink_realtime_edu_spark.streaming import (
+    await_progress,
     dedup_users_stream,
     interval_join_stream,
     load_events_stream,
@@ -535,8 +536,9 @@ def test_layered_pipeline_survives_restart_from_checkpoint(spark, sf_dir, tmp_pa
         )
 
     q1 = start()
-    while q1.lastProgress is None or q1.lastProgress["batchId"] < 1:
-        time.sleep(0.2)  # let ≥2 micro-batches commit, then kill mid-stream
+    # let ≥2 micro-batches commit, then kill mid-stream; bounded wait
+    # that re-raises if the query dies (a bare poll loop hangs forever)
+    await_progress(q1, min_batch_id=1)
     q1.stop()
     q1.awaitTermination()
 
@@ -562,17 +564,61 @@ def test_layered_pipeline_survives_restart_from_checkpoint(spark, sf_dir, tmp_pa
     assert _rows(spark.read.parquet(dws_dir)) == _rows(batch_dws)
 
 
-def test_kafka_payload_roundtrip_contract(spark, sf_dir):
-    """S1/S4 contract: the JSON encode used by the Kafka sink
-    (to_json over the full struct) must decode losslessly with the
-    schema the Kafka source parses with — so DWD facts survive a
-    hop through a topic byte-identical. Tested in batch (no broker
-    in this container); the streaming builders use the same
-    expressions."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "ts", F.unix_millis("ts")  # wire format: epoch-millis, like the source expects
+def test_ts_shape_drift_guard(spark, sf_dir, tmp_path):
+    """Permanent guard for the two on-disk events.ts shapes (r2
+    regression class): write the SAME rows as INT64 epoch-nanos and
+    as TIMESTAMP_NTZ micros, then assert the batch loader and the
+    streaming file source produce identical normalized rows on BOTH
+    — four path×shape combos, one answer. Catches any future drift
+    between sources.load and load_events_stream (which must share
+    normalize_events_ts)."""
+    from flink_realtime_edu_spark.sources import (
+        TS_SHAPE_NANOS_LONG,
+        TS_SHAPE_NTZ_MICROS,
+        sniff_events_ts_shape,
     )
-    encoded = ev.select(F.to_json(F.struct(*ev.columns)).alias("value"))
+
+    ev = load(spark, sf_dir, "events").limit(200).cache()
+    nanos_dir = str(tmp_path / "nanos_sf")
+    ntz_dir = str(tmp_path / "ntz_sf")
+    ev.withColumn("ts", F.unix_micros("ts") * 1000).write.parquet(
+        table_path(nanos_dir, "events")
+    )
+    ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        table_path(ntz_dir, "events")
+    )
+    assert sniff_events_ts_shape(table_path(nanos_dir, "events")) == TS_SHAPE_NANOS_LONG
+    assert sniff_events_ts_shape(table_path(ntz_dir, "events")) == TS_SHAPE_NTZ_MICROS
+
+    want = _rows(ev)
+    results = {}
+    for tag, d in (("nanos", nanos_dir), ("ntz", ntz_dir)):
+        results[f"batch_{tag}"] = _rows(load(spark, d, "events"))
+        q = (
+            load_events_stream(spark, table_path(d, "events"))
+            .writeStream.format("memory")
+            .queryName(f"drift_{tag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .start()
+        )
+        run_to_completion(q)
+        results[f"stream_{tag}"] = _rows(spark.sql(f"SELECT * FROM drift_{tag}"))
+    for path, rows in results.items():
+        assert rows == want, f"{path} diverged from normalized batch rows"
+
+
+def test_kafka_payload_roundtrip_contract(spark, sf_dir):
+    """S1/S4 contract: the producer encoding (kafka_json_payload, the
+    exact expression write_kafka ships) must decode losslessly with
+    the schema + ts normalization the Kafka source parses with — so
+    DWD facts survive a hop through a topic byte-identical at millis
+    precision. Tested in batch (no broker in this container); the
+    streaming builders use the same expressions."""
+    from flink_realtime_edu_spark.streaming.jobs import kafka_json_payload
+
+    ev = load(spark, sf_dir, "events")
+    encoded = kafka_json_payload(ev)
     decoded = encoded.select(
         F.from_json(
             F.col("value"),
@@ -580,7 +626,49 @@ def test_kafka_payload_roundtrip_contract(spark, sf_dir):
             "value DOUBLE, props STRING",
         ).alias("r")
     ).select("r.*")
-    assert _rows(decoded) == _rows(ev.select(*decoded.columns))
+    # consumer-side normalization, exactly load_events_kafka's last step
+    decoded = decoded.withColumn("ts", F.timestamp_millis("ts"))
+    # events.ts is micros-precision; the wire contract is millis, so
+    # compare at the wire's precision on both sides.
+    want = ev.select(*decoded.columns).withColumn(
+        "ts", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    assert _rows(decoded) == _rows(want)
+
+
+def test_kafka_ts_wire_unit_is_millis(spark):
+    """Pin the ts wire UNIT end-to-end: a known wall-clock instant
+    encodes to its epoch-millis integer in the JSON payload, and the
+    consumer's decode lands back on the same instant — a wrong unit
+    (micros/nanos read as millis) would land decades away, silently
+    corrupting every window and watermark downstream."""
+    import json
+
+    from flink_realtime_edu_spark.streaming.jobs import kafka_json_payload
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-02 03:04:05.678", 7, "click", 1.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    payload = json.loads(kafka_json_payload(ev).collect()[0]["value"])
+    assert payload["ts"] == 1704164645678  # epoch-millis of the instant (UTC)
+    decoded = (
+        spark.createDataFrame([(payload["ts"],)], "ts long")
+        .select(
+            F.date_format(
+                F.timestamp_millis("ts"), "yyyy-MM-dd HH:mm:ss.SSS"
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )  # rendered in the session tz (UTC) — driver-local tz can't skew it
+    assert decoded == "2024-01-02 03:04:05.678"
 
 
 def test_stream_stream_left_outer_join_emits_timeouts(spark, sf_dir, events_dir, tmp_path):
