@@ -559,23 +559,122 @@ def simhash_batch(texts) -> np.ndarray:
     return sig.view(np.int64)
 
 
+def md5_hash60(col: Column, offset: int = 1) -> Column:
+    """60-bit integer hash from an md5 hex substring — the ONE hash
+    in this module that a DuckDB oracle can recompute exactly
+    (``CAST(concat('0x', substr(md5(s), offset, 15)) AS BIGINT)``):
+    15 hex chars = 60 bits, always positive, so signed-64 arithmetic
+    agrees in both engines with no overflow/wraparound caveats.
+    `offset` selects a disjoint hex window for independent hashes
+    (1 and 16 give the two halves used by the K-M family below).
+    Slower than the SipHash/xxhash64 paths (md5 + string slicing) —
+    use for oracle-checkable twins, not the hot dedup pipelines."""
+    return F.conv(F.substring(F.md5(col), offset, 15), 16, 10).cast("long")
+
+
+def simhash_signature_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """(id, sim) — SimHash signatures over whitespace tokens with the
+    dual-engine md5 hash: per token-occurrence hash, per-bit majority
+    vote across the doc's occurrences, bits packed into one BIGINT.
+
+    Pure Catalyst (explode → one hash → n_bits conditional-sum
+    aggregates → bit-pack projection): no Python in the plan, one
+    shuffle on the doc id, partial aggregation map-side. Docs with no
+    non-empty token produce NO row (both engines drop them — a
+    signature of an empty set is meaningless for near-dup pairing).
+    The SipHash UDF variant (:func:`simhash64`) is ~an order faster
+    per token and stays the scale default; this twin exists so the
+    banding/verify pipeline gets a hash-exact DuckDB oracle."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    th = tok.withColumn("h", md5_hash60(F.col("w")))
+    aggs = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    agg = th.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    packed = None
+    for b in range(n_bits):
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        packed = bit if packed is None else packed + bit
+    return agg.select(F.col(id_col), packed.alias("sim"))
+
+
+def minhash_signature_md5_km(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) — MinHash signature columns from the
+    Kirsch–Mitzenmacher family g_i = h1 + i·h2 over distinct word
+    shingles, with h1/h2 the two md5 hex halves (:func:`md5_hash60`).
+    Both operands are < 2^60, so h1 + i·h2 stays below 2^63 for
+    i ≤ 7 — NO wraparound, hence bit-identical in Spark (silent
+    overflow) and DuckDB (checked overflow) alike. Dual-engine twin
+    of the signature stage; production dedup keeps the SipHash
+    vectorized signatures (:func:`minhash_batch`)."""
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 risks exceeding 2^63 in h1 + i*h2")
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(text_col, shingle_words))
+        ).alias("s"),
+    )
+    h = sh.select(
+        id_col,
+        md5_hash60(F.col("s"), 1).alias("h1"),
+        md5_hash60(F.col("s"), 16).alias("h2"),
+    )
+    return h.groupBy(id_col).agg(
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    sig_df: DataFrame | None = None,
+    sig_bits: int = 64,
 ) -> DataFrame:
-    """Near-dups by SimHash: band the 64-bit signature into
+    """Near-dups by SimHash: band the signature into
     ``max_hamming + 1`` chunks — the pigeonhole guarantee: hamming ≤
     max_hamming means at LEAST one chunk is untouched, so bucketing
     on chunks has full recall at the requested radius (a fixed chunk
     count would silently lose pairs whose flipped bits spread across
     every chunk). Bucket-join on (chunk_id, chunk), then verify with
-    bit_count(a XOR b)."""
+    bit_count(a XOR b).
+
+    `sig_df` (id_col, sim) supplies precomputed signatures of
+    `sig_bits` useful bits (e.g. :func:`simhash_signature_md5` with
+    60); default is the 64-bit SipHash UDF over `text_col`. The
+    full-recall property holds for any signature source — banding
+    never looks inside the hash."""
     n_chunks = max_hamming + 1
-    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    widths = [
+        sig_bits // n_chunks + (1 if i < sig_bits % n_chunks else 0)
+        for i in range(n_chunks)
+    ]
     starts = [sum(widths[:i]) for i in range(n_chunks)]
-    sig = docs.select(F.col(id_col), simhash64()(F.col(text_col)).alias("sim"))
+    if sig_df is None:
+        sig = docs.select(F.col(id_col), simhash64()(F.col(text_col)).alias("sim"))
+    else:
+        sig = sig_df.select(F.col(id_col), F.col("sim"))
     chunks = sig.select(
         id_col,
         "sim",

@@ -1,15 +1,25 @@
 """Deduplication queries — SURVEY.md §2.10 X4/X5.
 
-Exact dedup and exact n-gram Jaccard are oracle-checked (md5 and
-pure counting agree across engines). MinHash / SimHash near-dup run
-the full bucketed pipelines from operators/dedup.py; their hash
-functions (xxhash64, blake2b-derived SimHash) have no DuckDB twin →
-rows-only checks, with unit tests in tests/test_operators.py pinning
-semantics on constructed corpora. The testdata contains 25 planted
-near-dup pairs at sf0.01 (shingle Jaccard ≈ 0.9-0.99): MinHash at
-J ≥ 0.7 recovers EXACTLY the oracle-checked exact-Jaccard J ≥ 0.7
-set (pinned in tests/test_operators.py), and SimHash — a bit-level
-similarity, not Jaccard — finds a heavily overlapping set.
+Every query here is oracle-checked. Exact dedup and exact n-gram
+Jaccard trivially so (md5 + pure counting agree across engines).
+The near-dup pipelines get oracles three different ways:
+
+- MinHash pairs: SEMANTIC oracle — DuckDB computes the exact-Jaccard
+  pair set that LSH provably recovers on this corpus.
+- SimHash pairs + minhash signature sample: dual-engine md5-twin
+  signatures (operators/dedup.py::simhash_signature_md5 /
+  minhash_signature_md5_km) — DuckDB recomputes the identical
+  signatures, so the banding/verify logic is hash-checked exactly.
+  The SipHash/xxhash64 fast paths stay the scale default, pinned by
+  unit + property tests instead.
+- Winnowing fingerprints: the rolling hash is plain mod-2^64
+  arithmetic — DuckDB replays it with HUGEINT partial sums.
+
+The testdata contains 25 planted near-dup pairs at sf0.01 (shingle
+Jaccard ≈ 0.9-0.99): MinHash at J ≥ 0.7 recovers EXACTLY the
+oracle-checked exact-Jaccard J ≥ 0.7 set (tests/test_operators.py),
+and SimHash — a bit-level similarity, not Jaccard — finds a heavily
+overlapping set.
 """
 
 from __future__ import annotations
@@ -22,8 +32,9 @@ from flink_realtime_edu_spark.operators.dedup import (
     fingerprint_overlap_pairs,
     jaccard_pairs_exact,
     minhash_near_duplicates,
-    minhash_signature,
+    minhash_signature_md5_km,
     simhash_near_duplicates,
+    simhash_signature_md5,
     winnow_fingerprints_udf,
 )
 from flink_realtime_edu_spark.queries import register
@@ -96,20 +107,111 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("near_dup_simhash", survey_rows=("X5",), oracle=None)
+# The md5-60bit SimHash twin (operators/dedup.py::simhash_signature_md5)
+# recomputed in DuckDB: same per-token hash, same per-bit majority vote,
+# same bit-pack — then brute-force xor/bit_count over all pairs (gate
+# scale only; the Spark side's pigeonhole banding has FULL recall at
+# the radius, so the two pair sets are equal by construction, not luck).
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM tok WHERE w <> ''
+), bits AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * sum((h >> b) & 1) > count(*)
+              THEN (1::BIGINT << b) ELSE 0::BIGINT END AS contrib
+  FROM th, unnest(generate_series(0, 59)) g(b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS sim FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+@register("near_dup_simhash", survey_rows=("X5",), oracle=_SIMHASH_ORACLE)
 def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (64-bit signatures, 4×16-bit
-    pigeonhole bands, hamming ≤ 3)."""
-    return simhash_near_duplicates(load(spark, sf_dir, "documents")).orderBy(
+    """SimHash near-duplicate pairs (60-bit md5-twin signatures,
+    4-chunk pigeonhole bands, hamming ≤ 3). The signature is the
+    dual-engine md5 variant so DuckDB recomputes it exactly and
+    hash-checks the banding+verify pipeline; the SipHash-UDF
+    signature (same banding, ~10× faster per token) remains the
+    scale default and is pinned in tests/test_operators.py."""
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash_signature_md5(docs)
+    return simhash_near_duplicates(docs, sig_df=sig, sig_bits=60).orderBy(
         "id_a", "id_b"
     )
 
 
-@register("doc_fingerprint_stats", survey_rows=("X4", "X7", "F8"), oracle=None)
+# Winnowing is deterministic ARITHMETIC, not a keyed hash: k-gram
+# rolling hash = Σ byte_j · BASE^(k-1-j) mod 2^64 (FNV-prime base,
+# numpy uint64 wraparound), window-min, distinct. DuckDB replicates it
+# bit-for-bit with HUGEINT partial sums + the precomputed BASE powers
+# inlined below (counts/distinctness are unaffected by the final
+# int64 reinterpret on the Spark side, so no sign juggling needed).
+_WINNOW_POWERS = [
+    14218562807570617051,
+    15895002104753931833,
+    913917546033277539,
+    11527715348014283921,
+    624165263380053675,
+    956575116354345,
+    1099511628211,
+    1,
+]
+_WINNOW_GRAM_TERMS = " + ".join(
+    f"(CASE WHEN i+{j} <= length(text) THEN ord(substr(text, i+{j}, 1)) "
+    f"ELSE 0 END)::HUGEINT * {p}::HUGEINT"
+    for j, p in enumerate(_WINNOW_POWERS)
+)
+# grams per doc (k=8, zero-padded below k like the numpy core), then
+# window-4 sliding mins over full windows only, distinct per doc.
+_WINNOW_FPS = f"""
+d AS (SELECT doc_id, CASE WHEN text = '' OR text IS NULL THEN ' ' ELSE text END AS text
+      FROM documents),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+  FROM d
+), gram AS (
+  SELECT doc_id, i,
+         CAST(({_WINNOW_GRAM_TERMS}) % 18446744073709551616::HUGEINT AS UBIGINT) AS g
+  FROM pos
+), gcount AS (
+  SELECT doc_id, count(*) AS n FROM gram GROUP BY doc_id
+), winmin AS (
+  SELECT gram.doc_id, i,
+         min(g) OVER (PARTITION BY gram.doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         n
+  FROM gram JOIN gcount ON gram.doc_id = gcount.doc_id
+), fp AS (
+  SELECT DISTINCT doc_id, m
+  FROM winmin WHERE n < 4 AND i = 1 OR i <= n - 3
+)
+"""
+
+
+@register(
+    "doc_fingerprint_stats",
+    survey_rows=("X4", "X7", "F8"),
+    oracle=f"""
+WITH {_WINNOW_FPS}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+FROM fp WHERE doc_id < 200 GROUP BY doc_id
+""",
+)
 def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint cardinality per document (rolling-hash
-    k-gram mins — the MOSS scheme; operators/dedup.py). Deterministic
-    but xxhash64-based → rows-only; overlap semantics pinned in
+    k-gram mins — the MOSS scheme; operators/dedup.py). The rolling
+    hash is plain mod-2^64 arithmetic, so the DuckDB oracle
+    recomputes the identical fingerprint sets (HUGEINT partial sums)
+    — overlap semantics additionally pinned in
     tests/test_operators.py on planted shared substrings."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select(
@@ -120,11 +222,27 @@ def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("fingerprint_overlap_docs", survey_rows=("X4", "X5"), oracle=None)
+@register(
+    "fingerprint_overlap_docs",
+    survey_rows=("X4", "X5"),
+    oracle=f"""
+WITH {_WINNOW_FPS},
+rare AS (
+  SELECT m FROM fp GROUP BY m HAVING count(*) <= 20
+), kept AS (
+  SELECT fp.doc_id, fp.m FROM fp JOIN rare ON fp.m = rare.m
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8
+""",
+)
 def fingerprint_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing ≥ 8 winnowing fingerprints — the
     containment/plagiarism detector (catches partial overlap that
-    whole-document Jaccard misses)."""
+    whole-document Jaccard misses). Same max_df=20 stop-fingerprint
+    filter on both sides; the oracle replays the arithmetic
+    fingerprints and the inverted-index pair count in SQL."""
     return fingerprint_overlap_pairs(
         load(spark, sf_dir, "documents"), min_shared=8
     ).orderBy("id_a", "id_b")
@@ -367,13 +485,35 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_signatures_sample", survey_rows=("X5",), oracle=None)
+@register(
+    "minhash_signatures_sample",
+    survey_rows=("X5",),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) AS h2
+  FROM sh
+)
+SELECT doc_id,
+       min(h1 + 0 * h2) AS mh0, min(h1 + 1 * h2) AS mh1,
+       min(h1 + 2 * h2) AS mh2, min(h1 + 3 * h2) AS mh3
+FROM h GROUP BY doc_id
+""",
+)
 def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 MinHash signature values for the lowest 100 doc_ids —
     a deterministic, non-empty window into the signature stage (the
-    pair outputs above are legitimately empty on dedup-free data)."""
+    pair outputs above are legitimately empty on dedup-free data).
+    Uses the md5 Kirsch–Mitzenmacher twin (operators/dedup.py::
+    minhash_signature_md5_km): h1 + i·h2 over distinct 3-word
+    shingles with both md5 halves < 2^60, so DuckDB reproduces every
+    value exactly; the production near-dup pipeline keeps the faster
+    SipHash signatures."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    sig = minhash_signature(d, n_hashes=4)
-    return sig.select(
-        "doc_id", *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(4)]
-    ).orderBy("doc_id")
+    return minhash_signature_md5_km(d, n_hashes=4).orderBy("doc_id")
