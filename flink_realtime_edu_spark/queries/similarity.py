@@ -54,7 +54,13 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors vec_id < 10.
     Queries broadcast; corpus scanned once; dot products via
     zip_with/aggregate higher-order functions (JVM, casts float→
-    double element-wise exactly like the oracle's DOUBLE[] cast)."""
+    double element-wise exactly like the oracle's DOUBLE[] cast).
+
+    CONTRACT: the query set must be driver-sized (|Q| ≪ corpus —
+    it is collected and broadcast, and every corpus row scores all
+    |Q| queries). For corpus-scale query sets use the LSH
+    (ann_lsh_topk) or IVF (ivf_ann_topk) paths, which bucket BOTH
+    sides instead of broadcasting one."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, queries, k=_K)

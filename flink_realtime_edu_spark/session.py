@@ -29,9 +29,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet carries TIMESTAMP(NANOS) which the Spark reader
-    # rejects by default; read as epoch-nanos long and convert in
-    # sources.load (truncation to micros matches DuckDB's read).
+    # Kept ONLY for backward compatibility with older testdata
+    # snapshots whose events.ts was TIMESTAMP(NANOS) (the current
+    # shape is TIMESTAMP(MICROS, isAdjustedToUTC=false) → NTZ, which
+    # this conf does not affect): nanos files read as epoch-nanos
+    # BIGINT, which sources.normalize_events_ts truncates to micros
+    # exactly like DuckDB reads nanos. Both shapes are covered by
+    # tests/test_streaming.py::test_ts_shape_drift_guard.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
