@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "json_events",
     "time_semantics",
     "llm_text",
+    "packing",
     "dedup",
     "similarity",
     "udfs",

@@ -1,0 +1,149 @@
+"""Sequence packing + token-budget sampling — LLM pretraining batch
+construction over the documents table (SURVEY.md §2.10 X7 extensions).
+
+Two batch-construction primitives every large-scale training-data
+pipeline needs downstream of cleaning/dedup:
+
+- ``sequence_packing_chunks``: concatenate-and-chunk packing — the
+  standard pretraining scheme where the per-source token stream is
+  cut into fixed-size context windows and documents flow across
+  chunk boundaries. The mapping (which chunk a doc starts in, at
+  what offset, how many chunks it spans) is exactly what a packed-
+  dataset writer needs to emit examples.
+- ``token_budget_sample``: deterministic subsampling to a per-source
+  token budget — order docs by a content-independent md5 shuffle,
+  keep the prefix whose running token sum fits the budget. The
+  hash-ordered prefix makes the sample reproducible across runs and
+  engines (no RNG state), the property that matters for auditable
+  data recipes.
+
+Scale posture: both are one window pass partitioned by source —
+running sums stay inside each source partition, so 100 TB packs as
+wide as the source cardinality; no global ordering, no collect. The
+window sort reuses the shuffle's partitioning (sort-based agg), and
+token counts ride the same scan that computes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.queries import register
+from flink_realtime_edu_spark.sources import load
+
+_CTX = 2048  # context window (tokens) for packing
+_BUDGET = 20_000  # per-source token budget for sampling
+
+_NTOK = "greatest(len(string_split(text, ' ')), 1)"
+
+
+@register(
+    "sequence_packing_chunks",
+    survey_rows=("X7", "W4", "F2"),
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, {_NTOK} AS n_toks FROM documents
+), c AS (
+  SELECT source, doc_id, n_toks,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT source, doc_id, n_toks,
+       CAST(cum_before // {_CTX} AS BIGINT) AS start_chunk,
+       CAST(cum_before % {_CTX} AS BIGINT) AS start_offset,
+       CAST((cum_before + n_toks - 1) // {_CTX} - cum_before // {_CTX} + 1 AS BIGINT)
+         AS n_chunks_spanned
+FROM c
+""",
+)
+def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (context = 2048 tokens):
+    per source, documents are laid head-to-tail in doc_id order and
+    the token stream is cut every 2048 tokens; each doc reports its
+    starting chunk, offset within it, and how many chunks it spans.
+    One window pass per source partition — the doc_id order makes the
+    layout deterministic and restart-stable (a salted or arrival
+    order would re-pack differently every run)."""
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.greatest(F.size(F.split("text", " ")), F.lit(1))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select("source", "doc_id", n_toks.alias("n_toks")).withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    return c.select(
+        "source",
+        "doc_id",
+        "n_toks",
+        (F.col("cum_before") / _CTX).cast("bigint").alias("start_chunk"),
+        (F.col("cum_before") % _CTX).cast("bigint").alias("start_offset"),
+        (
+            (F.col("cum_before") + F.col("n_toks") - 1) / _CTX
+        ).cast("bigint").alias("end_chunk"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_toks",
+        "start_chunk",
+        "start_offset",
+        (F.col("end_chunk") - F.col("start_chunk") + 1).alias("n_chunks_spanned"),
+    )
+
+
+@register(
+    "token_budget_sample",
+    survey_rows=("X7", "F8", "A2"),
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, {_NTOK} AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), c AS (
+  SELECT source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY shuffle_key, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE cum <= {_BUDGET}) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(SUM(n_toks) FILTER (WHERE cum <= {_BUDGET}), 0) AS BIGINT)
+         AS tokens_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_total
+FROM c GROUP BY source
+""",
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget subsample: per source, order docs
+    by md5(doc_id) (a reproducible shuffle — no RNG state, identical
+    across engines and runs) and keep the prefix whose running token
+    sum stays within a 20k-token budget. Emits per-source kept/total
+    accounting — the recipe audit a mixture-weighted corpus build
+    records. Bernoulli-style md5-threshold sampling (rate-based, not
+    budget-based) is the sibling ``mixture_sample_by_source``."""
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.greatest(F.size(F.split("text", " ")), F.lit(1))
+    t = d.select(
+        "source",
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_toks").over(w))
+    kept = F.col("cum") <= _BUDGET
+    return c.groupBy("source").agg(
+        F.sum(kept.cast("bigint")).alias("n_docs_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_toks"))), F.lit(0)
+        ).cast("bigint").alias("tokens_kept"),
+        F.count(F.lit(1)).alias("n_docs_total"),
+    )
