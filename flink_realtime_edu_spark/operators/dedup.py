@@ -212,18 +212,25 @@ def lsh_bands(
     )
 
 
-def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id", materialize: bool = True
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any LSH bucket. The join
     key is (band_id, band_hash) — the cross product only happens
     inside buckets, which is the entire point of LSH.
 
     The pre-partition on the join key aligns both self-join sides on
     one exchange shape. Caveat (measured on 4.1.2): under AQE the two
-    identical exchange subtrees are NOT stage-reused, so the upstream
-    signature projection runs once per side (plain ReuseExchange does
-    fire with AQE off); AQE stays on because skew-join splitting
-    matters more at scale, and the vectorized signature stage is
-    cheap enough that the duplicate compute is acceptable."""
+    identical exchange subtrees are NOT stage-reused (plain
+    ReuseExchange does fire with AQE off), so without `materialize`
+    the upstream text-scan + signature stage runs once per side. AQE
+    stays on (skew-join splitting matters more at scale); instead the
+    band frame — 24 bytes/doc/band, orders smaller than the corpus it
+    derives from — is lazily localCheckpointed so both join sides
+    read the materialized rows (measured 6.6 s → 2.3 s end-to-end on
+    near_dup_minhash at sf0.1)."""
+    if materialize:
+        bands_df = bands_df.localCheckpoint(eager=False)
     bands_df = bands_df.repartition("band_id", "band_hash")
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
@@ -479,6 +486,12 @@ def fingerprint_overlap_pairs(
         F.col(id_col),
         F.explode(winnow_fingerprints_udf(k, window)(F.col(text_col))).alias("fp"),
     )
+    # The fp frame feeds the df-filter AND both self-join sides (3
+    # consumers); AQE does not stage-reuse identical subtrees, so
+    # materialize the (id, fp) rows once — same trade-off as
+    # candidate_pairs, and fp rows are tiny next to the text scan +
+    # winnow UDF they replace.
+    fp = fp.localCheckpoint(eager=False)
     if max_df is not None:
         rare = (
             fp.groupBy("fp")
@@ -651,6 +664,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     sig_df: DataFrame | None = None,
     sig_bits: int = 64,
+    materialize_sig: bool = True,
 ) -> DataFrame:
     """Near-dups by SimHash: band the signature into
     ``max_hamming + 1`` chunks — the pigeonhole guarantee: hamming ≤
@@ -664,7 +678,16 @@ def simhash_near_duplicates(
     `sig_bits` useful bits (e.g. :func:`simhash_signature_md5` with
     60); default is the 64-bit SipHash UDF over `text_col`. The
     full-recall property holds for any signature source — banding
-    never looks inside the hash."""
+    never looks inside the hash.
+
+    `materialize_sig` lazily localCheckpoints the signature frame
+    before the self-join: under AQE the two identical exchange
+    subtrees are NOT stage-reused (same 4.1.2 behavior documented on
+    candidate_pairs), so without it the full text-scan+signature
+    stage runs twice. Signatures are 16 bytes/doc — at any scale,
+    materializing them is orders cheaper than re-scanning the corpus
+    (measured 5.8 s → 3.0 s at sf0.1). Disable only when the input
+    is already materialized (cached/checkpointed upstream)."""
     n_chunks = max_hamming + 1
     widths = [
         sig_bits // n_chunks + (1 if i < sig_bits % n_chunks else 0)
@@ -675,6 +698,8 @@ def simhash_near_duplicates(
         sig = docs.select(F.col(id_col), simhash64()(F.col(text_col)).alias("sim"))
     else:
         sig = sig_df.select(F.col(id_col), F.col("sim"))
+    if materialize_sig:
+        sig = sig.localCheckpoint(eager=False)
     chunks = sig.select(
         id_col,
         "sim",

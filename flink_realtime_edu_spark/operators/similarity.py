@@ -343,11 +343,18 @@ def embedding_near_duplicates(
     cos ≥ 0.99 across 8 tables. All-pairs never materializes."""
     dim = len(corpus.select(vec_col).first()[0])
     buckets = hyperplane_buckets(n_planes, dim, n_tables, seed)
-    tagged = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("v"),
-        F.explode(buckets(F.col(vec_col))).alias("bkt"),
-    ).repartition("bkt")  # aligns both self-join sides on one exchange shape
+    tagged = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            F.explode(buckets(F.col(vec_col))).alias("bkt"),
+        )
+        # AQE does not stage-reuse the two identical self-join
+        # subtrees (see candidate_pairs); materialize the tagged rows
+        # once instead of running the scan + bucket UDF per side.
+        .localCheckpoint(eager=False)
+        .repartition("bkt")  # aligns both self-join sides on one exchange shape
+    )
     a = tagged.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bkt"
     )

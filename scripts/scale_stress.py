@@ -118,6 +118,10 @@ def main() -> None:
         "customer_order_distribution",
         "user_state_intervals",
         "temporal_join_purchase_state",
+        # r3: batch-construction window passes + the md5-twin simhash
+        "sequence_packing_chunks",
+        "token_budget_sample",
+        "near_dup_simhash",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
