@@ -300,29 +300,32 @@ def jaccard_pairs_exact(
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 and
     filtered to ≥ threshold.
 
-    Known AQE caveat (measured on 4.1.2): the self-join's two
-    identical exchange subtrees are NOT stage-reused under AQE (plain
-    ReuseExchange fires with AQE off), so the shingle projection
-    executes twice. Accepted: disabling AQE per-query would forfeit
-    skew-join handling, which matters more at 100 TB.
-
     The inverted index carries xxhash64(shingle), not the shingle
     string: the self-join shuffles and compares 8-byte longs instead
     of ~20-byte strings (measured ~25% faster at sf0.1). Counting is
     unchanged unless two distinct shingles collide in 64 bits
     (birthday risk ~1e-9 at 1e5 distinct shingles; the DuckDB oracle
     keeps the strings, so driver equality would catch a collision on
-    this corpus)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
+    this corpus).
+
+    The exploded (doc, shingle-hash) frame is lazily
+    localCheckpointed before the self-join — AQE does not stage-reuse
+    the two identical subtrees (see candidate_pairs), and the hash
+    rows are 16 bytes each vs re-scanning + re-shingling the text."""
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
+                    )
                 )
-            )
-        ).alias("s"),
-    ).repartition("s")  # aligns both join sides on the same partitioning
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+        .repartition("s")  # aligns both join sides on the same partitioning
+    )
     inter = (
         sh.select(F.col("doc_id").alias("id_a"), "s")
         .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
