@@ -43,6 +43,63 @@ def test_simhash_finds_near_dups_with_tight_hamming(toy_docs):
     assert all(2 not in p for p in pairs)
 
 
+def test_simhash_md5_twin_semantics(toy_docs, spark):
+    """The dual-engine md5 signature (the oracle-checkable twin) must
+    show the same near-dup STRUCTURE as the SipHash UDF variant:
+    exact dups at hamming 0, near dups within a tight radius,
+    unrelated docs never bucketed together — and the banding must
+    recover exactly the brute-force pair set (pigeonhole recall)."""
+    import itertools
+
+    from flink_realtime_edu_spark.operators.dedup import simhash_signature_md5
+
+    sig = simhash_signature_md5(toy_docs)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(
+            toy_docs, sig_df=sig, sig_bits=60, max_hamming=8
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 0  # identical text -> identical signature
+    assert (0, 1) in pairs  # near dup within radius
+    assert all(2 not in p for p in pairs)  # unrelated doc never pairs
+    # full recall at the radius: banding == brute force over signatures
+    sigs = {r[0]: r[1] for r in sig.collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 8
+    }
+    assert set(pairs) == brute
+
+
+def test_md5_signature_builders_are_deterministic_and_bounded(spark):
+    """md5_hash60 / the K-M minhash twin stay below 2^63 by
+    construction (the dual-engine no-overflow contract) and are pure
+    functions of the text."""
+    from flink_realtime_edu_spark.operators.dedup import (
+        md5_hash60,
+        minhash_signature_md5_km,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta tok{i%3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    h = docs.select(md5_hash60(F.col("text")).alias("h")).collect()
+    assert all(0 <= r.h < 2**60 for r in h)
+    a = sorted(map(tuple, minhash_signature_md5_km(docs, n_hashes=8).collect()))
+    b = sorted(map(tuple, minhash_signature_md5_km(docs, n_hashes=8).collect()))
+    assert a == b
+    # every K-M value fits signed 64 even at the max seed
+    assert all(0 <= v < 2**63 for row in a for v in row[1:])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_signature_md5_km(docs, n_hashes=9)
+
+
 def test_winnowing_catches_partial_overlap(spark):
     """Two documents sharing one long substring (but otherwise
     different) must share fingerprints; unrelated docs must not.

@@ -1,0 +1,47 @@
+"""Invariants of the batch-construction operators (queries/packing.py).
+
+The DuckDB oracle already pins value equality; these pin the
+SEMANTIC invariants a packed-dataset writer relies on, so a future
+"optimization" that keeps both engines in agreement but breaks the
+packing contract (e.g. dropping the -1 in the span arithmetic on
+both sides) still fails loudly.
+"""
+
+from __future__ import annotations
+
+from flink_realtime_edu_spark.queries import load_registry
+
+REGISTRY = load_registry()
+CTX = 2048
+BUDGET = 20_000
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    rows = REGISTRY["sequence_packing_chunks"].build(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in docs:
+            assert r.n_toks >= 1
+            assert 0 <= r.start_offset < CTX
+            # doc k starts exactly where the running token stream is
+            assert r.start_chunk == cum // CTX
+            assert r.start_offset == cum % CTX
+            # span covers precisely the doc's token interval
+            assert r.n_chunks_spanned == (cum + r.n_toks - 1) // CTX - cum // CTX + 1
+            cum += r.n_toks
+
+
+def test_token_budget_sample_invariants(spark, sf_dir):
+    rows = REGISTRY["token_budget_sample"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_docs_kept <= r.n_docs_total
+        assert r.tokens_kept <= BUDGET
+        # a source with any doc under budget keeps at least one
+        if r.n_docs_kept == 0:
+            assert r.tokens_kept == 0
