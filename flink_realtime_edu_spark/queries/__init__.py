@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "time_semantics",
     "llm_text",
     "packing",
+    "media",
     "dedup",
     "similarity",
     "udfs",
@@ -117,7 +118,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "left_join_recent_spend",     # J2 P4
     "semi_join_recent_customers",  # J5
     "anti_join_no_big_order",     # J6
-    "cross_join_region_status",   # J7 U3
+    "multimodal_feature_stats",   # X8 X2 A2 (J7 via cosine_topk; U3 via daily_unique_visitors)
     "interval_join_click_purchase",  # J4
     "asof_join_purchase_last_click",  # J8 W3
     "distinct_users_by_type",     # A1 A2 A3

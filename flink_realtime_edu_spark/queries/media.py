@@ -1,0 +1,81 @@
+"""Multimodal-column query — SURVEY.md §2.10 X8, driver-checkable.
+
+X8's processing surface (binary payload + typed metadata,
+Arrow-batched ``mapInPandas`` stages) is exercised by
+tests/test_multimodal.py on a synthesized corpus; this module gives
+the row a REGISTERED query with a DuckDB oracle by deriving the
+payloads deterministically from the documents table: payload =
+utf-8 bytes of the text, modality assigned round-robin. The
+featurizer is the real one (byte-histogram stand-in with the
+production batch shape — codecs are absent in this container, see
+multimodal/__init__.py), and because the histogram is plain byte
+arithmetic over an ASCII corpus, DuckDB reproduces the checked
+feature component exactly: bin 3 of the 16-bin histogram is the
+fraction of bytes in [48, 64) — digits and ':;<=>?' punctuation.
+
+Scale posture: payload bytes cross the JVM↔Python boundary once
+(one mapInPandas stage), the aggregate shuffles only
+(modality, n_bytes, one double) per asset, and metadata-only
+queries on the same frame would never deserialize payloads at all
+(parquet column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.multimodal import extract_features
+from flink_realtime_edu_spark.queries import register
+from flink_realtime_edu_spark.sources import load
+
+
+@register(
+    "multimodal_feature_stats",
+    survey_rows=("X8", "X2", "A2"),
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         text, octet_length(encode(text)) AS n_bytes
+  FROM documents
+), binhits AS (
+  SELECT media_id, modality, n_bytes,
+         count(*) FILTER (WHERE ord(substr(text, i, 1)) BETWEEN 48 AND 63)
+           AS n_bin3
+  FROM m, unnest(generate_series(1, length(text))) g(i)
+  GROUP BY media_id, modality, n_bytes
+)
+SELECT modality,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(n_bytes), 6) AS avg_bytes,
+       round(avg(n_bin3 / greatest(n_bytes, 1)), 6) AS avg_digit_frac
+FROM binhits GROUP BY modality
+""",
+)
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Featurize a derived media corpus (payload = utf-8 text bytes,
+    modality round-robin by doc_id) through the real mapInPandas
+    byte-histogram stage, then aggregate per modality: asset count,
+    payload volume, and the mean of histogram bin 3 (bytes in
+    [48, 64)) — the component the DuckDB oracle recomputes from raw
+    byte arithmetic, proving the Arrow-batched featurizer's output
+    values, not just its schema."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    return feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+        F.round(F.avg(F.element_at("feature", 4)), 6).alias("avg_digit_frac"),
+    )
