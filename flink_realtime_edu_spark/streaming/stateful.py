@@ -132,7 +132,17 @@ def detect_abandoned_stream(
 
     Scale: state is O(unmatched clicks within the timeout horizon)
     per user, partitioned by user_id; the watermark bounds state
-    lifetime to timeout + watermark delay."""
+    lifetime to timeout + watermark delay.
+
+    Watermark semantics caveat (pinned by tests/test_streaming.py::
+    test_abandoned_stream_same_timestamp_purchase_first_in_batch):
+    Catalyst pushes the deterministic click/purchase filter BELOW the
+    EventTimeWatermark node, so only click/purchase rows advance the
+    watermark — other event types are cut before tracking. Timers
+    therefore fire on click/purchase event-time progress, not on
+    arbitrary traffic; a quiet stream holds its timeouts until the
+    next click or purchase arrives (standard event-time behavior —
+    use a processing-time fallback if wall-clock firing is needed)."""
     import sys
 
     from pyspark import cloudpickle

@@ -226,7 +226,13 @@ def test_stateful_timers_abandoned_clicks(spark, tmp_path):
         .start()
     )
     q.processAllAvailable()
-    # advance the watermark far past every click's timeout horizon
+    # Run one more micro-batch so the watermark advanced by batch a's
+    # own purchases (max ts 00:20 - 1 min delay = 00:19, past both
+    # horizons at 00:15) takes effect and fires the timers. NOTE the
+    # view row itself does NOT move the watermark: the operator's
+    # click/purchase filter is pushed below the EventTimeWatermark
+    # node, so filtered-out rows never count (pinned by the tie test
+    # below, which must advance the watermark with a purchase).
     write_batch("b", [("2024-01-01 03:00:00", 99, "view")])
     run_to_completion(q)
     got = {
@@ -234,6 +240,65 @@ def test_stateful_timers_abandoned_clicks(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t7_timers").collect()
     }
     assert got == {(2, "2024-01-01T00:00:00"), (3, "2024-01-01T00:00:00")}
+
+
+def test_abandoned_stream_same_timestamp_purchase_first_in_batch(spark, tmp_path):
+    """T7 regression pin (the r2 bug): a purchase at the SAME event
+    time as its click, written BEFORE the click in the batch file, so
+    the rows reach the state function purchase-first. The two-phase
+    replay (ingest batch clicks, then apply batch purchases) must
+    still match them — the old in-arrival-order replay emitted a
+    false timeout. Spark-level twin of the hypothesis counterexample
+    in tests/test_properties.py."""
+    from flink_realtime_edu_spark.streaming.stateful import detect_abandoned_stream
+
+    src = tmp_path / "t7_tie_src"
+    src.mkdir()
+
+    def write_batch(name: str, rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (F.unix_micros(F.to_timestamp("ts_s")).cast("long") * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for i, f in enumerate((tmp_path / "stage").glob("*.parquet")):
+            shutil.copy(f, src / f"{name}-{i}.parquet")
+
+    stream = detect_abandoned_stream(
+        load_events_stream(spark, str(src)), timeout_ms=900_000, watermark="1 minute"
+    )
+    write_batch(
+        "a",
+        [
+            ("2024-01-01 00:00:00", 7, "purchase"),  # arrives before its click
+            ("2024-01-01 00:00:00", 7, "click"),
+            ("2024-01-01 00:00:00", 8, "click"),  # control: genuinely abandoned
+        ],
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t7_tie")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # Advance the watermark with a row that SURVIVES the operator's
+    # click/purchase filter: Catalyst pushes deterministic filters
+    # below the EventTimeWatermark node, so a 'view' row would be cut
+    # before watermark tracking and never advance it (the wm in the
+    # sibling test above is advanced by batch a's own purchases).
+    write_batch("b", [("2024-01-01 03:00:00", 99, "purchase")])
+    q.processAllAvailable()  # ingest b -> wm advances after this batch
+    write_batch("c", [("2024-01-01 06:00:00", 98, "purchase")])
+    run_to_completion(q)  # timers fire in the batches that follow
+    got = {(r["user_id"], r["click_ts"].isoformat()) for r in spark.sql("SELECT * FROM t7_tie").collect()}
+    # user 7's click matched (no false timeout); user 8's fired.
+    assert got == {(8, "2024-01-01T00:00:00")}
 
 
 def test_session_stream_emits_finalized_sessions(spark, sf_dir, events_dir, tmp_path):
