@@ -95,6 +95,76 @@ def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 256  # tokens per chunk
+_STRIDE = 192  # chunk start stride (64-token overlap)
+
+
+@register(
+    "doc_chunking_windows",
+    survey_rows=("X7", "X1", "F5", "F8"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w, {_NTOK} AS n_toks FROM documents
+), c AS (
+  SELECT doc_id, w, n_toks,
+         CASE WHEN n_toks <= {_CHUNK} THEN 1
+              ELSE 1 + CAST(ceil((n_toks - {_CHUNK}) / {_STRIDE}.0) AS BIGINT)
+         END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+       CAST(least(n_toks - (i - 1) * {_STRIDE}, {_CHUNK}) AS BIGINT)
+         AS n_chunk_toks,
+       md5(array_to_string(
+             list_slice(w, (i - 1) * {_STRIDE} + 1,
+                        least((i - 1) * {_STRIDE} + {_CHUNK}, n_toks)), ' '))
+         AS chunk_md5
+FROM c, unnest(generate_series(1, n_chunks)) g(i)
+""",
+)
+def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (256-token chunks, stride 192
+    → 64-token overlap): the long-document complement of sequence
+    packing — embedding pipelines and context-window training both
+    split oversized docs this way. Emits one row per (doc, chunk)
+    with the chunk's token count and the md5 of its text (the oracle
+    verifies CONTENT, not just arithmetic: DuckDB re-slices the same
+    token windows and must reproduce every hash).
+
+    All higher-order functions: sequence → transform(slice) builds
+    the chunk array per row, one explode — no UDF, no shuffle before
+    the explode, and the final row count is Σ n_chunks, never
+    tokens × chunks."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.greatest(F.size(toks), F.lit(1))
+    n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
+        1 + F.ceil((n - _CHUNK) / F.lit(float(_STRIDE))).cast("bigint")
+    )
+    chunk = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            (i - 1).cast("bigint").alias("chunk_id"),
+            F.least(n - (i - 1) * _STRIDE, F.lit(_CHUNK))
+            .cast("bigint")
+            .alias("n_chunk_toks"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        toks,
+                        (i - 1) * _STRIDE + 1,
+                        F.least(F.lit(_CHUNK), n - (i - 1) * _STRIDE),
+                    ),
+                )
+            ).alias("chunk_md5"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunk).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_chunk_toks", "c.chunk_md5"
+    )
+
+
 @register(
     "token_budget_sample",
     survey_rows=("X7", "F8", "A2"),

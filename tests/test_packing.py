@@ -36,6 +36,46 @@ def test_sequence_packing_invariants(spark, sf_dir):
             cum += r.n_toks
 
 
+def test_doc_chunking_multi_chunk_against_python_reference(spark, tmp_path):
+    """The testdata docs all fit one 256-token chunk, so the oracle
+    never exercises the stride arithmetic; this pins multi-chunk
+    behavior on synthetic long docs against a plain-python slicer."""
+    import hashlib
+
+    CHUNK, STRIDE = 256, 192
+    texts = {
+        1: " ".join(f"w{i}" for i in range(1000)),  # 5 chunks, short tail
+    # boundary cases: exactly CHUNK, CHUNK+1, one stride step
+        2: " ".join(f"w{i}" for i in range(CHUNK)),
+        3: " ".join(f"w{i}" for i in range(CHUNK + 1)),
+        4: " ".join(f"w{i}" for i in range(STRIDE + CHUNK)),
+        5: "solo",
+    }
+    docs = spark.createDataFrame(
+        [(k, v, "src0", "en") for k, v in texts.items()],
+        "doc_id long, text string, source string, lang string",
+    )
+    d = str(tmp_path / "docs_sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_toks, r.chunk_md5)
+        for r in REGISTRY["doc_chunking_windows"].build(spark, d).collect()
+    }
+    want = {}
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 if n <= CHUNK else 1 + -(-(n - CHUNK) // STRIDE)
+        for c in range(n_chunks):
+            piece = toks[c * STRIDE : c * STRIDE + CHUNK]
+            want[(doc_id, c)] = (
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    assert got == want
+
+
 def test_token_budget_sample_invariants(spark, sf_dir):
     rows = REGISTRY["token_budget_sample"].build(spark, sf_dir).collect()
     assert rows
