@@ -22,37 +22,99 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-def upsert_latest_by_key(target_dir: str, key_cols: list[str], version_col: str):
+BUCKET_COL = "__bucket"
+
+
+def upsert_latest_by_key(
+    target_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    n_buckets: int | None = None,
+):
     """Build a foreachBatch function that merges each micro-batch into
     a parquet 'table', keeping the highest-`version_col` row per key
     (ties broken by the key tuple — deterministic).
+
+    Two layouts:
+
+    - ``n_buckets=None`` (default): flat table, full read-merge-
+      rewrite per batch. Right for dim-sized targets (the DWS tables
+      in tests); O(table) per batch.
+    - ``n_buckets=K``: the 100 TB layout — the table is
+      hash-partitioned on ``pmod(xxhash64(keys), K)`` and each batch
+      merges and rewrites ONLY the buckets its keys touch (dynamic
+      partition overwrite). Per-batch cost is O(touched buckets), so
+      with K sized such that a bucket ≈ a few hundred MB, a trickle
+      of updates no longer rewrites terabytes. Read the table back
+      with :func:`read_upsert_table` (drops the bucket column).
 
     At warehouse scale the same function body targets an ACID table
     (MERGE INTO on Delta/Iceberg) or a ClickHouse JDBC batch insert;
     parquet-overwrite keeps this repo dependency-free. State is in
     the TARGET, not the stream — so the operator itself is stateless
-    and restarts are safe.
+    and restarts are safe (re-merging a replayed batch is a no-op).
     """
 
-    def write(batch_df: DataFrame, batch_id: int) -> None:
+    def latest_per_key(merged: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def write_flat(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         target = Path(target_dir)
         merged = batch_df
         if any(target.glob("*.parquet")):
             existing = spark.read.parquet(str(target))
             merged = existing.unionByName(batch_df)
-        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
-        latest = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        latest = latest_per_key(merged)
         # Two-phase write: parquet can't overwrite a dir being read.
         tmp = str(target) + f".tmp{batch_id}"
         latest.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(str(target))
 
-    return write
+    def write_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = Path(target_dir)
+        batch = batch_df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int"),
+        )
+        # The touched-bucket list is ≤ n_buckets ints — driver-sized
+        # by construction, not data-sized.
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        existing_dirs = [
+            str(target / f"{BUCKET_COL}={b}")
+            for b in touched
+            if (target / f"{BUCKET_COL}={b}").is_dir()
+        ]
+        merged = batch
+        if existing_dirs:
+            existing = (
+                spark.read.option("basePath", str(target)).parquet(*existing_dirs)
+            )
+            merged = existing.unionByName(batch)
+        # Materialize before overwriting the very partitions being
+        # read (the bucketed form of the flat path's tmp-dir dance).
+        latest = latest_per_key(merged).localCheckpoint(eager=True)
+        (
+            latest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(str(target))
+        )
+
+    return write_flat if n_buckets is None else write_bucketed
+
+
+def read_upsert_table(spark, target_dir: str) -> DataFrame:
+    """Read an upsert target written by :func:`upsert_latest_by_key`,
+    flat or bucketed (the internal bucket column is dropped)."""
+    df = spark.read.parquet(target_dir)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
 
 def run_to_completion(query: StreamingQuery) -> None:

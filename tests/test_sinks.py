@@ -80,3 +80,67 @@ def test_training_shard_export_is_deterministic_and_balanced(spark, sf_dir, tmp_
     for k in o1:
         assert o1[k] == o2[k]
         assert sorted(o1[k]) != o1[k]  # genuinely shuffled, not key-ordered
+
+
+def test_bucketed_upsert_converges_and_rewrites_only_touched_buckets(spark, tmp_path):
+    """T8/S5 scale layout: the hash-bucketed upsert must reach the
+    exact same table state as the flat upsert, and a batch touching
+    one key must leave every other bucket's files untouched on disk
+    (the O(touched-buckets) property that replaces O(table) rewrites
+    at warehouse scale)."""
+    import os
+
+    from flink_realtime_edu_spark.streaming.sinks import (
+        BUCKET_COL,
+        read_upsert_table,
+        upsert_latest_by_key,
+    )
+
+    flat_dir = str(tmp_path / "flat")
+    buck_dir = str(tmp_path / "bucketed")
+    flat = upsert_latest_by_key(flat_dir, ["k"], "v")
+    buck = upsert_latest_by_key(buck_dir, ["k"], "v", n_buckets=8)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, v long, payload string")
+
+    b0 = batch([(i, 1, f"p{i}") for i in range(32)])
+    flat(b0, 0), buck(b0, 0)
+    # upsert a newer version of one key + one brand-new key
+    b1 = batch([(7, 5, "p7-new"), (100, 1, "p100")])
+
+    def mtimes(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes(buck_dir)
+    flat(b1, 1), buck(b1, 1)
+    after = mtimes(buck_dir)
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.select("k", "v", "payload").collect())))
+
+    got_flat = rows(spark.read.parquet(flat_dir))
+    got_buck = rows(read_upsert_table(spark, buck_dir))
+    assert got_buck == got_flat
+    # version 5 won for key 7; new key landed
+    assert any("p7-new" in r for r in got_buck) and any("p100" in r for r in got_buck)
+    assert not any("'p7')" in r for r in got_buck)
+
+    # untouched buckets' files survive byte-identical (same path+mtime)
+    touched = {
+        r[0]
+        for r in spark.createDataFrame([(7,), (100,)], "k long")
+        .select(F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b"))
+        .collect()
+    }
+    untouched_before = {p: t for p, t in before.items() if not any(f"{BUCKET_COL}={b}/" in p or p.endswith(f"{BUCKET_COL}={b}") for b in touched)}
+    for p, t in untouched_before.items():
+        assert p in after and after[p] == t, f"untouched bucket file rewritten: {p}"
+    # and the touched buckets did change
+    assert any(p not in before or after[p] != before[p] for p in after)
