@@ -17,11 +17,16 @@ pipeline needs downstream of cleaning/dedup:
   engines (no RNG state), the property that matters for auditable
   data recipes.
 
-Scale posture: both are one window pass partitioned by source —
-running sums stay inside each source partition, so 100 TB packs as
-wide as the source cardinality; no global ordering, no collect. The
-window sort reuses the shuffle's partitioning (sort-based agg), and
-token counts ride the same scan that computes them.
+Scale posture: running sums are computed TWO-LEVEL so parallelism
+is #(source × shard), not #sources — a naive per-source window is a
+single reducer per source, which dies when one source holds most of
+100 TB. Shards are ranges of the ordering key itself (doc_id ranges
+for packing, shuffle-key prefixes for sampling), so
+(shard, key) order ≡ key order and the sharded prefix sum is
+EXACTLY the per-source prefix sum: local window inside each
+(source, shard) + a broadcast join against the shard-offset frame
+(one tiny window over per-shard totals). No global ordering, no
+collect; token counts ride the scan that computes them.
 """
 
 from __future__ import annotations
@@ -34,8 +39,44 @@ from flink_realtime_edu_spark.sources import load
 
 _CTX = 2048  # context window (tokens) for packing
 _BUDGET = 20_000  # per-source token budget for sampling
+_SHARD_SPAN = 64  # doc_ids per packing shard (at scale: ~1e6 per shard)
 
 _NTOK = "greatest(len(string_split(text, ' ')), 1)"
+
+
+def _sharded_cum_before(t: DataFrame, shard_col, order_cols: list[str]) -> DataFrame:
+    """Exclusive per-source running token sum, computed two-level:
+    `shard_col` must be a RANGE of the ordering key (so that
+    (shard, order) sorts identically to (order) alone — the
+    equivalence that makes this exact, not approximate). Local
+    exclusive sums run inside each (source, shard); shard offsets
+    come from one window over the per-shard totals frame (rows =
+    #shards — broadcast back). Adds `cum_before`."""
+    t = t.withColumn("__shard", shard_col)
+    w_local = (
+        Window.partitionBy("source", "__shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_before", F.coalesce(F.sum("n_toks").over(w_local), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("source", "__shard")
+        .agg(F.sum("n_toks").alias("shard_toks"))
+        .withColumn("offset", F.coalesce(F.sum("shard_toks").over(w_off), F.lit(0)))
+        .select("source", "__shard", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), on=["source", "__shard"])
+        .withColumn("cum_before", F.col("offset") + F.col("local_before"))
+        .drop("__shard", "local_before", "offset")
+    )
 
 
 @register(
@@ -63,18 +104,16 @@ def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source, documents are laid head-to-tail in doc_id order and
     the token stream is cut every 2048 tokens; each doc reports its
     starting chunk, offset within it, and how many chunks it spans.
-    One window pass per source partition — the doc_id order makes the
-    layout deterministic and restart-stable (a salted or arrival
-    order would re-pack differently every run)."""
+    The doc_id order makes the layout deterministic and
+    restart-stable (a salted or arrival order would re-pack
+    differently every run); the running sum is the two-level sharded
+    form (_sharded_cum_before, shards = doc_id ranges) so one huge
+    source never serializes onto one reducer."""
     d = load(spark, sf_dir, "documents")
     n_toks = F.greatest(F.size(F.split("text", " ")), F.lit(1))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = d.select("source", "doc_id", n_toks.alias("n_toks")).withColumn(
-        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    t = d.select("source", "doc_id", n_toks.alias("n_toks"))
+    c = _sharded_cum_before(
+        t, (F.col("doc_id") / _SHARD_SPAN).cast("bigint"), ["doc_id"]
     )
     return c.select(
         "source",
@@ -194,7 +233,12 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum stays within a 20k-token budget. Emits per-source kept/total
     accounting — the recipe audit a mixture-weighted corpus build
     records. Bernoulli-style md5-threshold sampling (rate-based, not
-    budget-based) is the sibling ``mixture_sample_by_source``."""
+    budget-based) is the sibling ``mixture_sample_by_source``.
+
+    The running sum is two-level sharded on the first hex char of
+    the shuffle key (a PREFIX of the ordering key, so shard order ≡
+    key order and the result is exact — 16-way parallel per source;
+    widen the prefix for more)."""
     d = load(spark, sf_dir, "documents")
     n_toks = F.greatest(F.size(F.split("text", " ")), F.lit(1))
     t = d.select(
@@ -203,12 +247,9 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_toks.alias("n_toks"),
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("shuffle_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = t.withColumn("cum", F.sum("n_toks").over(w))
+    c = _sharded_cum_before(
+        t, F.substring("shuffle_key", 1, 1), ["shuffle_key", "doc_id"]
+    ).withColumn("cum", F.col("cum_before") + F.col("n_toks"))
     kept = F.col("cum") <= _BUDGET
     return c.groupBy("source").agg(
         F.sum(kept.cast("bigint")).alias("n_docs_kept"),
