@@ -155,6 +155,11 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-for-bit with HUGEINT partial sums + the precomputed BASE powers
 # inlined below (counts/distinctness are unaffected by the final
 # int64 reinterpret on the Spark side, so no sign juggling needed).
+# ASCII assumption: the SQL replay reads per-CHAR codepoints
+# (ord/substr) while the numpy core reads utf-8 BYTES — identical on
+# the ASCII testdata corpus; a non-ASCII corpus would need DuckDB's
+# encode()+blob indexing on the oracle side (the Spark result itself
+# is byte-correct either way).
 _WINNOW_POWERS = [
     14218562807570617051,
     15895002104753931833,

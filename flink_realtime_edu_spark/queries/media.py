@@ -12,6 +12,9 @@ multimodal/__init__.py), and because the histogram is plain byte
 arithmetic over an ASCII corpus, DuckDB reproduces the checked
 feature component exactly: bin 3 of the 16-bin histogram is the
 fraction of bytes in [48, 64) — digits and ':;<=>?' punctuation.
+(The SQL side reads per-char codepoints — identical to utf-8 bytes
+on the ASCII testdata; same caveat as the winnowing oracles in
+queries/dedup.py.)
 
 Scale posture: payload bytes cross the JVM↔Python boundary once
 (one mapInPandas stage), the aggregate shuffles only

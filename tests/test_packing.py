@@ -76,6 +76,43 @@ def test_doc_chunking_multi_chunk_against_python_reference(spark, tmp_path):
     assert got == want
 
 
+def test_sharded_cum_before_equals_naive_prefix_sum(spark):
+    """The two-level sharded running sum must equal the naive
+    single-window prefix sum EXACTLY — including on a pathologically
+    skewed layout (one source holding almost everything, empty
+    shards, single-doc sources). This is the equivalence the packing
+    oracles rely on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_spark.queries.packing import _sharded_cum_before
+
+    rng = random.Random(42)
+    rows = []
+    # source A: 500 docs with gaps in doc_id space (empty shards)
+    for i in range(500):
+        rows.append((i * 7, "A", rng.randint(1, 300)))
+    # source B: a single doc; source C: two docs in one shard
+    rows.append((3, "B", 17))
+    rows.extend([(1000, "C", 5), (1001, "C", 9)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_toks long")
+
+    got = {
+        (r.source, r.doc_id): r.cum_before
+        for r in _sharded_cum_before(
+            df, (F.col("doc_id") / 64).cast("bigint"), ["doc_id"]
+        ).collect()
+    }
+    want = {}
+    for source in {"A", "B", "C"}:
+        cum = 0
+        for doc_id, _, n in sorted(r for r in rows if r[1] == source):
+            want[(source, doc_id)] = cum
+            cum += n
+    assert got == want
+
+
 def test_token_budget_sample_invariants(spark, sf_dir):
     rows = REGISTRY["token_budget_sample"].build(spark, sf_dir).collect()
     assert rows
