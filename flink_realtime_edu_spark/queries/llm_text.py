@@ -55,6 +55,65 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_coverage_topk",
+    survey_rows=("X7", "X1", "W4", "A5"),
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), v AS (
+  SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY word
+), r AS (
+  SELECT word, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, word
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM v
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, word, cnt,
+       ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_coverage
+FROM r WHERE rnk <= 50
+""",
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: corpus tokens ranked by frequency
+    with the CUMULATIVE fraction of total token mass the top-k terms
+    cover — the analysis behind vocab-size / stopword / tokenizer
+    decisions ("how many types cover 95% of tokens?").
+
+    Scale: the window runs over the AGGREGATED vocabulary (types,
+    not tokens — dictionary-sized), never the raw token stream; its
+    global order is fine at that cardinality, and the corpus total
+    rides the same frame as a partition-less sum. Exact integer
+    counts; only the final ratio is floating (rounded on both
+    engines)."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), "word")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        vocab.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("total", F.sum("cnt").over(w_all))
+        .filter(F.col("rnk") <= 50)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "word",
+            "cnt",
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "cum_coverage"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # X7 — corpus stats by source
 # --------------------------------------------------------------------------
