@@ -673,6 +673,78 @@ def test_ts_shape_drift_guard(spark, sf_dir, tmp_path):
         assert rows == want, f"{path} diverged from normalized batch rows"
 
 
+def test_abandoned_state_survives_restart_from_checkpoint(spark, tmp_path):
+    """T7 + checkpoint/restore: kill the GroupState timer job between
+    micro-batches and restart from the same checkpoint — pending-click
+    state and registered timeouts must be recovered from the state
+    store, so the final abandoned set is exactly the batch anti-join
+    answer with no lost and no duplicate timeouts. (The layered test
+    above covers agg-state recovery; this covers applyInPandasWithState.)"""
+    from flink_realtime_edu_spark.streaming.stateful import detect_abandoned_stream
+
+    src = tmp_path / "t7_restart_src"
+    src.mkdir()
+
+    def write_batch(name: str, rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (F.unix_micros(F.to_timestamp("ts_s")).cast("long") * 1000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for i, f in enumerate((tmp_path / "stage").glob("*.parquet")):
+            shutil.copy(f, src / f"{name}-{i}.parquet")
+
+    # one file per micro-batch; all present before the first start so
+    # the restart point lands mid-replay deterministically
+    write_batch("f1", [
+        ("2024-01-01 00:00:00", 1, "click"),      # abandoned (purchase too late)
+        ("2024-01-01 00:00:00", 2, "click"),
+        ("2024-01-01 00:05:00", 2, "purchase"),   # matched in time
+    ])
+    write_batch("f2", [
+        ("2024-01-01 00:30:00", 1, "purchase"),   # outside the 15 min window
+        ("2024-01-01 00:31:00", 3, "click"),      # abandoned
+    ])
+    write_batch("f3", [("2024-01-01 03:00:00", 4, "purchase")])  # wm -> 02:59
+    write_batch("f4", [("2024-01-01 06:00:00", 5, "purchase")])  # firing batch
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = detect_abandoned_stream(
+            load_events_stream(spark, str(src), max_files_per_trigger=1),
+            timeout_ms=900_000,
+            watermark="1 minute",
+        )
+        versioned = stream.select(
+            "user_id", "click_ts", F.unix_millis("click_ts").alias("v")
+        )
+        return (
+            versioned.writeStream.outputMode("append")
+            .foreachBatch(upsert_latest_by_key(out_dir, ["user_id", "click_ts"], "v"))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    await_progress(q1, min_batch_id=1)  # >= 2 batches committed, then kill
+    q1.stop()
+    q1.awaitTermination()
+
+    q2 = start()  # resumes offsets + recovered GroupState from ckpt
+    run_to_completion(q2)
+
+    got = sorted(
+        (r["user_id"], r["click_ts"].isoformat())
+        for r in spark.read.parquet(out_dir).select("user_id", "click_ts").collect()
+    )
+    assert got == [(1, "2024-01-01T00:00:00"), (3, "2024-01-01T00:31:00")]
+
+
 def test_kafka_payload_roundtrip_contract(spark, sf_dir):
     """S1/S4 contract: the producer encoding (kafka_json_payload, the
     exact expression write_kafka ships) must decode losslessly with
