@@ -205,6 +205,60 @@ def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curated_packing_manifest",
+    survey_rows=("X4", "X7", "A1", "F3"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+  FROM documents
+), good AS (
+  SELECT * FROM scored
+  WHERE len(toks) BETWEEN 20 AND 80
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.5
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM good GROUP BY md5(text)
+), uniq AS (
+  SELECT * FROM good WHERE doc_id IN (SELECT doc_id FROM canon)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       CAST(ceil(SUM(len(toks)) / {_CTX}.0) AS BIGINT) AS n_chunks,
+       ROUND(SUM(len(toks)) / (ceil(SUM(len(toks)) / {_CTX}.0) * {_CTX}.0), 6)
+         AS fill_ratio
+FROM uniq GROUP BY source
+""",
+)
+def curated_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition demo: the curation front half (quality filter +
+    exact dedup, the corpus_curation_pipeline rules) feeding the
+    packing back half — per source, the surviving doc/token counts,
+    how many 2048-token context windows the survivors pack into, and
+    the fill ratio (packing efficiency the last short chunk costs).
+    One composed Catalyst plan: filter prunes before any shuffle,
+    dedup shuffles (hash, id) pairs, the manifest is a plain
+    aggregate — the per-doc chunk mapping stays
+    ``sequence_packing_chunks``'s job."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    good = d.filter(n.between(20, 80) & (ttr > 0.5))
+    canon = good.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    uniq = good.join(canon.select("doc_id"), on="doc_id", how="left_semi")
+    total = F.sum(n.cast("bigint"))
+    n_chunks = F.ceil(total / F.lit(float(_CTX)))
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.alias("total_tokens"),
+        n_chunks.cast("bigint").alias("n_chunks"),
+        F.round(total / (n_chunks * F.lit(float(_CTX))), 6).alias("fill_ratio"),
+    )
+
+
+@register(
     "token_budget_sample",
     survey_rows=("X7", "F8", "A2"),
     oracle=f"""
