@@ -29,6 +29,10 @@ from flink_realtime_edu_spark.streaming.jobs import (
     temporal_join_stream,
     tumbling_stats_stream,
 )
+from flink_realtime_edu_spark.streaming.scd2 import (
+    maintain_scd2_dim,
+    read_scd2_intervals,
+)
 from flink_realtime_edu_spark.streaming.sinks import (
     await_progress,
     run_to_completion,
@@ -54,4 +58,6 @@ __all__ = [
     "upsert_latest_by_key",
     "run_to_completion",
     "await_progress",
+    "maintain_scd2_dim",
+    "read_scd2_intervals",
 ]

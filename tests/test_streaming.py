@@ -745,6 +745,54 @@ def test_abandoned_state_survives_restart_from_checkpoint(spark, tmp_path):
     assert got == [(1, "2024-01-01T00:00:00"), (3, "2024-01-01T00:31:00")]
 
 
+def test_scd2_dim_maintained_from_stream_equals_batch(spark, sf_dir, tmp_path):
+    """S2/S5 closed loop: maintain the SCD2 dim CONTINUOUSLY from the
+    CDC stream (bucketed changelog append + affected-bucket interval
+    recompute per micro-batch) and the final interval table must
+    equal the batch state_intervals over the same changelog — across
+    an unordered 4-micro-batch replay, i.e. with late data landing
+    inside already-compacted spans. The maintained table then serves
+    the batch temporal join identically to a batch-built one."""
+    from flink_realtime_edu_spark.queries.temporal import state_intervals
+    from flink_realtime_edu_spark.streaming import temporal_join_stream
+    from flink_realtime_edu_spark.streaming.scd2 import (
+        maintain_scd2_dim,
+        read_scd2_intervals,
+    )
+
+    src = tmp_path / "cdc_src"
+    ev = load(spark, sf_dir, "events")
+    changelog = ev.filter(F.col("event_type") != "purchase")
+    # 4 unsorted micro-batches -> late rows for already-built spans
+    changelog.withColumn("ts", F.unix_micros("ts") * 1000).repartition(4).write.parquet(
+        str(src)
+    )
+
+    store = str(tmp_path / "scd2_store")
+    q = (
+        load_events_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.foreachBatch(maintain_scd2_dim(store, n_buckets=8))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    got = read_scd2_intervals(spark, store)
+    want = state_intervals(changelog)
+    cols = ["user_id", "run_id", "state", "valid_from", "n_events", "valid_to"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+
+    # the maintained dim serves the temporal join exactly like batch
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    got_join = temporal_join_stream(purchases, got).select(
+        "event_id", "user_id", "state_asof"
+    )
+    want_join = temporal_join_stream(purchases, want).select(
+        "event_id", "user_id", "state_asof"
+    )
+    assert _rows(got_join) == _rows(want_join)
+
+
 def test_kafka_payload_roundtrip_contract(spark, sf_dir):
     """S1/S4 contract: the producer encoding (kafka_json_payload, the
     exact expression write_kafka ships) must decode losslessly with
