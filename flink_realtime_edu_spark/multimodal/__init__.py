@@ -113,7 +113,10 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             feats, nbytes = [], []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # NULL payload column -> empty asset, not a crash
+                arr = np.frombuffer(
+                    bytes(payload) if payload is not None else b"", dtype=np.uint8
+                )
                 hist, _ = np.histogram(arr, bins=edges)
                 feats.append((hist / max(len(arr), 1)).tolist())
                 nbytes.append(len(arr))

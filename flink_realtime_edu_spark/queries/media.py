@@ -41,7 +41,8 @@ WITH m AS (
   SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS modality,
-         text, octet_length(encode(text)) AS n_bytes
+         COALESCE(text, '') AS text,
+         octet_length(encode(COALESCE(text, ''))) AS n_bytes
   FROM documents
 ), binhits AS (
   SELECT media_id, modality, n_bytes,
@@ -50,12 +51,17 @@ WITH m AS (
   FROM m, unnest(generate_series(1, length(text))) g(i)
   GROUP BY media_id, modality, n_bytes
 )
-SELECT modality,
+-- LEFT join back: an empty/NULL text produces NO lateral rows, but
+-- the asset itself must still count (the Spark featurizer emits it
+-- with n_bytes=0 and a zero histogram).
+SELECT m.modality,
        CAST(count(*) AS BIGINT) AS n_assets,
-       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-       round(avg(n_bytes), 6) AS avg_bytes,
-       round(avg(n_bin3 / greatest(n_bytes, 1)), 6) AS avg_digit_frac
-FROM binhits GROUP BY modality
+       CAST(sum(m.n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(m.n_bytes), 6) AS avg_bytes,
+       round(avg(COALESCE(b.n_bin3, 0) / greatest(m.n_bytes, 1)), 6)
+         AS avg_digit_frac
+FROM m LEFT JOIN binhits b ON m.media_id = b.media_id
+GROUP BY m.modality
 """,
 )
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +79,10 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("modality"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        # coalesce: a NULL text must become an EMPTY payload (the
+        # featurizer would crash on a None payload, and the oracle
+        # counts the asset with n_bytes=0 either way)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
     )
     feats = extract_features(media)
     return feats.groupBy("modality").agg(

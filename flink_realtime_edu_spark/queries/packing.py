@@ -112,18 +112,18 @@ def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n_toks = F.greatest(F.size(F.split("text", " ")), F.lit(1))
     t = d.select("source", "doc_id", n_toks.alias("n_toks"))
-    c = _sharded_cum_before(
-        t, (F.col("doc_id") / _SHARD_SPAN).cast("bigint"), ["doc_id"]
-    )
+    # `div`, not `/`: float division loses low bits past 2^53 — a
+    # per-source token stream a 100 TB corpus can actually reach —
+    # and would disagree with both the exact `%` next to it and the
+    # oracle's integer `//`.
+    c = _sharded_cum_before(t, F.expr(f"doc_id div {_SHARD_SPAN}"), ["doc_id"])
     return c.select(
         "source",
         "doc_id",
         "n_toks",
-        (F.col("cum_before") / _CTX).cast("bigint").alias("start_chunk"),
+        F.expr(f"cum_before div {_CTX}").alias("start_chunk"),
         (F.col("cum_before") % _CTX).cast("bigint").alias("start_offset"),
-        (
-            (F.col("cum_before") + F.col("n_toks") - 1) / _CTX
-        ).cast("bigint").alias("end_chunk"),
+        F.expr(f"(cum_before + n_toks - 1) div {_CTX}").alias("end_chunk"),
     ).select(
         "source",
         "doc_id",

@@ -34,9 +34,14 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from flink_realtime_edu_spark.streaming.sinks import BUCKET_COL
+from flink_realtime_edu_spark.streaming.sinks import (
+    BUCKET_COL,
+    key_bucket_col,
+    overwrite_buckets,
+    read_buckets,
+    read_upsert_table,
+)
 
 CHANGELOG_SUBDIR = "changelog"
 INTERVALS_SUBDIR = "intervals"
@@ -55,36 +60,29 @@ def maintain_scd2_dim(store_dir: str, n_buckets: int = 8, key_col: str = "user_i
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bucket = F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
-        batch = batch_df.withColumn(BUCKET_COL, bucket)
-        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
-        if not touched:
-            return
-        batch.write.mode("append").partitionBy(BUCKET_COL).parquet(changelog_dir)
-        dirs = [
-            str(Path(changelog_dir) / f"{BUCKET_COL}={b}")
-            for b in touched
-            if (Path(changelog_dir) / f"{BUCKET_COL}={b}").is_dir()
-        ]
-        history = (
-            spark.read.option("basePath", changelog_dir)
-            .parquet(*dirs)
-            .dropDuplicates([key_col, "event_id"])  # replay idempotency
+        # Persist: the batch plan feeds the touched-bucket probe AND
+        # the changelog append (same rationale as sinks.write_bucketed).
+        batch = batch_df.withColumn(
+            BUCKET_COL, key_bucket_col([key_col], n_buckets)
+        ).persist()
+        try:
+            touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+            if not touched:
+                return
+            batch.write.mode("append").partitionBy(BUCKET_COL).parquet(changelog_dir)
+        finally:
+            batch.unpersist()
+        history = read_buckets(spark, changelog_dir, touched).dropDuplicates(
+            [key_col, "event_id"]  # replay idempotency
         )
         fresh = state_intervals(history).withColumn(
-            BUCKET_COL, F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+            BUCKET_COL, key_bucket_col([key_col], n_buckets)
         )
-        (
-            fresh.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(intervals_dir)
-        )
+        overwrite_buckets(fresh, intervals_dir)
 
     return write
 
 
 def read_scd2_intervals(spark, store_dir: str) -> DataFrame:
     """Current SCD2 interval table maintained by maintain_scd2_dim."""
-    df = spark.read.parquet(str(Path(store_dir) / INTERVALS_SUBDIR))
-    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+    return read_upsert_table(spark, str(Path(store_dir) / INTERVALS_SUBDIR))

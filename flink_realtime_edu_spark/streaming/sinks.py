@@ -25,6 +25,44 @@ from pyspark.sql.streaming import StreamingQuery
 BUCKET_COL = "__bucket"
 
 
+def key_bucket_col(key_cols: list[str], n_buckets: int):
+    """The ONE definition of the on-disk bucket id: every reader and
+    writer of a bucketed table must derive it from here, or layouts
+    silently diverge."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def existing_bucket_dirs(target_dir: str, buckets: list[int]) -> list[str]:
+    """Partition dirs under `target_dir` that exist for `buckets`."""
+    target = Path(target_dir)
+    return [
+        str(target / f"{BUCKET_COL}={b}")
+        for b in buckets
+        if (target / f"{BUCKET_COL}={b}").is_dir()
+    ]
+
+
+def read_buckets(spark, target_dir: str, buckets: list[int]) -> DataFrame | None:
+    """Read only the given buckets of a bucketed table (partition
+    column retained via basePath); None if none exist yet."""
+    dirs = existing_bucket_dirs(target_dir, buckets)
+    if not dirs:
+        return None
+    return spark.read.option("basePath", target_dir).parquet(*dirs)
+
+
+def overwrite_buckets(df: DataFrame, target_dir: str) -> None:
+    """Dynamically overwrite exactly the bucket partitions present in
+    `df` (which must carry BUCKET_COL), leaving every other bucket's
+    files untouched."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_dir)
+    )
+
+
 def upsert_latest_by_key(
     target_dir: str,
     key_cols: list[str],
@@ -78,34 +116,24 @@ def upsert_latest_by_key(
 
     def write_bucketed(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        target = Path(target_dir)
+        # Persist: the batch plan feeds BOTH the touched-bucket probe
+        # and the merge — without this the micro-batch's whole
+        # upstream transform chain evaluates twice per trigger.
         batch = batch_df.withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int"),
-        )
-        # The touched-bucket list is ≤ n_buckets ints — driver-sized
-        # by construction, not data-sized.
-        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
-        existing_dirs = [
-            str(target / f"{BUCKET_COL}={b}")
-            for b in touched
-            if (target / f"{BUCKET_COL}={b}").is_dir()
-        ]
-        merged = batch
-        if existing_dirs:
-            existing = (
-                spark.read.option("basePath", str(target)).parquet(*existing_dirs)
-            )
-            merged = existing.unionByName(batch)
-        # Materialize before overwriting the very partitions being
-        # read (the bucketed form of the flat path's tmp-dir dance).
-        latest = latest_per_key(merged).localCheckpoint(eager=True)
-        (
-            latest.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(str(target))
-        )
+            BUCKET_COL, key_bucket_col(key_cols, n_buckets)
+        ).persist()
+        try:
+            # The touched-bucket list is ≤ n_buckets ints —
+            # driver-sized by construction, not data-sized.
+            touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+            existing = read_buckets(spark, target_dir, touched)
+            merged = batch if existing is None else existing.unionByName(batch)
+            # Materialize before overwriting the very partitions being
+            # read (the bucketed form of the flat path's tmp-dir dance).
+            latest = latest_per_key(merged).localCheckpoint(eager=True)
+            overwrite_buckets(latest, target_dir)
+        finally:
+            batch.unpersist()
 
     return write_flat if n_buckets is None else write_bucketed
 
@@ -123,12 +151,27 @@ def run_to_completion(query: StreamingQuery) -> None:
     If the query died, surface its ROOT CAUSE as the raised error —
     `processAllAvailable` alone buries e.g. a parquet schema mismatch
     twenty frames deep in a Py4J trace (or, worse, a caller polling
-    `lastProgress` never learns the query is dead at all)."""
+    `lastProgress` never learns the query is dead at all). Every exit
+    path funnels through `query.exception()`: a bare try/finally
+    would let `awaitTermination()` re-raise the buried form from
+    inside the finally block and discard the root cause."""
+
+    def raise_root_cause(fallback: Exception) -> None:
+        exc = query.exception()
+        if exc is not None:
+            raise exc from None
+        raise fallback
+
     try:
         query.processAllAvailable()
-    finally:
+    except Exception as inflight:
         query.stop()
+        raise_root_cause(inflight)
+    query.stop()
+    try:
         query.awaitTermination()
+    except Exception as term:
+        raise_root_cause(term)
     exc = query.exception()
     if exc is not None:
         raise exc
