@@ -86,3 +86,39 @@ def maintain_scd2_dim(store_dir: str, n_buckets: int = 8, key_col: str = "user_i
 def read_scd2_intervals(spark, store_dir: str) -> DataFrame:
     """Current SCD2 interval table maintained by maintain_scd2_dim."""
     return read_upsert_table(spark, str(Path(store_dir) / INTERVALS_SUBDIR))
+
+
+def compact_changelog(
+    spark, store_dir: str, key_col: str = "user_id", max_files_per_bucket: int = 1
+) -> int:
+    """Small-file maintenance for the append-only changelog: each
+    micro-batch appends one file per touched bucket, so a long-lived
+    stream accumulates per-bucket file counts linear in batch count.
+    Rewrites every bucket that exceeds `max_files_per_bucket` down
+    to ONE file (all of a bucket's rows hash to one task), with the
+    (key, event_id) dedup folded in — replayed batches' duplicates
+    disappear at compaction instead of being re-dropped on every
+    read. Run OFFLINE — between, not during, streaming runs: the
+    maintainer lists bucket dirs per batch and must not race a
+    concurrent rewrite. Returns the number of buckets compacted.
+
+    The rewrite is per-bucket dynamic partition overwrite through an
+    eager localCheckpoint (can't overwrite files being read), so
+    untouched buckets keep their files byte-identical — same
+    contract as the bucketed upsert sink."""
+    changelog_dir = str(Path(store_dir) / CHANGELOG_SUBDIR)
+    fat = [
+        int(d.name.split("=", 1)[1])
+        for d in Path(changelog_dir).glob(f"{BUCKET_COL}=*")
+        if len(list(d.glob("*.parquet"))) > max_files_per_bucket
+    ]
+    if not fat:
+        return 0
+    rows = (
+        read_buckets(spark, changelog_dir, fat)
+        .dropDuplicates([key_col, "event_id"])
+        .repartition(len(fat), BUCKET_COL)
+        .localCheckpoint(eager=True)
+    )
+    overwrite_buckets(rows, changelog_dir)
+    return len(fat)

@@ -792,6 +792,27 @@ def test_scd2_dim_maintained_from_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     assert _rows(got_join) == _rows(want_join)
 
+    # offline small-file compaction: per-bucket file counts drop to 1,
+    # and the changelog content (hence the next recompute) is unchanged
+    from pathlib import Path
+
+    from flink_realtime_edu_spark.streaming.scd2 import (
+        CHANGELOG_SUBDIR,
+        compact_changelog,
+    )
+
+    cdir = Path(store) / CHANGELOG_SUBDIR
+    before = _rows(spark.read.parquet(str(cdir)).drop("__bucket"))
+    assert any(
+        len(list(d.glob("*.parquet"))) > 1 for d in cdir.glob("__bucket=*")
+    ), "expected multi-file buckets from the 4-batch replay"
+    n = compact_changelog(spark, store)
+    assert n > 0
+    assert all(
+        len(list(d.glob("*.parquet"))) == 1 for d in cdir.glob("__bucket=*")
+    )
+    assert _rows(spark.read.parquet(str(cdir)).drop("__bucket")) == before
+
 
 def test_kafka_payload_roundtrip_contract(spark, sf_dir):
     """S1/S4 contract: the producer encoding (kafka_json_payload, the
