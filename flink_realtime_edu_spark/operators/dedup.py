@@ -285,20 +285,37 @@ def jaccard_pairs_exact(
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs WITHOUT hashing or pair-wise array
     ops: explode distinct shingles, self-join on the shingle
     (inverted-index blocking — any pair with J > 0 shares one), and
     count matches per pair; |A∩B| is that count, |A∪B| =
-    |A|+|B|-|A∩B|, and the |A|/|B| terms come straight from the doc
-    projection (`size(array_distinct(...))` — no explode, no extra
-    shuffle) and are BROADCAST into the pair frame (the sizes table
-    is one row per doc — dim-sized even at corpus scale). Cheaper
-    than rejoining full shingle arrays per candidate pair (measured
-    ~3× on the word-soup corpus at sf0.1, where frequent shingles
-    make candidates dense).
+    |A|+|B|-|A∩B|, and the |A|/|B| terms are per-doc kept-shingle
+    counts BROADCAST into the pair frame (the sizes table is one row
+    per doc — dim-sized even at corpus scale). Cheaper than
+    rejoining full shingle arrays per candidate pair (measured ~3×
+    on the word-soup corpus at sf0.1, where frequent shingles make
+    candidates dense).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 and
     filtered to ≥ threshold.
+
+    ``max_df`` is the 100-TB guard: a shingle present in d documents
+    emits d(d-1)/2 pair rows from the self-join, so ONE corpus-wide
+    stop-phrase shingle ("terms of service" in millions of docs)
+    would explode a single join key into ~10^12 rows. Shingles with
+    document frequency > max_df are dropped BEFORE the self-join
+    (the standard prefix/positional-filtering trick — high-df
+    shingles carry negligible Jaccard discrimination), bounding the
+    self-join output at Σ_kept df² ≤ max_df · Σ df = max_df ·
+    |inverted index|, i.e. LINEAR in corpus size for fixed max_df.
+    Semantics become exact Jaccard over the capped shingle universe:
+    sizes count only kept shingles, so J is a true Jaccard on the
+    filtered sets (docs whose shingles are all hot emit no pairs);
+    the DuckDB oracle applies the identical cap. ``max_df=None``
+    restores uncapped exact Jaccard (small/trusted corpora only).
+    Hot-shingle boundedness is pinned by a planted-stop-shingle
+    pytest (tests/test_operators.py).
 
     The inverted index carries xxhash64(shingle), not the shingle
     string: the self-join shuffles and compares 8-byte longs instead
@@ -309,39 +326,38 @@ def jaccard_pairs_exact(
     this corpus).
 
     The exploded (doc, shingle-hash) frame is lazily
-    localCheckpointed before the self-join — AQE does not stage-reuse
-    the two identical subtrees (see candidate_pairs), and the hash
-    rows are 16 bytes each vs re-scanning + re-shingling the text."""
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
-                    )
+    localCheckpointed before the df-filter and self-join — AQE does
+    not stage-reuse the identical subtrees (see candidate_pairs),
+    and the hash rows are 16 bytes each vs re-scanning +
+    re-shingling the text."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
                 )
-            ).alias("s"),
+            )
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
         )
-        .localCheckpoint(eager=False)
-        .repartition("s")  # aligns both join sides on the same partitioning
-    )
+        # sh now feeds sizes + both self-join sides; materialize the
+        # pruned rows once (strictly smaller than the pre-cap frame).
+        sh = sh.join(rare, on="s", how="left_semi").localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = sh.repartition("s")  # aligns both join sides on the same partitioning
     inter = (
         sh.select(F.col("doc_id").alias("id_a"), "s")
         .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(
-            F.array_distinct(
-                F.transform(
-                    word_shingles(text_col, shingle_words), lambda s: F.xxhash64(s)
-                )
-            )
-        ).alias("n"),
     )
     jac = F.round(
         F.col("n_inter").cast("double")

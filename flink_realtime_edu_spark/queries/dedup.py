@@ -262,10 +262,14 @@ WITH toks AS (
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
   FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+), kept AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s
+), sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
@@ -277,18 +281,21 @@ WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.5
 """,
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (3-word shingles, J ≥ 0.5)
-    — the hash-free X5 variant. Candidate pairs form only where a
-    distinct shingle is shared (inverted-index self-join on the
-    shingle, i.e. blocking — never a global cross product), and the
-    intersection size is counted in the same join (see
-    operators.dedup.jaccard_pairs_exact). No hashing → fully
+    """Exact n-gram Jaccard near-dup pairs (3-word shingles, J ≥ 0.5,
+    shingle df-cap 100) — the hash-free X5 variant. Candidate pairs
+    form only where a distinct shingle is shared (inverted-index
+    self-join on the shingle, i.e. blocking — never a global cross
+    product), and the intersection size is counted in the same join
+    (see operators.dedup.jaccard_pairs_exact). Shingles appearing in
+    more than 100 documents are dropped before the self-join — the
+    prefix-filtering df-cap that keeps the inverted index LINEAR in
+    corpus size instead of quadratic on one hot stop-phrase shingle;
+    the oracle applies the identical cap, so Jaccard is exact over
+    the capped shingle universe in both engines. No hashing → fully
     DuckDB-expressible → oracle-checked, unlike the minhash/simhash
-    variants. Scale note: the inverted index is O(Σ df²) on frequent
-    shingles; at 100 TB use near_dup_minhash (constant-size
-    signatures) for candidates instead."""
+    variants."""
     return jaccard_pairs_exact(
-        load(spark, sf_dir, "documents"), shingle_words=3, threshold=0.5
+        load(spark, sf_dir, "documents"), shingle_words=3, threshold=0.5, max_df=100
     )
 
 
@@ -310,10 +317,14 @@ WITH scored AS (
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
   FROM uniq, unnest(generate_series(1, greatest(len(toks) - 2, 1))) t(i)
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+), shk AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s
+), sizes AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), dups AS (
   SELECT DISTINCT i.id_b AS doc_id
@@ -372,10 +383,14 @@ WITH RECURSIVE toks AS (
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
   FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+), kept AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s
+), sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), pairs AS (
   SELECT i.id_a, i.id_b
@@ -425,10 +440,14 @@ WITH RECURSIVE toks AS (
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
   FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+), kept AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s
+), sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), pairs AS (
   SELECT i.id_a, i.id_b

@@ -479,3 +479,33 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             hi = bisect.bisect_right(vs, got)
             target = q * n
             assert lo - tol <= target <= hi + tol, (r.event_type, q, got, lo, hi, target)
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
+    """100-TB guard for the exact-Jaccard inverted index: a shingle
+    present in d docs emits d(d-1)/2 self-join rows, so one
+    corpus-wide stop-phrase shingle would go quadratic. The df-cap
+    must (a) keep pair-row output at ZERO when the only shared
+    shingle is hot, (b) leave genuine low-df near-dup pairs intact."""
+    from flink_realtime_edu_spark.operators.dedup import jaccard_pairs_exact
+
+    # 60 docs all sharing ONLY the planted stop shingle "terms of
+    # service"; every other shingle is unique to its doc.
+    hot = [(i, f"terms of service w{i}a w{i}b w{i}c w{i}d") for i in range(60)]
+    # plus one genuine near-dup pair built from rare (df<=2) shingles
+    hot += [(100, BASE), (101, NEAR)]
+    docs = spark.createDataFrame(hot, "doc_id long, text string")
+
+    # uncapped, threshold 0: the hot shingle alone creates C(60,2)
+    # candidate pairs — the blowup the cap exists to prevent
+    uncapped = jaccard_pairs_exact(docs, threshold=0.0, max_df=None)
+    assert uncapped.count() >= 60 * 59 // 2
+
+    # capped: stop shingle df=60 > 20 is dropped BEFORE the self-join,
+    # so the hot-doc pairs never materialize; the rare-shingle
+    # near-dup pair survives with its exact capped-universe Jaccard
+    capped = jaccard_pairs_exact(docs, threshold=0.5, max_df=20)
+    rows = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert rows == {(100, 101)}
+    all_pairs = jaccard_pairs_exact(docs, threshold=0.0, max_df=20)
+    assert all_pairs.count() <= 61  # bounded: no quadratic hot-key term
