@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from flink_realtime_edu_spark.functions import word_shingles
+from flink_realtime_edu_spark.session import materialize as _materialize
 
 
 # ---------------------------------------------------------------------------
@@ -226,11 +227,13 @@ def candidate_pairs(
     the upstream text-scan + signature stage runs once per side. AQE
     stays on (skew-join splitting matters more at scale); instead the
     band frame — 24 bytes/doc/band, orders smaller than the corpus it
-    derives from — is lazily localCheckpointed so both join sides
+    derives from — is lazily materialized (session.materialize — localCheckpoint
+    locally, persist(MEMORY_AND_DISK) on preemptible clusters via the
+    spark.flink_realtime_edu.materialize conf) so both join sides
     read the materialized rows (measured 6.6 s → 2.3 s end-to-end on
     near_dup_minhash at sf0.1)."""
     if materialize:
-        bands_df = bands_df.localCheckpoint(eager=False)
+        bands_df = _materialize(bands_df)
     bands_df = bands_df.repartition("band_id", "band_hash")
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
@@ -326,7 +329,8 @@ def jaccard_pairs_exact(
     this corpus).
 
     The exploded (doc, shingle-hash) frame is lazily
-    localCheckpointed before the df-filter and self-join — AQE does
+    materialized (session.materialize) before the df-filter and
+    self-join — AQE does
     not stage-reuse the identical subtrees (see candidate_pairs),
     and the hash rows are 16 bytes each vs re-scanning +
     re-shingling the text."""
@@ -339,7 +343,8 @@ def jaccard_pairs_exact(
                 )
             )
         ).alias("s"),
-    ).localCheckpoint(eager=False)
+    )
+    sh = _materialize(sh)
     if max_df is not None:
         rare = (
             sh.groupBy("s")
@@ -349,7 +354,7 @@ def jaccard_pairs_exact(
         )
         # sh now feeds sizes + both self-join sides; materialize the
         # pruned rows once (strictly smaller than the pre-cap frame).
-        sh = sh.join(rare, on="s", how="left_semi").localCheckpoint(eager=False)
+        sh = _materialize(sh.join(rare, on="s", how="left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh = sh.repartition("s")  # aligns both join sides on the same partitioning
     inter = (
@@ -510,7 +515,7 @@ def fingerprint_overlap_pairs(
     # materialize the (id, fp) rows once — same trade-off as
     # candidate_pairs, and fp rows are tiny next to the text scan +
     # winnow UDF they replace.
-    fp = fp.localCheckpoint(eager=False)
+    fp = _materialize(fp)
     if max_df is not None:
         rare = (
             fp.groupBy("fp")
@@ -699,7 +704,8 @@ def simhash_near_duplicates(
     full-recall property holds for any signature source — banding
     never looks inside the hash.
 
-    `materialize_sig` lazily localCheckpoints the signature frame
+    `materialize_sig` lazily materializes the signature frame
+    (session.materialize knob)
     before the self-join: under AQE the two identical exchange
     subtrees are NOT stage-reused (same 4.1.2 behavior documented on
     candidate_pairs), so without it the full text-scan+signature
@@ -718,7 +724,7 @@ def simhash_near_duplicates(
     else:
         sig = sig_df.select(F.col(id_col), F.col("sim"))
     if materialize_sig:
-        sig = sig.localCheckpoint(eager=False)
+        sig = _materialize(sig)
     chunks = sig.select(
         id_col,
         "sim",

@@ -18,7 +18,8 @@ Spark-first shape: hash-min label propagation.
 - labels are monotonically non-increasing, so the exact decimal SUM
   of labels is a convergence witness: unchanged sum ⇔ fixpoint
   (cheaper than a change-count join, and deterministic).
-- `localCheckpoint(eager=True)` truncates lineage each round —
+- `materialize(eager=True)` (session.py knob; localCheckpoint
+  locally) truncates lineage each round —
   iterative self-referential plans otherwise grow exponentially.
 - localCheckpoint surfaces UnknownPartitioning, so each round
   re-shuffles both sides (visible in plans/near_dup_clusters.txt).
@@ -38,6 +39,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from flink_realtime_edu_spark.session import materialize as _materialize
 
 _DEC = "decimal(38,0)"
 
@@ -64,7 +67,7 @@ def connected_components(
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = _materialize(sym, eager=True)
 
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -83,7 +86,7 @@ def connected_components(
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(lambda d: _materialize(d, eager=True))
         )
         total = labels.agg(
             F.sum(F.col("component").cast(_DEC)).alias("s")

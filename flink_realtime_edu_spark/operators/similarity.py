@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from flink_realtime_edu_spark.functions import cosine, dot, l2_norm
+from flink_realtime_edu_spark.session import materialize as _materialize
 
 
 def _round_half_up(arr: np.ndarray, scale: int = 6) -> np.ndarray:
@@ -352,7 +353,7 @@ def embedding_near_duplicates(
         # AQE does not stage-reuse the two identical self-join
         # subtrees (see candidate_pairs); materialize the tagged rows
         # once instead of running the scan + bucket UDF per side.
-        .localCheckpoint(eager=False)
+        .transform(_materialize)
         .repartition("bkt")  # aligns both self-join sides on one exchange shape
     )
     a = tagged.select(

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from flink_realtime_edu_spark.functions import dec_avg_sql, dec_sum_sql
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
+from flink_realtime_edu_spark.session import materialize as _materialize
 
 # A tiny fixed stopword list for ratio features (deterministic,
 # shared verbatim by the oracle SQL).
@@ -320,10 +321,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not stage-reuse the duplicated explode+agg subtree, so
     # materialize the aggregated (doc, term, tf) rows once (median
     # 1.0 → 0.7 s at sf0.1; see operators/dedup.py::candidate_pairs).
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = _materialize(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -538,10 +537,8 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf has three consumers (corpus counts, the scalar total, the
     # scoring join) — materialize once, same AQE no-reuse rationale
     # as tfidf_top_terms above.
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = _materialize(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     tot = cnt.agg(F.sum("c").alias("tot"))
@@ -606,10 +603,8 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not stage-reuse the duplicated explode+agg subtree (same 4.1.2
     # behavior as operators/dedup.py::candidate_pairs), so materialize
     # the aggregated counts once (median 2.0 → 1.8 s at sf0.1).
-    cnt = (
-        g.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+    cnt = _materialize(
+        g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     )
     per_doc = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_grams"), F.count(F.lit(1)).alias("n_distinct")

@@ -51,6 +51,41 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+MATERIALIZE_CONF = "spark.flink_realtime_edu.materialize"
+
+
+def materialize(df, eager: bool = False):
+    """Pin a small multi-consumer or iterative frame so it computes
+    once (AQE does not stage-reuse duplicated subtrees — measured on
+    4.1.2, see operators/dedup.py), selected by the session conf
+    ``spark.flink_realtime_edu.materialize``:
+
+    - ``localCheckpoint`` (default): fastest locally, but blocks live
+      only on executor storage and lineage is TRUNCATED — on a
+      preemptible cluster an executor loss makes the frame
+      unrecoverable and fails the job. The right default for the
+      driver's single-JVM local mode.
+    - ``persist``: ``StorageLevel.MEMORY_AND_DISK`` with lineage
+      KEPT — after executor loss Spark recomputes the lost partitions
+      from source. The cluster-mode setting; marginally slower
+      locally (block-manager bookkeeping, no lineage cut for
+      iterative consumers).
+
+    ``eager`` forces computation NOW (iterative algorithms that must
+    cut lineage per round, or frames whose inputs are about to be
+    overwritten — though overwrite safety should come from staged
+    swaps, not from caching)."""
+    mode = df.sparkSession.conf.get(MATERIALIZE_CONF, "localCheckpoint")
+    if mode == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            df.count()
+        return df
+    return df.localCheckpoint(eager=eager)
+
+
 def get_spark(
     app_name: str = "flink-realtime-edu-spark",
     shuffle_partitions: int | None = None,

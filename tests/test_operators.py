@@ -509,3 +509,21 @@ def test_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
     assert rows == {(100, 101)}
     all_pairs = jaccard_pairs_exact(docs, threshold=0.0, max_df=20)
     assert all_pairs.count() <= 61  # bounded: no quadratic hot-key term
+
+
+def test_materialize_persist_mode_oracle_equal(spark, sf_dir):
+    """Cluster-mode materialization (persist MEMORY_AND_DISK, lineage
+    kept — survives executor loss on preemptible clusters) must be a
+    pure performance knob: under it the heaviest multi-materialize
+    query (near_dup_jaccard: two materialize points feeding a
+    self-join) stays EXACTLY oracle-equal."""
+    from flink_realtime_edu_spark.queries import load_registry
+    from flink_realtime_edu_spark.session import MATERIALIZE_CONF
+    from tests.oracle import compare
+
+    spec = load_registry()["near_dup_jaccard"]
+    spark.conf.set(MATERIALIZE_CONF, "persist")
+    try:
+        compare(spec.build(spark, sf_dir), spec.oracle, sf_dir)
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
