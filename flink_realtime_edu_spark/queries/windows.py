@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.functions import dec_sum, dec_sum_sql
 from flink_realtime_edu_spark.queries import register
+from flink_realtime_edu_spark.session import materialize as _materialize
 from flink_realtime_edu_spark.sources import load
 
 
@@ -76,16 +77,62 @@ WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
 """,
 )
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile-bucket customers by account balance. Note: a global
-    ORDER BY window is a single-partition sort — fine for dimension-
-    sized inputs; for fact-sized inputs use ntile within a partition
-    key or `percentile_approx` cutpoints instead (100 TB posture)."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return load(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    """Quantile-bucket customers by account balance — EXACT global
+    ntile/percent_rank/cume_dist WITHOUT the single-partition global
+    window (the oracle keeps the naive `NTILE(4) OVER (ORDER BY ...)`
+    form as the exact twin).
+
+    Scale shape (the two-phase distributed rank): range-partition on
+    the window's full sort key so each partition holds a contiguous
+    key range, count rows per range bucket (one tiny row per bucket —
+    the only driver-side data), prefix-sum those counts into bucket
+    offsets, then rank WITHIN each bucket (`Window.partitionBy(pid)` —
+    a parallel per-bucket sort, never one task holding all rows) and
+    add the bucket's offset for the exact global rank r. The sort key
+    ends in the unique c_custkey, so every row is its own peer group
+    and the three window functions are closed-form in (r, n):
+    percent_rank = (r-1)/(n-1), cume_dist = r/n, and NTILE(4) deals
+    the first n%4 buckets ceil(n/4) rows. The range frame is
+    materialized (session.materialize) so the counts job and the rank
+    job see identical bucket assignment."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    key = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    part = _materialize(
+        c.repartitionByRange(32, *key).withColumn("pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(cnt for _, cnt in counts)
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy(*key)
+    r = F.col("off") + F.row_number().over(w)
+    big, rem = divmod(n, 4)
+    threshold = rem * (big + 1)
+    if big == 0:  # fewer rows than buckets: NTILE deals one row each
+        quartile = r.cast("int")
+    else:
+        quartile = (
+            F.when(r <= threshold, F.floor((r - 1) / (big + 1)) + 1)
+            .otherwise(rem + F.floor((r - threshold - 1) / big) + 1)
+            .cast("int")
+        )
+    pct = (
+        F.round((r - 1).cast("double") / (n - 1), 6) if n > 1 else F.lit(0.0)
+    )
+    return (
+        part.join(F.broadcast(off), on="pid")
+        .select(
+            "c_custkey",
+            quartile.alias("quartile"),
+            pct.alias("pct_rank"),
+            F.round(r.cast("double") / n, 6).alias("cume"),
+        )
     )
 
 

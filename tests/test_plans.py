@@ -266,3 +266,13 @@ def test_state_intervals_windows_are_keyed(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "windowspecdefinition(user_id" in line
+
+
+def test_quartiles_window_is_partitioned_not_global(spark, sf_dir):
+    """W2 scale posture: the exact global ntile is computed via
+    range-bucket offsets + per-bucket windows — the window spec must
+    be PARTITIONED (by the range-bucket pid), never the global
+    no-partition window that sorts every row in one task."""
+    plan = plan_of(spark, sf_dir, "customer_balance_quartiles")
+    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(c_acctbal" not in plan  # no global window
