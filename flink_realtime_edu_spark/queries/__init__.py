@@ -122,7 +122,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "interval_join_click_purchase",  # J4
     "asof_join_purchase_last_click",  # J8 W3
     "distinct_users_by_type",     # A1 A2 A3
-    "approx_unique_visitors",     # A4 (rows-only by design: HLL ≠ DuckDB)
+    "approx_unique_visitors",     # A4 (tolerance oracle since r4)
     "rollup_revenue",             # A6 J1 J3
     "collect_event_types",        # A7 F1
     "latest_event_per_user",      # A9 W1 T8

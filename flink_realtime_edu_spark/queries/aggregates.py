@@ -58,19 +58,48 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only check; the test suite asserts the estimate is within 5%
 # of exact.
 # --------------------------------------------------------------------------
-@register("approx_unique_visitors", survey_rows=("A4",), oracle=None)
+@register(
+    "approx_unique_visitors",
+    survey_rows=("A4",),
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_uv,
+       TRUE AS approx_within_tol, TRUE AS hll_within_tol
+FROM events GROUP BY 1
+""",
+)
 def approx_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-based UV estimation (`approx_count_distinct` +
     `hll_sketch_agg`/`hll_sketch_estimate`) — the scale path for
     100 TB-cardinality UV counts where exact countDistinct would need
     a full shuffle of the key universe. Sketches are also mergeable
     across windows/partitions (ClickHouse-side HLL in the reference
-    [R]). No oracle: estimates are engine-specific."""
+    [R]).
+
+    Tolerance oracle (upgraded from rows-only in r4): raw estimates
+    are engine-specific, so the query emits the EXACT distinct count
+    plus within-tolerance booleans for both estimators — 25% relative
+    error, 5× the default 5% rsd of approx_count_distinct and far
+    above the ~1.6% rsd of the lgK=12 HLL sketch, so the booleans are
+    deterministically TRUE unless an estimator is catastrophically
+    broken — and the DuckDB oracle asserts exact_uv and both booleans
+    exactly. (4-sigma property bounds are additionally pinned in
+    tests/test_operators.py.)"""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    est = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_uv"),
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_uv"),
         F.countDistinct("user_id").alias("exact_uv"),
+    )
+    exact = F.col("exact_uv").cast("double")
+
+    def within(col: str):
+        return (F.abs(F.col(col).cast("double") - exact) / exact) <= 0.25
+
+    return est.select(
+        "event_type",
+        "exact_uv",
+        within("approx_uv").alias("approx_within_tol"),
+        within("hll_uv").alias("hll_within_tol"),
     )
 
 
@@ -343,11 +372,16 @@ def unpivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_value_percentiles",
     survey_rows=("A8", "A4"),
-    # No oracle: Spark's percentile_approx is a Greenwald-Khanna
-    # sketch; DuckDB's approx_quantile is t-digest — different
-    # algorithms, different (both valid) answers. Accuracy vs the
-    # exact percentiles is bounded in
-    # tests/test_operators.py::test_approx_percentiles_within_rank_error.
+    # Raw sketch values stay engine-specific (Spark percentile_approx
+    # is Greenwald-Khanna; DuckDB approx_quantile is t-digest), so the
+    # oracle asserts the RANK GUARANTEE instead: the returned
+    # quantiles' ranks, recounted against the raw data, must sit
+    # within the documented error window (booleans TRUE both sides).
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+FROM events GROUP BY 1
+""",
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`value_percentiles`' scale twin: percentile_approx is a
@@ -355,13 +389,34 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reducer like any partial agg, so no group ever needs all its
     values co-resident (exact `percentile` does). accuracy=10000
     bounds rank error at n/10000 per group. This is the operator the
-    exact query's docstring promises for 100 TB."""
-    return (
-        load(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    exact query's docstring promises for 100 TB.
+
+    Tolerance oracle (upgraded from rows-only in r4): the query joins
+    the sketch outputs back to the raw values and recounts each
+    returned quantile's true rank; `abs(rank - q·n) ≤ n/100 + 1`
+    (100× the sketch's n/10000 guarantee, robust to ties) becomes a
+    boolean the DuckDB oracle asserts exactly, alongside the exact
+    per-group count. Tighter 4-sigma-style bounds live in
+    tests/test_operators.py::test_approx_percentiles_within_rank_error."""
+    ev = load(spark, sf_dir, "events")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+    )
+    joined = ev.join(F.broadcast(ap), on="event_type")
+    chk = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("r50"),
+        F.sum((F.col("value") <= F.col("p90")).cast("long")).alias("r90"),
+    )
+    n = F.col("n").cast("double")
+
+    def rank_ok(rank_col: str, q: float):
+        return F.abs(F.col(rank_col).cast("double") - q * n) <= (n / 100 + 1)
+
+    return chk.select(
+        "event_type",
+        "n",
+        rank_ok("r50", 0.5).alias("p50_rank_ok"),
+        rank_ok("r90", 0.9).alias("p90_rank_ok"),
     )

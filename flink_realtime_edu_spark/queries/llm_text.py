@@ -343,14 +343,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # A4/X7 — Count-Min Sketch heavy-hitter estimates over document tokens
 # --------------------------------------------------------------------------
-@register("cms_token_frequencies", survey_rows=("A4", "X7"), oracle=None)
+@register(
+    "cms_token_frequencies",
+    survey_rows=("A4", "X7"),
+    # Raw CMS counters hash with Spark's xxhash64 (no DuckDB twin),
+    # so the oracle asserts the SKETCH GUARANTEE instead: one-sided
+    # error (est ≥ exact) and the ε=e/width overestimate bound, as
+    # booleans TRUE on both sides, next to the exact top-20 counts.
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT term, COUNT(*) AS exact_cnt FROM tok WHERE term <> '' GROUP BY 1
+)
+SELECT term, exact_cnt, rnk,
+       TRUE AS cms_ge_exact, TRUE AS cms_within_bound
+FROM (
+  SELECT term, exact_cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, term) AS INTEGER) AS rnk
+  FROM cnt
+) t WHERE rnk <= 20
+""",
+)
 def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 exact token counts side by side with their Count-Min
+    """Top-20 exact token counts checked against their Count-Min
     Sketch estimates (operators/sketch.py: 4×1024 counters built as
-    one hash aggregate, probed via broadcast join). CMS is one-sided
-    (est ≥ exact, bounded overestimate) — asserted corpus-wide in
-    tests/test_operators.py; Spark's xxhash64 has no DuckDB twin →
-    rows-only check (B*), like the other F8 hash queries."""
+    one hash aggregate, probed via broadcast join).
+
+    Tolerance oracle (upgraded from rows-only in r4): the raw
+    estimates are xxhash64-seeded (no DuckDB twin), but the CMS
+    CONTRACT is engine-independent — est ≥ exact always, and
+    est ≤ exact + 2·e·N/width (double the standard Markov bound,
+    N = total token occurrences) with the fixed deterministic seeds.
+    Both are emitted as booleans the oracle asserts exactly;
+    corpus-wide one-sidedness is additionally pinned in
+    tests/test_operators.py."""
     from flink_realtime_edu_spark.operators.sketch import cms_build, cms_estimate
 
     tok = (
@@ -359,14 +386,23 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
     cms = cms_build(tok, "term", width=1024, depth=4)
     est = cms_estimate(cms, tok, "term", width=1024, depth=4)
     w = Window.orderBy(F.col("exact_cnt").desc(), F.col("term"))
+    bound = 2.0 * 2.718281828459045 * F.col("n_total") / 1024
     return (
         exact.join(est, "term")
+        .crossJoin(F.broadcast(total))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
-        .select("term", "exact_cnt", F.col("est").alias("cms_est"), "rnk")
+        .select(
+            "term",
+            "exact_cnt",
+            "rnk",
+            (F.col("est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+            ((F.col("est") - F.col("exact_cnt")) <= bound).alias("cms_within_bound"),
+        )
     )
 
 
