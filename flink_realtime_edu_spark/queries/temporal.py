@@ -151,6 +151,154 @@ def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S2 — CDC envelope (debezium-style {op, before, after}) → SCD2 with deletes
+# --------------------------------------------------------------------------
+
+# Envelope shape of a FlinkCDC/debezium changelog record: op ∈
+# {c,u,d} (create/update/delete), event-time in epoch micros (the
+# io.debezium.time.MicroTimestamp convention — millis would truncate
+# the testdata's micro-precision ts), the key struct, and the
+# before/after row images (after is NULL on deletes, before is NULL
+# on creates — exactly debezium's contract).
+CDC_ENVELOPE_SCHEMA = (
+    "op string, ts_us long, event_id long, "
+    "key struct<user_id:bigint>, "
+    "before struct<state:string>, after struct<state:string>"
+)
+
+# Tombstone pseudo-state used internally by the delete-aware
+# compaction; never appears in output intervals.
+DELETED_STATE = "__deleted__"
+
+
+def events_as_cdc_envelope(ev: DataFrame) -> DataFrame:
+    """Serialize the events changelog into debezium-style JSON
+    envelopes (one `value` string column — what a Kafka CDC topic
+    carries): error events become tombstones (op='d', after=NULL),
+    each user's first surviving event is the create, the rest are
+    updates carrying the previous state as the before-image. The
+    op/before derivation is one keyed window (no global sort)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.row_number().over(w) == 1, F.lit("c"))
+        .otherwise(F.lit("u"))
+    )
+    after = F.when(op != "d", F.struct(F.col("event_type").alias("state")))
+    before = F.struct(F.lag("event_type").over(w).alias("state"))
+    return ev.select(
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id"),
+                F.struct(F.col("user_id")).alias("key"),
+                before.alias("before"),
+                after.alias("after"),
+            )
+        ).alias("value")
+    )
+
+
+def parse_cdc_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a debezium-style JSON envelope column into the typed
+    changelog (user_id, event_id, ts, op, state). `from_json` with the
+    explicit envelope schema — malformed records surface as NULL rows
+    (the S7 dirty-data rule), never exceptions. `state` is taken from
+    the AFTER image (NULL for deletes; the before-image is parsed and
+    available for incremental-patch consumers, but the recompute path
+    deliberately ignores it — see streaming/scd2.py module doc)."""
+    return df.select(
+        F.from_json(F.col(value_col), CDC_ENVELOPE_SCHEMA).alias("e")
+    ).select(
+        F.col("e.key.user_id").alias("user_id"),
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
+        F.col("e.op").alias("op"),
+        F.col("e.after.state").alias("state"),
+    )
+
+
+def state_intervals_cdc(changelog: DataFrame) -> DataFrame:
+    """Delete-aware SCD2 compaction of an op-tagged changelog
+    (user_id, event_id, ts, op, state): deletes become tombstone runs
+    that CLOSE the preceding interval (its valid_to = the delete's
+    ts) without opening a new one, and the key stays closed until the
+    next c/u. Implemented by mapping op='d' to an internal tombstone
+    state, running the ordinary gaps-and-islands compaction, then
+    dropping tombstone intervals — their valid_from has already been
+    propagated into the predecessor's valid_to by the LEAD."""
+    ev = changelog.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("op") == "d", F.lit(DELETED_STATE))
+        .otherwise(F.col("state"))
+        .alias("event_type"),
+    )
+    return state_intervals(ev).filter(F.col("state") != DELETED_STATE)
+
+
+_CDC_SCD2_ORACLE = (
+    "WITH "
+    + _INTERVALS_CTE.format(
+        src="""(SELECT user_id, event_id, ts,
+        CASE WHEN event_type = 'error' THEN '__deleted__'
+             ELSE event_type END AS event_type
+      FROM events)"""
+    )
+    + """
+SELECT state,
+  COUNT(*) AS n_intervals,
+  COUNT(valid_to) AS n_closed,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
+  ROUND(CAST(SUM(epoch_us(valid_to) - epoch_us(valid_from)) AS DOUBLE)
+        / (COUNT(valid_to) * 1000000.0), 4) AS avg_closed_duration_s
+FROM versioned WHERE state <> '__deleted__'
+GROUP BY state
+"""
+)
+
+
+@register(
+    "cdc_scd2_intervals",
+    survey_rows=("S2", "P3", "F7", "W3"),
+    oracle=_CDC_SCD2_ORACLE,
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC-envelope path (S2 realism): the events changelog
+    is serialized into debezium-style `{op, before, after}` JSON
+    envelopes (errors → op='d' tombstones), parsed back through the
+    explicit envelope schema (`from_json` — the exact path a real
+    debezium/FlinkCDC topic takes), and compacted with the
+    delete-aware SCD2 rules: a delete closes the open interval and
+    the key stays closed until the next create/update. Census per
+    surviving state: interval count, how many are CLOSED (deletes
+    show up here — compare user_state_intervals, where every last
+    interval stays open), absorbed changelog rows, and mean closed
+    duration. The oracle replays the op mapping and tombstone
+    compaction relationally (no JSON needed — op is a pure function
+    of event_type on this corpus)."""
+    env = events_as_cdc_envelope(load(spark, sf_dir, "events"))
+    iv = state_intervals_cdc(parse_cdc_envelope(env))
+    dur_us = F.unix_micros("valid_to") - F.unix_micros("valid_from")
+    return (
+        iv.withColumn("dur_us", dur_us)
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.count("valid_to").alias("n_closed"),
+            F.sum("n_events").alias("n_events"),
+            F.round(
+                F.sum("dur_us").cast("double")
+                / (F.count("dur_us") * F.lit(1000000.0)),
+                4,
+            ).alias("avg_closed_duration_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # J8/S2 — temporal join: purchases vs the state valid at purchase time
 # --------------------------------------------------------------------------
 _TEMPORAL_JOIN_ORACLE = (

@@ -58,6 +58,8 @@ def maintain_scd2_dim(store_dir: str, n_buckets: int = 8, key_col: str = "user_i
     changelog_dir = str(Path(store_dir) / CHANGELOG_SUBDIR)
     intervals_dir = str(Path(store_dir) / INTERVALS_SUBDIR)
 
+    from flink_realtime_edu_spark.queries.temporal import state_intervals_cdc
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # Persist: the batch plan feeds the touched-bucket probe AND
@@ -75,7 +77,11 @@ def maintain_scd2_dim(store_dir: str, n_buckets: int = 8, key_col: str = "user_i
         history = read_buckets(spark, changelog_dir, touched).dropDuplicates(
             [key_col, "event_id"]  # replay idempotency
         )
-        fresh = state_intervals(history).withColumn(
+        # An op-tagged changelog (debezium-style c/u/d, already parsed
+        # via queries.temporal.parse_cdc_envelope) gets the delete-aware
+        # compaction; a plain (key, ts, event_type) stream the original.
+        compact = state_intervals_cdc if "op" in history.columns else state_intervals
+        fresh = compact(history).withColumn(
             BUCKET_COL, key_bucket_col([key_col], n_buckets)
         )
         overwrite_buckets(fresh, intervals_dir)

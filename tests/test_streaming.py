@@ -1024,3 +1024,65 @@ def test_dim_update_lands_on_microbatch_boundary(spark, tmp_path):
     q.awaitTermination()
 
     assert dict(out) == {100: "seg_v1", 200: "seg_v2"}
+
+
+def test_scd2_dim_with_cdc_deletes_stream_equals_batch(spark, sf_dir, tmp_path):
+    """S2 CDC realism: an op-tagged debezium-style changelog (c/u/d,
+    parsed from JSON envelopes) maintained continuously through
+    maintain_scd2_dim must (a) equal the batch delete-aware
+    compaction over the same changelog across an unordered replay,
+    and (b) honor delete semantics — every user whose LAST changelog
+    op is a delete ends with NO open interval."""
+    from flink_realtime_edu_spark.queries.temporal import (
+        events_as_cdc_envelope,
+        parse_cdc_envelope,
+        state_intervals_cdc,
+    )
+    from flink_realtime_edu_spark.streaming.scd2 import (
+        maintain_scd2_dim,
+        read_scd2_intervals,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    ev = load(spark, sf_dir, "events")
+    changelog = parse_cdc_envelope(events_as_cdc_envelope(ev))
+    src = tmp_path / "cdc_envelope_src"
+    # 3 unsorted micro-batches → deletes and late rows out of order
+    changelog.repartition(3).write.parquet(str(src))
+
+    store = str(tmp_path / "scd2_cdc_store")
+    q = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(maintain_scd2_dim(store, n_buckets=8))
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    got = read_scd2_intervals(spark, store)
+    want = state_intervals_cdc(changelog)
+    cols = ["user_id", "run_id", "state", "valid_from", "n_events", "valid_to"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+
+    # delete semantics on the MAINTAINED table: last-op-deleted users
+    # must have every interval closed
+    from pyspark.sql import Window
+
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    deleted_users = (
+        changelog.withColumn("rn", w)
+        .filter((F.col("rn") == 1) & (F.col("op") == "d"))
+        .select("user_id")
+    )
+    n_deleted = deleted_users.count()
+    assert n_deleted > 0, "corpus should contain users ending in a delete"
+    still_open = got.filter(F.col("valid_to").isNull()).join(
+        deleted_users, on="user_id", how="inner"
+    )
+    assert still_open.count() == 0
