@@ -29,6 +29,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write TimestampType as TIMESTAMP(MICROS, adjustedToUTC=true),
+    # not the deprecated INT96 default — footer-sniffable (pyarrow
+    # surfaces the tz flag), DuckDB-readable, and micros matches the
+    # engine's timestamp semantics end-to-end.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Kept ONLY for backward compatibility with older testdata
     # snapshots whose events.ts was TIMESTAMP(NANOS) (the current
     # shape is TIMESTAMP(MICROS, isAdjustedToUTC=false) → NTZ, which

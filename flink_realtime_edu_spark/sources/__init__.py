@@ -50,11 +50,18 @@ def table_path(sf_dir: str, name: str) -> str:
 #     `nanosAsLong` conf session.configure sets).
 #   - "ntz_micros": parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
 #     which Spark reads as TIMESTAMP_NTZ.
+#   - "ltz_micros": parquet TIMESTAMP(MICROS, isAdjustedToUTC=true)
+#     (instant semantics — e.g. files Spark itself wrote from
+#     TimestampType), which Spark reads as session-local TIMESTAMP.
+#     Distinguished from ntz via the pyarrow tz flag: declaring NTZ
+#     for an adjusted-to-UTC file would only be value-correct because
+#     configure() pins the session to UTC — classify honestly instead.
 # Batch reads branch on the loaded dtype; the STREAMING file source
 # needs the schema up front, so it sniffs one parquet footer via
 # pyarrow (no JVM round-trip) with `sniff_events_ts_shape`.
 TS_SHAPE_NANOS_LONG = "nanos_long"
 TS_SHAPE_NTZ_MICROS = "ntz_micros"
+TS_SHAPE_LTZ_MICROS = "ltz_micros"
 
 
 def sniff_events_ts_shape(path: str, default: str = TS_SHAPE_NANOS_LONG) -> str:
@@ -83,7 +90,18 @@ def sniff_events_ts_shape(path: str, default: str = TS_SHAPE_NANOS_LONG) -> str:
         return default
     t = schema.field("ts").type
     if pa.types.is_timestamp(t) and t.unit != "ns":
-        return TS_SHAPE_NTZ_MICROS
+        # pyarrow surfaces isAdjustedToUTC as a non-None tz.
+        return TS_SHAPE_LTZ_MICROS if t.tz is not None else TS_SHAPE_NTZ_MICROS
+    if pa.types.is_timestamp(t) and t.unit == "ns" and t.tz is None:
+        # Ambiguous in the arrow view: INT64 TIMESTAMP(NANOS) and
+        # legacy INT96 (Spark's pre-4.x TimestampType output) both
+        # land here — the parquet PHYSICAL type separates them, and
+        # Spark reads INT96 as session-local TimestampType.
+        md = pq.read_metadata(files[0]).schema
+        for i in range(len(md)):
+            col = md.column(i)
+            if col.path_in_schema == "ts" and col.physical_type == "INT96":
+                return TS_SHAPE_LTZ_MICROS
     return TS_SHAPE_NANOS_LONG
 
 

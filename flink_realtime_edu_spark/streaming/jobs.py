@@ -22,12 +22,13 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
+    TimestampType,
 )
 
 from flink_realtime_edu_spark.session import configure
 from flink_realtime_edu_spark.sources import (
+    TS_SHAPE_LTZ_MICROS,
     TS_SHAPE_NANOS_LONG,
-    TS_SHAPE_NTZ_MICROS,
     normalize_events_ts,
     sniff_events_ts_shape,
 )
@@ -37,9 +38,16 @@ def events_file_schema(ts_shape: str) -> StructType:
     """Read schema for events-shaped parquet. The streaming file
     source needs an explicit schema up front, and the driver's
     snapshots have shipped `ts` in two shapes (INT64 epoch-nanos and
-    TIMESTAMP_NTZ micros — see sources.sniff_events_ts_shape), so the
-    ts field is shape-dependent; everything else is fixed."""
-    ts_type = LongType() if ts_shape == TS_SHAPE_NANOS_LONG else TimestampNTZType()
+    TIMESTAMP_NTZ micros — see sources.sniff_events_ts_shape; the
+    third, adjusted-to-UTC micros, covers files Spark itself wrote
+    from TimestampType), so the ts field is shape-dependent;
+    everything else is fixed."""
+    if ts_shape == TS_SHAPE_NANOS_LONG:
+        ts_type: object = LongType()
+    elif ts_shape == TS_SHAPE_LTZ_MICROS:
+        ts_type = TimestampType()
+    else:
+        ts_type = TimestampNTZType()
     return StructType(
         [
             StructField("event_id", LongType()),

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 
 from flink_realtime_edu_spark.streaming.sinks import (
     BUCKET_COL,
+    check_bucket_layout,
     key_bucket_col,
     overwrite_buckets,
     read_buckets,
@@ -62,6 +63,9 @@ def maintain_scd2_dim(store_dir: str, n_buckets: int = 8, key_col: str = "user_i
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Changelog and intervals share one bucket count; record it at
+        # the store root and refuse mismatched restarts (layout drift).
+        check_bucket_layout(store_dir, n_buckets)
         # Persist: the batch plan feeds the touched-bucket probe AND
         # the changelog append (same rationale as sinks.write_bucketed).
         batch = batch_df.withColumn(
@@ -108,23 +112,50 @@ def compact_changelog(
     maintainer lists bucket dirs per batch and must not race a
     concurrent rewrite. Returns the number of buckets compacted.
 
-    The rewrite is per-bucket dynamic partition overwrite through an
-    eager localCheckpoint (can't overwrite files being read), so
-    untouched buckets keep their files byte-identical — same
-    contract as the bucketed upsert sink."""
-    changelog_dir = str(Path(store_dir) / CHANGELOG_SUBDIR)
+    CRASH SAFETY (the changelog is the source of truth — intervals
+    can be regenerated, history cannot): the compacted rows are
+    STAGED to a sibling tmp directory first, then each new file is
+    moved into its live bucket dir and only afterwards are that
+    bucket's old files deleted. No step overwrites data in place, so
+    a crash at any point leaves the live changelog either untouched,
+    or with BOTH old and new files — i.e. duplicated rows, which
+    every reader already folds away with the (key, event_id) dedup,
+    and which the next compaction run removes. Contrast the previous
+    in-place dynamic-partition overwrite fed from memory-only
+    checkpoint blocks, where a crash mid-overwrite could lose
+    history permanently."""
+    import shutil
+
+    changelog_dir = Path(store_dir) / CHANGELOG_SUBDIR
+    staging = Path(str(changelog_dir) + ".compact-tmp")
+    if staging.exists():
+        # Stale staging from a crashed run; the live dir is complete
+        # (possibly with duplicate files — dedup-safe), start over.
+        shutil.rmtree(staging)
     fat = [
         int(d.name.split("=", 1)[1])
-        for d in Path(changelog_dir).glob(f"{BUCKET_COL}=*")
+        for d in changelog_dir.glob(f"{BUCKET_COL}=*")
         if len(list(d.glob("*.parquet"))) > max_files_per_bucket
     ]
     if not fat:
         return 0
     rows = (
-        read_buckets(spark, changelog_dir, fat)
+        read_buckets(spark, str(changelog_dir), fat)
         .dropDuplicates([key_col, "event_id"])
         .repartition(len(fat), BUCKET_COL)
-        .localCheckpoint(eager=True)
     )
-    overwrite_buckets(rows, changelog_dir)
+    rows.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
+    for b in fat:
+        live = changelog_dir / f"{BUCKET_COL}={b}"
+        old_files = list(live.glob("*.parquet"))
+        for f in (staging / f"{BUCKET_COL}={b}").glob("*.parquet"):
+            # Part-file names carry a per-job UUID — no collision with
+            # the live files recorded above.
+            f.rename(live / f.name)
+        for f in old_files:
+            f.unlink()
+            crc = f.parent / f".{f.name}.crc"
+            if crc.exists():
+                crc.unlink()
+    shutil.rmtree(staging)
     return len(fat)

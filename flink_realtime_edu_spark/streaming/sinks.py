@@ -15,6 +15,7 @@ full result each batch. Tests exercise all three.
 
 from __future__ import annotations
 
+import contextlib
 from pathlib import Path
 
 from pyspark.sql import DataFrame, Window
@@ -23,6 +24,30 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 BUCKET_COL = "__bucket"
+N_BUCKETS_META = "_n_buckets"
+
+
+def check_bucket_layout(target_dir: str, n_buckets: int) -> None:
+    """Persist-and-validate the bucket count of an on-disk bucketed
+    table: the first writer records it in a `_n_buckets` metadata file
+    (underscore prefix → invisible to parquet readers); every later
+    writer asserts it matches. Without this, restarting a maintainer
+    with a different n_buckets silently mixes incompatible layouts —
+    keys hash to different buckets, merges/recomputes miss prior rows,
+    and stale versions survive."""
+    target = Path(target_dir)
+    meta = target / N_BUCKETS_META
+    if meta.exists():
+        existing = int(meta.read_text().strip())
+        if existing != n_buckets:
+            raise ValueError(
+                f"bucketed table at {target_dir} was written with "
+                f"n_buckets={existing}; refusing to write with "
+                f"n_buckets={n_buckets} (would silently mix layouts)"
+            )
+        return
+    target.mkdir(parents=True, exist_ok=True)
+    meta.write_text(str(n_buckets))
 
 
 def key_bucket_col(key_cols: list[str], n_buckets: int):
@@ -116,6 +141,7 @@ def upsert_latest_by_key(
 
     def write_bucketed(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        check_bucket_layout(target_dir, n_buckets)
         # Persist: the batch plan feeds BOTH the touched-bucket probe
         # and the merge — without this the micro-batch's whole
         # upstream transform chain evaluates twice per trigger.
@@ -165,7 +191,10 @@ def run_to_completion(query: StreamingQuery) -> None:
     try:
         query.processAllAvailable()
     except Exception as inflight:
-        query.stop()
+        # stop() itself can raise on an already-dead query; never let
+        # that mask the root cause raise_root_cause is about to surface.
+        with contextlib.suppress(Exception):
+            query.stop()
         raise_root_cause(inflight)
     query.stop()
     try:

@@ -638,6 +638,7 @@ def test_ts_shape_drift_guard(spark, sf_dir, tmp_path):
     between sources.load and load_events_stream (which must share
     normalize_events_ts)."""
     from flink_realtime_edu_spark.sources import (
+        TS_SHAPE_LTZ_MICROS,
         TS_SHAPE_NANOS_LONG,
         TS_SHAPE_NTZ_MICROS,
         sniff_events_ts_shape,
@@ -646,18 +647,24 @@ def test_ts_shape_drift_guard(spark, sf_dir, tmp_path):
     ev = load(spark, sf_dir, "events").limit(200).cache()
     nanos_dir = str(tmp_path / "nanos_sf")
     ntz_dir = str(tmp_path / "ntz_sf")
+    ltz_dir = str(tmp_path / "ltz_sf")
     ev.withColumn("ts", F.unix_micros("ts") * 1000).write.parquet(
         table_path(nanos_dir, "events")
     )
     ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
         table_path(ntz_dir, "events")
     )
+    # TimestampType writes TIMESTAMP(MICROS, isAdjustedToUTC=true) —
+    # the third shape, sniffed via the pyarrow tz flag (ADVICE r3:
+    # classifying it NTZ was only value-correct under the UTC pin).
+    ev.write.parquet(table_path(ltz_dir, "events"))
     assert sniff_events_ts_shape(table_path(nanos_dir, "events")) == TS_SHAPE_NANOS_LONG
     assert sniff_events_ts_shape(table_path(ntz_dir, "events")) == TS_SHAPE_NTZ_MICROS
+    assert sniff_events_ts_shape(table_path(ltz_dir, "events")) == TS_SHAPE_LTZ_MICROS
 
     want = _rows(ev)
     results = {}
-    for tag, d in (("nanos", nanos_dir), ("ntz", ntz_dir)):
+    for tag, d in (("nanos", nanos_dir), ("ntz", ntz_dir), ("ltz", ltz_dir)):
         results[f"batch_{tag}"] = _rows(load(spark, d, "events"))
         q = (
             load_events_stream(spark, table_path(d, "events"))
