@@ -88,65 +88,67 @@ def register(
 
 
 # Registry ordering contract: the driver's correctness gate checks the
-# FIRST 50 keys of queries() (CORRECTNESS_r01/r02 are exactly that
-# prefix), so the prefix below is curated to cover EVERY batch-
-# expressible SURVEY.md §2 row with at least one representative —
-# LLM-pipeline operators (X3–X6, S2) first, since insertion order is
-# the only way they get a driver verdict. pricing_summary stays first
-# (entry() runs it). tests/test_registry_order.py pins the invariant:
-# first WINDOW names cover the union of all registered survey_rows.
+# FIRST 50 keys of queries(), so the prefix below is curated to cover
+# EVERY batch-expressible SURVEY.md §2 row with at least one
+# representative (tests/test_registry_order.py pins this), and it
+# ROTATES each round (VERDICT r3 item 3): r4 keeps a minimal covering
+# core and fills the remaining slots with 36 queries the driver had
+# never oracled (r01-r03 windows were the same 50 names), converting
+# self-reported driver-sim results into hard driver verdicts.
+# pricing_summary stays first (entry() runs it). Queries rotated out
+# remain verified by scripts/driver_sim.py --all + pytest.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
-    "exact_dedup_docs",           # X4 F8 A9
-    "near_dup_minhash",           # X5
-    "near_dup_embeddings",        # X5 X6
-    "cosine_topk_bruteforce",     # X6 W1 J7
-    "grouped_zscore_chars",       # X3
-    "label_centroids",            # X6 A1 F5
-    "tfidf_top_terms",            # X7 X1 A1 W1
-    "leakage_safe_split",         # X4 X5 X7 F8 J2 A3
-    "near_dup_clusters",          # X4 X5
-    "user_state_intervals",       # S2 W3 A1
-    "temporal_join_purchase_state",  # J8 S2 A1
-    "corpus_curation_pipeline",   # X4 X5 X7 J5 J6 A1
-    "benchmark_contamination",    # X7 X4 J5 F5
-    "near_dup_jaccard",           # X5 X4 F5
-    "pandas_udf_token_stats",     # X2 X7
-    "weighted_avg_udaf",          # A10 X2 P3
-    "star_join_revenue",          # J1 J3 A1 A2
-    "left_join_recent_spend",     # J2 P4
-    "semi_join_recent_customers",  # J5
-    "anti_join_no_big_order",     # J6
-    "multimodal_feature_stats",   # X8 X2 A2 (J7 via cosine_topk; U3 via daily_unique_visitors)
-    "interval_join_click_purchase",  # J4
-    "asof_join_purchase_last_click",  # J8 W3
-    "distinct_users_by_type",     # A1 A2 A3
-    "approx_unique_visitors",     # A4 (tolerance oracle since r4)
-    "rollup_revenue",             # A6 J1 J3
-    "collect_event_types",        # A7 F1
-    "latest_event_per_user",      # A9 W1 T8
-    "value_percentiles",          # A8
-    "top_parts_per_nation",       # W1 O2 J1 J3
-    "customer_balance_quartiles",  # W2
-    "event_gaps",                 # W3 F2
-    "running_customer_spend",     # W4
-    "union_activity_feed",        # U1 P1 P5
-    "nations_with_customers_and_suppliers",  # U2
-    "string_funcs_part",          # F1
-    "datetime_funcs_orders",      # F2 P5
-    "math_conditional_orders",    # F3 F4
-    "array_funcs_documents",      # F5 X1
-    "hash_funcs_documents",       # F8
-    "json_props_stats",           # P3 F7 A1
-    "map_funcs_props",            # F6 F7 P3
+    "cdc_scd2_intervals",         # S2 P3 F7 W3 (new to the window in r4)
+    "cohort_retention",           # T6 J2 A3 F2 (new to the window in r4)
+    "doc_chunking_windows",       # X7 X1 F5 F8 (new to the window in r4)
+    "nation_profit_trend",        # J1 J3 A1 F1 F3 (new to the window in r4)
+    "approx_value_percentiles",   # A8 A4 (new to the window in r4)
+    "cross_join_region_status",   # J7 U3 (new to the window in r4)
+    "fingerprint_overlap_docs",   # X4 X5 (new to the window in r4)
+    "waiting_supplier_counts",    # J5 J6 J1 A1 F2 (new to the window in r4)
+    "cube_customer_segments",     # A6 (new to the window in r4)
+    "doc_quality_scores",         # X7 F4 F5 (new to the window in r4)
+    "doc_repetition_stats",       # X7 X1 A1 W1 F5 (new to the window in r4)
+    "embedding_quantization_snr", # X6 F3 F5 A1 (new to the window in r4)
+    "error_burst_stats",          # T7 W3 A1 (new to the window in r4)
+    "funnel_click_view_purchase", # J4 W3 A3 (new to the window in r4)
+    "nations_without_suppliers",  # U2 (new to the window in r4)
+    "returned_item_top_customers",  # J1 J3 A1 O1 O2 (new to the window in r4)
+    "revenue_trend_daily",        # W3 W4 A1 F2 (new to the window in r4)
+    "top_revenue_supplier",       # J1 A5 A9 (new to the window in r4)
     "dirty_data_split",           # S7 P4 U1
-    "tumbling_hourly_stats",      # T1 A1 A2
-    "sliding_window_traffic",     # T2
-    "session_window_stats",       # T3
+    "multimodal_feature_stats",   # X8 X2 A2
+    "asof_join_purchase_last_click",  # J8 W3
+    "collect_event_types",        # A7 F1
+    "customer_balance_quartiles",  # W2
     "daily_unique_visitors",      # T5 U3
-    "new_vs_returning_daily",     # T6 A3
-    "abandoned_clicks_daily",     # T7 J6 J4
+    "grouped_zscore_chars",       # X3
+    "latest_event_per_user",      # A9 W1 T8
+    "map_funcs_props",            # F6 F7 P3
+    "session_window_stats",       # T3
+    "sliding_window_traffic",     # T2
+    "tumbling_hourly_stats",      # T1 A1 A2
+    "weighted_avg_udaf",          # A10 X2 P3
+    "full_join_nation_counts",    # J2 A1 (new to the window in r4)
+    "theta_join_acctbal",         # J7 (new to the window in r4)
+    "pivot_daily_activity",       # A1 F2 (new to the window in r4)
+    "skewed_event_type_stats",    # A1 A2 A3 (new to the window in r4)
+    "unpivot_daily_activity",     # A1 F2 (new to the window in r4)
+    "topk_orders",                # O1 O2 (new to the window in r4)
+    "trailing_24h_user_value",    # W4 F2 (new to the window in r4)
+    "distinct_segments_per_nation",  # U3 (new to the window in r4)
+    "token_topk",                 # X1 A1 O2 (new to the window in r4)
+    "vocab_coverage_topk",        # X7 X1 W4 A5 (new to the window in r4)
+    "text_stats_by_source",       # X7 F5 A2 (new to the window in r4)
+    "lang_guess_confusion",       # X7 F4 (new to the window in r4)
+    "bpe_token_counts",           # X7 X1 F1 (new to the window in r4)
+    "cms_token_frequencies",      # A4 X7 (new to the window in r4)
+    "mixture_sample_by_source",   # X7 F8 A1 (new to the window in r4)
+    "doc_unigram_surprisal",      # X7 X1 A1 F3 (new to the window in r4)
+    "sequence_packing_chunks",    # X7 W4 F2 (new to the window in r4)
+    "curated_packing_manifest",   # X4 X7 A1 F3 (new to the window in r4)
 )
 
 

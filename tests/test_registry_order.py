@@ -40,11 +40,11 @@ def test_driver_window_covers_every_survey_row():
 
 
 def test_driver_window_reps_are_oracled():
-    """Window representatives should carry a DuckDB oracle (strong
-    check) except the sketches whose estimates legitimately differ
-    from exact SQL (A4-class, documented rows-only)."""
+    """Every window representative must carry a DuckDB oracle (the
+    strong check). Since r4 even the sketch queries qualify — their
+    tolerance-boolean oracles assert the sketch CONTRACT exactly, so
+    no rows-only exception remains."""
     reg = load_registry()
-    allowed_rows_only = {"approx_unique_visitors"}
     window = list(reg.items())[:DRIVER_CHECK_WINDOW]
-    bad = [n for n, s in window if s.oracle is None and n not in allowed_rows_only]
+    bad = [n for n, s in window if s.oracle is None]
     assert not bad, f"window queries without oracle: {bad}"
