@@ -92,12 +92,91 @@ def run_duckdb(names, sf_dir: str, repeats: int) -> dict[str, float]:
     return timings
 
 
+def run_streaming(sf_dir: str) -> dict[str, float]:
+    """Streaming micro-bench (VERDICT r3 item 8): throughput (input
+    rows/s of trigger time) and mean end-to-end micro-batch latency
+    for the two flagship streaming jobs — the T1 tumbling-window agg
+    and the S2 SCD2 dimension maintainer — replaying the sf events
+    table as 8 file-source micro-batches. Metrics come from the
+    queries' own progress telemetry (numInputRows / triggerExecution),
+    the same numbers a production monitor would scrape."""
+    import shutil
+    import tempfile
+
+    from flink_realtime_edu_spark.session import get_spark
+    from flink_realtime_edu_spark.sources import load
+    from flink_realtime_edu_spark.streaming.jobs import (
+        load_events_stream,
+        tumbling_stats_stream,
+    )
+    from flink_realtime_edu_spark.streaming.scd2 import maintain_scd2_dim
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    spark = get_spark(app_name="fres-bench-streaming")
+    work = Path(tempfile.mkdtemp(prefix="fres-stream-bench-"))
+    out: dict[str, float] = {}
+    try:
+        src = str(work / "events_src")
+        load(spark, sf_dir, "events").repartition(8).write.parquet(src)
+
+        def progress_metrics(query) -> tuple[float, float]:
+            rows = 0
+            trigger_ms = 0.0
+            batches = 0
+            for p in query.recentProgress:
+                n = p.get("numInputRows") or 0
+                if n == 0:
+                    continue
+                rows += n
+                trigger_ms += p["durationMs"]["triggerExecution"]
+                batches += 1
+            if trigger_ms == 0:
+                return 0.0, 0.0
+            return rows / (trigger_ms / 1000.0), trigger_ms / batches
+
+        # T1: tumbling hourly agg -> noop sink, update mode
+        q = (
+            tumbling_stats_stream(load_events_stream(spark, src, max_files_per_trigger=1))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(work / "ckpt_tumbling"))
+            .start()
+        )
+        run_to_completion(q)
+        rps, lat = progress_metrics(q)
+        out["tumbling_rows_per_s"] = round(rps, 1)
+        out["tumbling_batch_ms_avg"] = round(lat, 1)
+
+        # S2: SCD2 dim maintainer (bucketed changelog + recompute)
+        q = (
+            load_events_stream(spark, src, max_files_per_trigger=1)
+            .writeStream.foreachBatch(
+                maintain_scd2_dim(str(work / "scd2_store"), n_buckets=8)
+            )
+            .option("checkpointLocation", str(work / "ckpt_scd2"))
+            .start()
+        )
+        run_to_completion(q)
+        rps, lat = progress_metrics(q)
+        out["scd2_rows_per_s"] = round(rps, 1)
+        out["scd2_batch_ms_avg"] = round(lat, 1)
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--all", action="store_true", help="bench the full inventory")
     ap.add_argument("--duckdb", action="store_true", help="also time oracle SQL in DuckDB")
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument(
+        "--no-streaming",
+        action="store_true",
+        help="skip the streaming throughput/latency section",
+    )
     args = ap.parse_args()
 
     from flink_realtime_edu_spark.queries import load_registry
@@ -119,6 +198,8 @@ def main() -> None:
         duck = run_duckdb(names, args.sf_dir, args.repeats)
         result["duckdb_queries"] = duck
         result["duckdb_total"] = round(sum(duck.values()), 3)
+    if not args.no_streaming:
+        result["streaming"] = run_streaming(args.sf_dir)
     print(json.dumps(result))
 
 
