@@ -220,21 +220,30 @@ def candidate_pairs(
     key is (band_id, band_hash) — the cross product only happens
     inside buckets, which is the entire point of LSH.
 
-    The pre-partition on the join key aligns both self-join sides on
-    one exchange shape. Caveat (measured on 4.1.2): under AQE the two
-    identical exchange subtrees are NOT stage-reused (plain
-    ReuseExchange does fire with AQE off), so without `materialize`
-    the upstream text-scan + signature stage runs once per side. AQE
-    stays on (skew-join splitting matters more at scale); instead the
-    band frame — 24 bytes/doc/band, orders smaller than the corpus it
-    derives from — is lazily materialized (session.materialize — localCheckpoint
-    locally, persist(MEMORY_AND_DISK) on preemptible clusters via the
-    spark.flink_realtime_edu.materialize conf) so both join sides
-    read the materialized rows (measured 6.6 s → 2.3 s end-to-end on
-    near_dup_minhash at sf0.1)."""
+    Materialization: without `materialize` the upstream text-scan +
+    signature stage runs once per self-join side, so the band frame —
+    24 bytes/doc/band, orders smaller than the corpus it derives
+    from — is lazily materialized (session.materialize —
+    localCheckpoint locally, persist(MEMORY_AND_DISK) on preemptible
+    clusters via the spark.flink_realtime_edu.materialize conf);
+    measured 6.6 s → 2.3 s end-to-end on near_dup_minhash at sf0.1.
+    Once materialized, AQE stage-reuses the single shuffle of the
+    tiny frame for both sides (ReusedExchange in the final plan).
+
+    Skew (the 100 TB posture): NO explicit repartition on the join
+    key here, deliberately. A user `.repartition("band_id",
+    "band_hash")` pins a REPARTITION_BY_COL-origin shuffle that
+    AQE's OptimizeSkewedJoin refuses to rewrite (it only splits
+    ENSURE_REQUIREMENTS shuffles), so one hot bucket — a dup-clique
+    of near-identical documents, the exact shape a crawl corpus
+    produces — would run as ONE straggler task. Leaving the exchange
+    to the planner keeps the sort-merge join skew-splittable;
+    measured on a 6 k-identical-doc clique: SortMergeJoin(skew=true),
+    both sides `AQEShuffleRead skewed` (197 splits), 1.7× faster than
+    the pinned-repartition plan (tests/test_plans.py::
+    test_candidate_pairs_skew_split, scripts/scale_stress.py --skew)."""
     if materialize:
         bands_df = _materialize(bands_df)
-    bands_df = bands_df.repartition("band_id", "band_hash")
     a = bands_df.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -524,7 +533,10 @@ def fingerprint_overlap_pairs(
             .select("fp")
         )
         fp = fp.join(rare, on="fp", how="left_semi")
-    fp = fp.repartition("fp")
+    # No explicit repartition("fp"): a pinned REPARTITION_BY_COL
+    # shuffle would make the self-join ineligible for AQE skew
+    # splitting (OptimizeSkewedJoin only rewrites ENSURE_REQUIREMENTS
+    # shuffles) — see candidate_pairs, same posture.
     a = fp.select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -89,11 +89,69 @@ def bench_at(spark, sf_dir: str, names, repeats: int = 2) -> dict[str, float]:
     return timings
 
 
+def skew_case(spark) -> None:
+    """Deliberately-skewed LSH band join: a 6 k-document duplicate
+    clique collapses onto ONE (band_id, band_hash) bucket per band —
+    the crawl-corpus worst case. Verifies AQE splits the hot bucket
+    (SortMergeJoin(skew=true), AQEShuffleRead skewed) now that
+    candidate_pairs leaves its shuffles planner-inserted, and
+    snapshots the final adaptive plan to plans/candidate_pairs_skew.txt.
+    Thresholds are scaled down so the sf-tiny clique registers as
+    skewed; at 100 TB the 256 MB defaults fire unaided."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_spark.operators.dedup import candidate_pairs, lsh_bands
+
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    n_clique, n_unique = 6000, 2000
+    rows = [(i, "identical clique document body for the skew sweep " * 3)
+            for i in range(n_clique)]
+    rows += [(10_000 + i, f"unique doc {i} tokens {i * 7} {i * 13} {i * 29} pad")
+             for i in range(n_unique)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    pairs = candidate_pairs(lsh_bands(docs))
+    t0 = time.perf_counter()
+    n_raw = pairs._jdf.queryExecution().executedPlan().execute().count()
+    dt = time.perf_counter() - t0
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    (REPO / "plans" / "candidate_pairs_skew.txt").write_text(plan)
+    print(
+        json.dumps(
+            {
+                "metric": "skew_band_join",
+                "clique_docs": n_clique,
+                "unique_docs": n_unique,
+                "pair_rows": n_raw,
+                "wall_s": round(dt, 1),
+                "skew_split": "skew=true" in plan,
+                "shuffle_reused": "ReusedExchange" in plan,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO / ".scratch" / "sf1d"))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--skew", action="store_true",
+                    help="run only the skewed band-join case")
     args = ap.parse_args()
+
+    if args.skew:
+        from flink_realtime_edu_spark.session import get_spark
+
+        spark = get_spark(app_name="fres-skew-stress")
+        skew_case(spark)
+        spark.stop()
+        return
 
     from flink_realtime_edu_spark.queries import load_registry
     from flink_realtime_edu_spark.session import get_spark

@@ -276,3 +276,52 @@ def test_quartiles_window_is_partitioned_not_global(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "customer_balance_quartiles")
     assert "windowspecdefinition(pid" in plan
     assert "windowspecdefinition(c_acctbal" not in plan  # no global window
+
+
+def test_candidate_pairs_skew_split(spark):
+    """X5 100 TB posture: a dup-clique (many near-identical docs) puts
+    one giant bucket on a single (band_id, band_hash) join key. The
+    band self-join must stay eligible for AQE's OptimizeSkewedJoin —
+    i.e. its shuffles are planner-inserted ENSURE_REQUIREMENTS, not a
+    pinned user repartition, so the hot bucket is split across tasks
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed) instead of
+    running as one straggler. Thresholds are lowered to make the
+    sf-tiny clique register as skewed; on a real cluster the 256 MB
+    defaults fire for genuinely hot buckets."""
+    from flink_realtime_edu_spark.operators.dedup import candidate_pairs, lsh_bands
+
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        n_clique, n_unique = 1200, 800
+        rows = [(i, "identical clique document body for the skew split test " * 3)
+                for i in range(n_clique)]
+        rows += [(10_000 + i, f"unique doc {i} tokens {i * 7} {i * 13} {i * 29} pad")
+                 for i in range(n_unique)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+        pairs = candidate_pairs(lsh_bands(docs))
+        # Execute THIS Dataset's physical plan so the adaptive plan
+        # finalizes in place (count() would plan a separate query).
+        n_raw = pairs._jdf.queryExecution().executedPlan().execute().count()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n_raw == n_clique * (n_clique - 1) // 2  # clique pairs, pre-distinct dedup already applied
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:2000]
+    assert "AQEShuffleRead skewed" in plan
+    # The materialized band frame's shuffle is stage-reused for both
+    # join sides — one exchange, two readers.
+    assert "ReusedExchange" in plan
