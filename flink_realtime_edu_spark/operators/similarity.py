@@ -381,3 +381,52 @@ __all__ = [
     "dot",
     "l2_norm",
 ]
+
+
+def ann_recall_summary(
+    ann: DataFrame,
+    exact: DataFrame,
+    queries: DataFrame,
+    k: int,
+    min_mean_recall: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fold an ANN result into a deterministic, oracle-assertable
+    summary row: ``(n_queries, k, all_queries_answered,
+    mean_recall_ok)``.
+
+    Raw ANN neighbor sets are index-specific (bucket/probe layout), so
+    a value-equal SQL oracle cannot exist for them; what IS exactly
+    assertable is the tolerance contract (the same trick as the A4
+    sketch oracles): recall@k against the exact brute-force top-k —
+    computed INSIDE the query, both sides Spark, both deterministic
+    (seeded hyperplanes / seeded k-means on fixed data) — folded to
+    booleans with thresholds far below the measured floor, so the
+    booleans are deterministically TRUE unless the index breaks.
+    `n_queries` stays exactly computable by the oracle.
+
+    Scale note: the brute-force arm makes this a VERIFICATION query
+    (gate scales); production serving uses the ANN frame directly."""
+    hit = ann.select("qid", "nid").join(
+        exact.select("qid", "nid"), on=["qid", "nid"], how="left_semi"
+    )
+    per_q = (
+        queries.select(F.col(id_col).alias("qid"))
+        .join(
+            ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ans")), "qid", "left"
+        )
+        .join(
+            hit.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")), "qid", "left"
+        )
+        .select(
+            "qid",
+            F.coalesce(F.col("n_ans"), F.lit(0)).alias("n_ans"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(k).alias("k"),
+        (F.min("n_ans") >= F.lit(k)).alias("all_queries_answered"),
+        (F.avg("recall") >= F.lit(min_mean_recall)).alias("mean_recall_ok"),
+    )
