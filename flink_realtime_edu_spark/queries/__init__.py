@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "dedup",
     "similarity",
     "udfs",
+    "redaction",
     "ads",
     "subqueries",
     "tpch",

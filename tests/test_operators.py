@@ -542,3 +542,39 @@ def test_materialize_persist_mode_oracle_equal(spark, sf_dir):
         compare(spec.build(spark, sf_dir), spec.oracle, sf_dir)
     finally:
         spark.conf.unset(MATERIALIZE_CONF)
+
+
+def test_pii_redaction_on_adversarial_forms(spark):
+    """redact_pii scrubs tricky-but-valid shapes, leaves look-alikes
+    alone, and its residual audit counts zero on the output."""
+    from flink_realtime_edu_spark.operators.redaction import (
+        pii_total_count,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "mail a.b-c_d%e+f@sub.domain.example.co now"),
+        (1, "call +44-123-4567 or +1-555-123-4567 today"),
+        (2, "hosts 10.0.0.1 and 255.255.255.255 up"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "version v1.2 date 2024-01-02 price 10.50 fine"),
+        (5, "two emails a@b.io c@d.org together"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r["i"]: (r["red"], r["residual"])
+        for r in df.select(
+            "i",
+            redact_pii("t").alias("red"),
+            pii_total_count(redact_pii("t")).alias("residual"),
+        ).collect()
+    }
+    assert out[0][0] == "mail <EMAIL> now"
+    assert out[1][0] == "call <PHONE> or <PHONE> today"
+    assert out[2][0] == "hosts <IP> and <IP> up"
+    assert out[3][0] == "ssn <ID> leaked"
+    # look-alikes survive: short version strings, dates (no ssn shape),
+    # decimal prices.
+    assert out[4][0] == "version v1.2 date 2024-01-02 price 10.50 fine"
+    assert out[5][0] == "two emails <EMAIL> <EMAIL> together"
+    assert all(res == 0 for _, res in out.values())
