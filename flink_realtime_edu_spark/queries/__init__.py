@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "tpch",
     "temporal",
     "statistics",
+    "training",
 )
 
 
