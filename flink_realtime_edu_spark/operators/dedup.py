@@ -365,7 +365,12 @@ def jaccard_pairs_exact(
         # pruned rows once (strictly smaller than the pre-cap frame).
         sh = _materialize(sh.join(rare, on="s", how="left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh = sh.repartition("s")  # aligns both join sides on the same partitioning
+    # No explicit repartition("s"): a pinned REPARTITION_BY_COL shuffle
+    # would make the self-join ineligible for AQE skew splitting
+    # (OptimizeSkewedJoin only rewrites ENSURE_REQUIREMENTS shuffles) —
+    # see candidate_pairs, same posture. Matters here even capped: a
+    # df=100 key is 10^4 pair rows, and max_df=None (the documented
+    # escape hatch) has no bound at all.
     inter = (
         sh.select(F.col("doc_id").alias("id_a"), "s")
         .join(sh.select(F.col("doc_id").alias("id_b"), "s"), on="s")

@@ -87,7 +87,7 @@ def pq_fit_sample(
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     d_sub = dim // m
     return np.stack(
         [
@@ -144,6 +144,10 @@ def pq_adc_topk(
     by the shortlist, never the corpus; recall rises toward the
     shortlist's recall while the scan still reads only codes."""
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    if rerank_r and rerank_r <= k:
+        raise ValueError(
+            f"rerank_r={rerank_r} must exceed k={k} (0 disables the rerank)"
+        )
     keep = max(k, rerank_r)
     mq, kq, d_sub = codebooks.shape
     q_rows = queries.select(id_col, vec_col).collect()

@@ -174,19 +174,31 @@ DELETED_STATE = "__deleted__"
 def events_as_cdc_envelope(ev: DataFrame) -> DataFrame:
     """Serialize the events changelog into debezium-style JSON
     envelopes (one `value` string column — what a Kafka CDC topic
-    carries): error events become tombstones (op='d', after=NULL),
-    each user's first surviving event is the create, the rest are
-    updates carrying the previous state as the before-image. The
-    op/before derivation is one keyed window (no global sort)."""
+    carries), honoring debezium's existence contract: error events
+    become tombstones (op='d', after=NULL, before=the state being
+    deleted); a surviving event is a create (op='c', before=NULL)
+    whenever the key does not currently exist — first event ever OR
+    first after a delete — and an update (op='u', before=previous
+    state) otherwise. Deletes of keys that don't exist (a leading or
+    repeated error) are NOT emitted — debezium never produces a
+    tombstone for an absent key, and the delete-aware compaction is
+    invariant to them (the first delete of a run closes the interval;
+    the rest were no-ops). The op/before derivation is one keyed
+    window (no global sort)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    # Three-valued logic: isNotNull() folds the NULL lag to FALSE.
+    exists = prev.isNotNull() & (prev != F.lit("error"))
     op = (
         F.when(F.col("event_type") == "error", F.lit("d"))
-        .when(F.row_number().over(w) == 1, F.lit("c"))
+        .when(~exists, F.lit("c"))
         .otherwise(F.lit("u"))
     )
     after = F.when(op != "d", F.struct(F.col("event_type").alias("state")))
-    before = F.struct(F.lag("event_type").over(w).alias("state"))
-    return ev.select(
+    before = F.when(exists, F.struct(prev.alias("state")))
+    enveloped = ev.select(
+        (F.col("event_type") == "error").alias("__is_del"),
+        exists.alias("__exists"),
         F.to_json(
             F.struct(
                 op.alias("op"),
@@ -196,8 +208,11 @@ def events_as_cdc_envelope(ev: DataFrame) -> DataFrame:
                 before.alias("before"),
                 after.alias("after"),
             )
-        ).alias("value")
+        ).alias("value"),
     )
+    return enveloped.filter(
+        ~(F.col("__is_del") & ~F.col("__exists"))
+    ).select("value")
 
 
 def parse_cdc_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:

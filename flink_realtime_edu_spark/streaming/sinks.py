@@ -39,13 +39,22 @@ def check_bucket_layout(target_dir: str, n_buckets: int) -> None:
     meta = target / N_BUCKETS_META
     if meta.exists():
         existing = int(meta.read_text().strip())
-        if existing != n_buckets:
+        if existing == n_buckets:
+            return
+        # A mismatched count is only fatal once DATA exists in the old
+        # layout; a store holding nothing but the metadata file (the
+        # first write crashed between check and data landing) is safely
+        # re-initializable with the new count.
+        has_data = any(
+            p.is_dir() and p.name.startswith(f"{BUCKET_COL}=")
+            for p in target.iterdir()
+        )
+        if has_data:
             raise ValueError(
                 f"bucketed table at {target_dir} was written with "
                 f"n_buckets={existing}; refusing to write with "
                 f"n_buckets={n_buckets} (would silently mix layouts)"
             )
-        return
     target.mkdir(parents=True, exist_ok=True)
     meta.write_text(str(n_buckets))
 

@@ -33,7 +33,7 @@ def main() -> None:
         # PLAN changes, not every run.
         plan = re.sub(r"#\d+", "#N", plan)
         plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
-        plan = re.sub(r"\[id=#N\]", "[id=#N]", plan)
+        plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)
         header = (
             f"-- query: {name}\n"
             f"-- survey rows: {', '.join(spec.survey_rows) or 'n/a'}\n"

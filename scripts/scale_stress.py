@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import shutil
 import sys
 import time
@@ -102,13 +103,19 @@ def skew_case(spark) -> None:
 
     from flink_realtime_edu_spark.operators.dedup import candidate_pairs, lsh_bands
 
-    spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
-    )
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Keep the conf block + clique corpus in sync with
+    # tests/test_plans.py::test_candidate_pairs_skew_split (the pytest
+    # twin of this case at smaller scale).
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {key: spark.conf.get(key, None) for key in skew_confs}
+    for key, v in skew_confs.items():
+        spark.conf.set(key, v)
 
     n_clique, n_unique = 6000, 2000
     rows = [(i, "identical clique document body for the skew sweep " * 3)
@@ -121,7 +128,16 @@ def skew_case(spark) -> None:
     n_raw = pairs._jdf.queryExecution().executedPlan().execute().count()
     dt = time.perf_counter() - t0
     plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # Same run-dependent-id normalization as dump_plans.py, so the
+    # snapshot only diffs when the adaptive plan SHAPE changes.
+    plan = re.sub(r"#\d+", "#N", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
     (REPO / "plans" / "candidate_pairs_skew.txt").write_text(plan)
+    for key, v in saved.items():
+        if v is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, v)
     print(
         json.dumps(
             {

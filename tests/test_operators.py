@@ -629,3 +629,45 @@ def test_pii_redaction_on_adversarial_forms(spark):
     assert out[4][0] == "version v1.2 date 2024-01-02 price 10.50 fine"
     assert out[5][0] == "two emails <EMAIL> <EMAIL> together"
     assert all(res == 0 for _, res in out.values())
+
+
+def test_cdc_envelope_debezium_existence_contract(spark):
+    """The envelope serializer must honor debezium's existence rules:
+    a key's first SURVIVING event is a create even when errors precede
+    it, the event right after a delete is a create (before=NULL), and
+    tombstones are emitted only for keys that exist (leading/repeated
+    errors vanish instead of producing bogus deletes)."""
+    import json
+
+    from flink_realtime_edu_spark.queries.temporal import events_as_cdc_envelope
+
+    rows = [
+        # user 1: error first, then states, delete, then re-create
+        (1, "2024-01-01 00:00:00", 1, "error"),
+        (2, "2024-01-01 00:01:00", 1, "view"),
+        (3, "2024-01-01 00:02:00", 1, "click"),
+        (4, "2024-01-01 00:03:00", 1, "error"),
+        (5, "2024-01-01 00:04:00", 1, "error"),  # repeated delete → dropped
+        (6, "2024-01-01 00:05:00", 1, "purchase"),
+        # user 2: plain create/update
+        (7, "2024-01-01 00:00:30", 2, "view"),
+        (8, "2024-01-01 00:01:30", 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    env = [
+        json.loads(r["value"])
+        for r in events_as_cdc_envelope(ev).collect()
+    ]
+    by_eid = {e["event_id"]: e for e in env}
+    assert 1 not in by_eid, "leading error must not emit a tombstone"
+    assert 5 not in by_eid, "repeated error must not emit a tombstone"
+    assert by_eid[2]["op"] == "c" and "before" not in by_eid[2]
+    assert by_eid[3]["op"] == "u" and by_eid[3]["before"]["state"] == "view"
+    assert by_eid[4]["op"] == "d" and by_eid[4]["before"]["state"] == "click"
+    assert "after" not in by_eid[4]
+    assert by_eid[6]["op"] == "c" and "before" not in by_eid[6]
+    assert by_eid[7]["op"] == "c"
+    assert by_eid[8]["op"] == "u" and by_eid[8]["before"]["state"] == "view"

@@ -167,6 +167,25 @@ def test_bucket_layout_metadata_rejects_mismatched_restart(spark, tmp_path):
         upsert_latest_by_key(target, ["k"], "v", n_buckets=4)(batch, 2)
 
 
+def test_bucket_layout_empty_store_is_reinitializable(spark, tmp_path):
+    """A store holding only the metadata file (first write crashed
+    after check_bucket_layout, before any data landed) must accept a
+    restart with a DIFFERENT n_buckets — there is no layout to mix —
+    and record the new count."""
+    from flink_realtime_edu_spark.streaming.sinks import (
+        N_BUCKETS_META,
+        check_bucket_layout,
+        upsert_latest_by_key,
+    )
+
+    target = tmp_path / "crashed_empty_store"
+    check_bucket_layout(str(target), 8)  # simulated crash right after
+    assert (target / N_BUCKETS_META).read_text() == "8"
+    batch = spark.createDataFrame([(1, 10, "a")], "k long, v long, s string")
+    upsert_latest_by_key(str(target), ["k"], "v", n_buckets=4)(batch, 0)
+    assert (target / N_BUCKETS_META).read_text() == "4"
+
+
 def test_compact_changelog_crash_leftovers_are_dedup_safe(spark, sf_dir, tmp_path):
     """ADVICE r3 (medium): compaction stages to a tmp dir and moves
     files in, so any crash leaves the live changelog complete — at
