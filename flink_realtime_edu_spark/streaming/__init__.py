@@ -29,6 +29,11 @@ from flink_realtime_edu_spark.streaming.jobs import (
     temporal_join_stream,
     tumbling_stats_stream,
 )
+from flink_realtime_edu_spark.streaming.dedup import (
+    read_dedup_index,
+    read_dedup_output,
+    streaming_exact_dedup,
+)
 from flink_realtime_edu_spark.streaming.scd2 import (
     maintain_scd2_dim,
     read_scd2_intervals,
@@ -60,4 +65,7 @@ __all__ = [
     "await_progress",
     "maintain_scd2_dim",
     "read_scd2_intervals",
+    "streaming_exact_dedup",
+    "read_dedup_output",
+    "read_dedup_index",
 ]

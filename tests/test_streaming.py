@@ -1093,3 +1093,86 @@ def test_scd2_dim_with_cdc_deletes_stream_equals_batch(spark, sf_dir, tmp_path):
         deleted_users, on="user_id", how="inner"
     )
     assert still_open.count() == 0
+
+
+def test_streaming_incremental_dedup_first_seen_wins_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """X4 streaming twin: documents streamed in micro-batches are
+    deduped against the persisted content-hash index — first-seen
+    wins, classifications match an exact recomputation from the
+    actual batch membership, the index equals the kept set, and
+    REPLAYING a batch (crash recovery) reproduces byte-identical
+    output and index state."""
+    from flink_realtime_edu_spark.streaming.dedup import (
+        read_dedup_index,
+        read_dedup_output,
+        streaming_exact_dedup,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src"
+    docs.repartition(3).write.parquet(str(src))
+
+    index_dir = str(tmp_path / "hash_index")
+    out_dir = str(tmp_path / "dedup_out")
+    sink = streaming_exact_dedup(index_dir, out_dir, n_buckets=8)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    out = read_dedup_output(spark, out_dir).cache()
+    assert out.count() == docs.count()
+
+    # Exact recomputation from the ACTUAL batch membership: the keep
+    # for a hash is the smallest doc_id within its first-seen batch.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_md5")
+    expected = (
+        out.select("doc_id", "text_md5", "batch_id")
+        .withColumn(
+            "keep",
+            F.min_by(
+                F.struct("batch_id", "doc_id"), F.struct("batch_id", "doc_id")
+            ).over(w),
+        )
+        .select(
+            "doc_id",
+            "text_md5",
+            F.when(F.col("doc_id") == F.col("keep.doc_id"), "kept")
+            .when(F.col("batch_id") == F.col("keep.batch_id"), "dup_in_batch")
+            .otherwise("dup_of_corpus")
+            .alias("status"),
+        )
+    )
+    got = out.select("doc_id", "text_md5", "status")
+    assert _rows(got) == _rows(expected)
+
+    # Index == the kept set, one row per distinct hash.
+    idx = read_dedup_index(spark, index_dir)
+    kept = out.filter(F.col("status") == "kept")
+    assert _rows(idx.select("text_md5", "keep_doc_id")) == _rows(
+        kept.select("text_md5", "doc_id")
+    )
+    assert idx.count() == out.select("text_md5").distinct().count()
+
+    # Crash-replay: re-run the LAST batch through the sink with its
+    # original batch id; output and index must be unchanged.
+    last_batch = out.agg(F.max("batch_id")).collect()[0][0]
+    replay_ids = [
+        r.doc_id for r in out.filter(F.col("batch_id") == last_batch).collect()
+    ]
+    before_out = _rows(read_dedup_output(spark, out_dir))
+    before_idx = _rows(read_dedup_index(spark, index_dir))
+    sink(docs.filter(F.col("doc_id").isin(replay_ids)), last_batch)
+    assert _rows(read_dedup_output(spark, out_dir)) == before_out
+    assert _rows(read_dedup_index(spark, index_dir)) == before_idx
+    out.unpersist()
