@@ -196,6 +196,11 @@ def main() -> None:
         "sequence_packing_chunks",
         "token_budget_sample",
         "near_dup_simhash",
+        # r4: training-set assembly + the PQ ANN path (codebook fit is
+        # sample-sized by design; the ADC scan is the volume cost)
+        "training_shuffle_manifest",
+        "incremental_dedup_delta",
+        "pq_ann_topk",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
