@@ -86,3 +86,48 @@ def export_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    cluster_cols: list[str] | None = None,
+    files_per_day: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned + CLUSTERED fact layout: within each `dt=`
+    directory, rows are range-distributed and sorted on
+    ``cluster_cols`` — the poor man's Z-order for the 1-D case, and
+    the layout every 100 TB point-lookup path wants:
+
+    - `dt` filters prune directories before any IO (as in
+      :func:`write_fact_partitioned`);
+    - `cluster_cols` filters prune ROW GROUPS via parquet min/max
+      stats: sorting makes each row group's [min, max] window narrow
+      and disjoint, so a `user_id = X` scan reads ~1 row group per
+      day instead of every file (unsorted layouts have every row
+      group spanning the full id range — stats prune nothing).
+
+    `repartitionByRange` on (dt, cluster) gives ``files_per_day``
+    non-overlapping files per day (range boundaries from a sampled
+    sketch — deterministic enough for layout; rows are EXACTLY
+    distributed by the subsequent partitionBy regardless), and
+    `sortWithinPartitions` orders rows inside each file so row-group
+    boundaries cut the cluster key into consecutive ranges. One
+    range shuffle total; no global sort.
+
+    Layout quality (disjoint, narrow per-row-group ranges) is pinned
+    by tests/test_sinks.py with pyarrow footer inspection.
+    """
+    cluster_cols = cluster_cols or []
+    dtd = df.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd"))
+    n_days = dtd.select("dt").distinct().count()
+    clustered = (
+        dtd.repartitionByRange(
+            max(n_days * files_per_day, 1), F.col("dt"), *[F.col(c) for c in cluster_cols]
+        ).sortWithinPartitions("dt", *cluster_cols)
+        if cluster_cols
+        else dtd.repartition("dt")
+    )
+    clustered.write.partitionBy("dt").mode(mode).parquet(path)

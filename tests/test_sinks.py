@@ -233,3 +233,59 @@ def test_compact_changelog_crash_leftovers_are_dedup_safe(spark, sf_dir, tmp_pat
 
 def _rows_sorted(df):
     return sorted(repr(tuple(r)) for r in df.collect())
+
+
+def test_write_clustered_prunes_partitions_and_row_groups(spark, sf_dir, tmp_path):
+    """The clustered fact layout must deliver BOTH pruning levers:
+    (a) a dt filter lists only matching partition dirs (PartitionFilters
+    — verified via inputFiles), and (b) within each file the cluster
+    column is sorted so parquet row-group [min,max] windows are
+    non-overlapping — the property that makes min/max stats skip
+    row groups on a user_id point lookup. Values must round-trip
+    exactly vs the source."""
+    import pyarrow.parquet as pq
+
+    from flink_realtime_edu_spark.sources.sinks import write_clustered
+
+    ev = load(spark, sf_dir, "events")
+    target = str(tmp_path / "events_clustered")
+    write_clustered(ev, target, cluster_cols=["user_id"])
+
+    back = spark.read.parquet(target)
+    assert back.count() == ev.count()
+    # (a) partition pruning: a one-day filter prunes at the dir level
+    # (inputFiles() ignores partition filters, so check the plan)
+    days = sorted(str(r.dt) for r in back.select("dt").distinct().collect())
+    one_day = back.filter(F.col("dt") == days[0])
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and days[0] in plan.split("PartitionFilters")[1][:300]
+    # (b) row-group clustering: within every file, user_id row-group
+    # ranges are sorted and non-overlapping
+    files = [f.removeprefix("file:") for f in back.inputFiles()]
+    for path in files:
+        pf = pq.ParquetFile(path)
+        meta = pf.metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[
+            "user_id"
+        ]
+        ranges = [
+            (
+                meta.row_group(g).column(idx).statistics.min,
+                meta.row_group(g).column(idx).statistics.max,
+            )
+            for g in range(meta.num_row_groups)
+        ]
+        assert all(lo <= hi for lo, hi in ranges)
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping row groups in {path}"
+        # At test scale files may hold a single row group, which makes
+        # the disjointness above vacuous — assert the property that
+        # produces it directly: user_id is sorted WITHIN the file, so
+        # any row-group cut yields narrow disjoint [min,max] windows.
+        ids = pf.read(columns=["user_id"])["user_id"].to_pylist()
+        assert ids == sorted(ids), f"user_id not clustered in {path}"
+    # values survive the layout unchanged
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, ev.select(*cols).collect())
+    )
