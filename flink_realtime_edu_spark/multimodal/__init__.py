@@ -170,8 +170,11 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     would be a mapInPandas over this plan joined back to payloads;
     emitting the plan separately keeps the explode (cheap, metadata
     only) apart from the byte-heavy decode stage."""
+    # n_frames > 0, not just non-null: Spark's sequence(0, -1, k)
+    # THROWS (illegal boundaries) rather than returning empty, so a
+    # zero-frame video would fail the whole job.
     vids = media.filter(
-        (F.col("modality") == "video") & F.col("n_frames").isNotNull()
+        (F.col("modality") == "video") & (F.col("n_frames") > 0)
     )
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
     return vids.select(

@@ -91,3 +91,40 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
         F.round(F.avg(F.element_at("feature", 4)), 6).alias("avg_digit_frac"),
     )
+
+
+@register(
+    "video_frame_sample_plan",
+    survey_rows=("X8", "F5", "P1"),
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(g.i AS BIGINT) AS frame_index,
+       'video/mp4' AS mime
+FROM documents, unnest(generate_series(0, n_chars - 1, 10)) g(i)
+WHERE doc_id % 3 = 2 AND n_chars > 0
+""",
+)
+def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over the derived video assets (doc_id % 3
+    = 2, n_frames = n_chars metadata): one row per (video, frame
+    index to decode), every 10th frame. METADATA-ONLY by
+    construction — the plan never touches payload bytes (the scan
+    prunes to the three metadata columns; the byte-heavy decode is a
+    separate mapInPandas stage joined back by media_id), which is
+    the shape that lets a 100 TB video corpus plan its decode work
+    from a few GB of metadata. Pure JVM sequence/explode, no
+    Python, no shuffle. Zero-frame videos are excluded (Spark's
+    sequence throws on empty bounds — pinned in the operator)."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.lit("video/mp4").alias("mime"),
+        F.col("n_chars").alias("n_frames"),
+    )
+    from flink_realtime_edu_spark.multimodal import frame_sample_plan
+
+    return frame_sample_plan(media, every_nth=10)
