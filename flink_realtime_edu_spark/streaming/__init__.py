@@ -34,6 +34,10 @@ from flink_realtime_edu_spark.streaming.dedup import (
     read_dedup_output,
     streaming_exact_dedup,
 )
+from flink_realtime_edu_spark.streaming.quality import (
+    dq_totals_from_progress,
+    with_dq_metrics,
+)
 from flink_realtime_edu_spark.streaming.scd2 import (
     maintain_scd2_dim,
     read_scd2_intervals,
@@ -68,4 +72,6 @@ __all__ = [
     "streaming_exact_dedup",
     "read_dedup_output",
     "read_dedup_index",
+    "with_dq_metrics",
+    "dq_totals_from_progress",
 ]

@@ -1176,3 +1176,70 @@ def test_streaming_incremental_dedup_first_seen_wins_and_replay_safe(
     assert _rows(read_dedup_output(spark, out_dir)) == before_out
     assert _rows(read_dedup_index(spark, index_dir)) == before_idx
     out.unpersist()
+
+
+def test_streaming_dq_observation_matches_batch_counts(spark, sf_dir, tmp_path):
+    """S7 monitoring: `observe` metrics accumulated across micro-
+    batches must equal the batch-computed quality counts over the
+    same events — no second scan, the counters ride the plan."""
+    from flink_realtime_edu_spark.streaming.dedup import read_dedup_output  # noqa: F401 (import sanity)
+    from flink_realtime_edu_spark.streaming.quality import (
+        dq_totals_from_progress,
+        with_dq_metrics,
+    )
+
+    base = load(spark, sf_dir, "events")
+    # Plant violations of all three rules (sf0.001 props are all
+    # clean, so the counters would trivially be zero otherwise).
+    planted = spark.createDataFrame(
+        [
+            (9_000_001, "2024-01-01 00:00:00", 1, "view", 1.0, "not json"),
+            (9_000_002, "2024-01-01 00:00:01", 2, "view", -5.0, '{"k": 3}'),
+            (9_000_003, "2024-01-01 00:00:02", None, "view", 2.0, '{"k": 500}'),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = base.unionByName(planted)
+    src = tmp_path / "dq_src"
+    ev.repartition(3).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out_dir = str(tmp_path / "dq_out")
+    q = (
+        with_dq_metrics(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dq_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = dq_totals_from_progress([p for p in q.recentProgress])
+
+    k = F.from_json("props", "k INT")["k"]
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~(k.isNotNull() & k.between(0, 99)), 1).otherwise(0)).alias(
+            "n_dirty_props"
+        ),
+        F.sum(
+            F.when(F.col("value").isNull() | (F.col("value") < 0), 1).otherwise(0)
+        ).alias("n_bad_value"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "n_null_user"
+        ),
+    ).collect()[0]
+    assert got == {
+        "n_rows": want.n_rows,
+        "n_dirty_props": want.n_dirty_props,
+        "n_bad_value": want.n_bad_value,
+        "n_null_user": want.n_null_user,
+    }
+    # every planted rule fires
+    assert got["n_rows"] > 0 and got["n_dirty_props"] >= 2
+    assert got["n_bad_value"] >= 1 and got["n_null_user"] >= 1
+    # pass-through contract: observed stream wrote every row unchanged
+    assert spark.read.parquet(out_dir).count() == want.n_rows
