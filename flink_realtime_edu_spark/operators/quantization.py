@@ -153,7 +153,7 @@ def pq_adc_topk(
     q_rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
     # luts[j] : (m, k) — <q_m, c_mj> partial inner products.
     luts = np.stack(
         [

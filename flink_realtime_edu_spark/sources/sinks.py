@@ -122,12 +122,15 @@ def write_clustered(
     """
     cluster_cols = cluster_cols or []
     dtd = df.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd"))
-    n_days = dtd.select("dt").distinct().count()
-    clustered = (
-        dtd.repartitionByRange(
-            max(n_days * files_per_day, 1), F.col("dt"), *[F.col(c) for c in cluster_cols]
+    if cluster_cols:
+        # The day-count probe is an extra job over the input — only
+        # pay it when the range layout actually needs a target count.
+        n_days = dtd.select("dt").distinct().count()
+        clustered = dtd.repartitionByRange(
+            max(n_days * files_per_day, 1),
+            F.col("dt"),
+            *[F.col(c) for c in cluster_cols],
         ).sortWithinPartitions("dt", *cluster_cols)
-        if cluster_cols
-        else dtd.repartition("dt")
-    )
+    else:
+        clustered = dtd.repartition("dt")
     clustered.write.partitionBy("dt").mode(mode).parquet(path)

@@ -19,6 +19,11 @@ batch id (→ still `dup_in_batch`, not `dup_of_corpus`). The merge is
 a no-op on replay (hash already present ⇒ existing row wins). The
 per-batch output lands under a batch-id-deterministic dir with
 overwrite, so replayed output files are rewritten, never duplicated.
+Index writes use the staged-swap discipline (stage merged buckets to
+a tmp dir, move files in, then delete old files — scd2.py's
+compact_changelog pattern): a crash leaves a bucket untouched or
+with identical duplicate rows that every reader folds away, never
+with lost hashes.
 
 Scale: per batch the work is O(|batch| + touched buckets), never
 O(corpus) — the index stores 16-byte hashes + two longs per UNIQUE
@@ -28,6 +33,7 @@ and the probe/merge joins hash-partition on the content hash.
 
 from __future__ import annotations
 
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -37,7 +43,6 @@ from flink_realtime_edu_spark.streaming.sinks import (
     BUCKET_COL,
     check_bucket_layout,
     key_bucket_col,
-    overwrite_buckets,
     read_buckets,
 )
 
@@ -61,7 +66,11 @@ def streaming_exact_dedup(
         check_bucket_layout(index_dir, n_buckets)
         hashed = (
             batch_df.select(
-                F.col(id_col).alias("doc_id"), F.md5(text_col).alias("text_md5")
+                F.col(id_col).alias("doc_id"),
+                # coalesce: a NULL text must still classify (md5(NULL)
+                # is NULL, and NULL join keys would silently drop the
+                # doc from the output while still polluting the index)
+                F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_md5"),
             )
             .withColumn(BUCKET_COL, key_bucket_col(["text_md5"], n_buckets))
             .persist()
@@ -73,6 +82,12 @@ def streaming_exact_dedup(
                 index = spark.createDataFrame([], INDEX_SCHEMA).withColumn(
                     BUCKET_COL, F.lit(0)
                 )
+            # Crash-window duplicates (old + staged files both present,
+            # see the staged swap below) are byte-identical rows — fold
+            # them away on every read.
+            index = index.dropDuplicates(
+                ["text_md5", "keep_doc_id", "first_seen_batch", BUCKET_COL]
+            )
             # Batch-internal canon: smallest doc_id per new hash.
             batch_canon = hashed.groupBy("text_md5", BUCKET_COL).agg(
                 F.min("doc_id").alias("batch_keep")
@@ -107,8 +122,7 @@ def streaming_exact_dedup(
             classified.write.mode("overwrite").parquet(
                 str(Path(out_dir) / f"batch_id={batch_id}")
             )
-            # Merge: existing index rows win (first-seen contract);
-            # materialize before overwriting the partitions being read.
+            # Merge: existing index rows win (first-seen contract).
             merged = (
                 keep.select(
                     "text_md5", "keep_doc_id", "first_seen_batch", BUCKET_COL
@@ -131,9 +145,34 @@ def streaming_exact_dedup(
                     F.col("r.first_seen_batch").alias("first_seen_batch"),
                     BUCKET_COL,
                 )
-                .localCheckpoint(eager=True)
             )
-            overwrite_buckets(merged, index_dir)
+            # CRASH SAFETY (the index is the only record of what was
+            # seen — losing a bucket silently re-admits duplicates):
+            # stage the merged buckets to a sibling tmp dir, move the
+            # new files into the live bucket dirs, THEN delete the old
+            # files — the compact_changelog discipline (scd2.py). A
+            # crash at any point leaves each bucket either untouched
+            # or with old+new files (identical duplicate rows), which
+            # every reader folds away with dropDuplicates.
+            staging = Path(index_dir + f".merge-tmp{batch_id}")
+            if staging.exists():
+                shutil.rmtree(staging)  # stale staging from a crash
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                str(staging)
+            )
+            for b in touched:
+                live = Path(index_dir) / f"{BUCKET_COL}={b}"
+                live.mkdir(parents=True, exist_ok=True)
+                old_files = list(live.glob("*.parquet"))
+                staged = staging / f"{BUCKET_COL}={b}"
+                for f in staged.glob("*.parquet") if staged.exists() else []:
+                    f.rename(live / f.name)
+                for f in old_files:
+                    f.unlink()
+                    crc = f.parent / f".{f.name}.crc"
+                    if crc.exists():
+                        crc.unlink()
+            shutil.rmtree(staging)
         finally:
             hashed.unpersist()
 
@@ -156,4 +195,5 @@ def read_dedup_index(spark, index_dir: str) -> DataFrame:
     )
     if not dirs:
         return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.parquet(*dirs).drop(BUCKET_COL)
+    # Fold crash-window duplicates (old + staged file both present).
+    return spark.read.parquet(*dirs).drop(BUCKET_COL).dropDuplicates()

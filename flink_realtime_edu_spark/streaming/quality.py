@@ -63,5 +63,7 @@ def dq_totals_from_progress(progresses: list[dict]) -> dict[str, int]:
         if not row:
             continue
         for key in totals:
-            totals[key] += int(row[key])
+            # sum() over an empty batch reports NULL (None), not 0 —
+            # e.g. a zero-row trigger run to finalize windows.
+            totals[key] += int(row[key] or 0)
     return totals

@@ -1175,6 +1175,18 @@ def test_streaming_incremental_dedup_first_seen_wins_and_replay_safe(
     sink(docs.filter(F.col("doc_id").isin(replay_ids)), last_batch)
     assert _rows(read_dedup_output(spark, out_dir)) == before_out
     assert _rows(read_dedup_index(spark, index_dir)) == before_idx
+
+    # Staged-swap crash window: a bucket left with old AND new files
+    # (identical duplicate rows) must read back folded, and the next
+    # batch must classify as if nothing happened.
+    import glob as _glob
+    import shutil as _shutil
+
+    bucket_files = sorted(_glob.glob(f"{index_dir}/__bucket=*/*.parquet"))
+    _shutil.copy(bucket_files[0], bucket_files[0] + ".dup.parquet")
+    assert _rows(read_dedup_index(spark, index_dir)) == before_idx
+    sink(docs.filter(F.col("doc_id").isin(replay_ids)), last_batch)
+    assert _rows(read_dedup_output(spark, out_dir)) == before_out
     out.unpersist()
 
 
