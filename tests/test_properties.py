@@ -343,3 +343,75 @@ def test_state_intervals_partition_each_users_timeline(spark, rows, n_parts):
         for a, b in zip(items, items[1:]):
             assert a.valid_to == b.valid_from  # tiling, half-open
             assert a.state != b.state  # maximal runs
+
+
+@given(
+    n_docs=st.integers(min_value=1, max_value=40),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_training_shuffle_is_a_partition_invariant_bijection(spark, n_docs, n_parts):
+    """The epoch-shuffle manifest must be a bijection doc_id ↔
+    (shard, position): every doc appears exactly once, positions
+    within each shard are exactly 1..n_shard with no gaps, and the
+    whole mapping is independent of the input partitioning (the
+    restart-stability the md5 keying promises)."""
+    from flink_realtime_edu_spark.queries.training import (
+        training_shuffle_manifest,
+    )
+    from flink_realtime_edu_spark.queries import load_registry
+
+    build = load_registry()["training_shuffle_manifest"].build
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} alpha beta {i % 7}") for i in range(n_docs)],
+            "doc_id long, text string",
+        )
+        docs.repartition(n_parts).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = build(spark, d).collect()
+        assert sorted(r.doc_id for r in rows) == list(range(n_docs))
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.position)
+        for shard, pos in by_shard.items():
+            assert sorted(pos) == list(range(1, len(pos) + 1)), (shard, pos)
+        rows2 = build(spark, d).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, allow_infinity=False),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=4,
+        max_size=24,
+    )
+)
+@SET
+def test_pq_encode_batch_is_deterministic_and_in_range(vecs):
+    """pq_encode_batch: codes are within [0, k), deterministic, and
+    identical vectors always share a code word in every subspace."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.operators.quantization import (
+        _lloyd_numpy,
+        pq_encode_batch,
+    )
+
+    x = np.array(vecs, dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    x = x / norms
+    k = min(4, len(x))
+    cb = np.stack([_lloyd_numpy(x[:, i * 2 : (i + 1) * 2], k, 4) for i in range(4)])
+    c1 = pq_encode_batch(x, cb)
+    c2 = pq_encode_batch(x, cb)
+    assert (c1 == c2).all()
+    assert c1.min() >= 0 and c1.max() < k
+    # identical rows -> identical codes
+    x2 = np.vstack([x, x[:1]])
+    c3 = pq_encode_batch(x2, cb)
+    assert (c3[0] == c3[-1]).all()
