@@ -1,0 +1,64 @@
+"""Partition-invariance of the registry: the driver's value-hash gate
+is only sound if every query returns IDENTICAL values whatever the
+physical execution shape. This sweeps a representative query per
+operator family (hash agg, window, joins, pandas-UDF scorer, LSH
+dedup, sharded prefix sums, connected components, hash sketches,
+grouped-map UDF, epoch shuffle) under three execution shapes —
+default, shuffle.partitions=5, shuffle.partitions=17 + AQE coalescing
+off — and requires bit-identical sorted results.
+
+This is the test-side twin of the repo's determinism discipline
+(exact-decimal sums, rounded-before-rank scores, id tie-breaks,
+sequential-fold dot products): a query that silently depended on
+partition count or AQE decisions would pass the single-shape oracle
+compare some days and hash-mismatch others.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_realtime_edu_spark.queries import load_registry
+
+REPRESENTATIVES = [
+    "pricing_summary",            # partial+final hash agg, decimal sums
+    "top_parts_per_nation",       # broadcast joins + ranking window
+    "running_customer_spend",     # frame aggregate window
+    "near_dup_minhash",           # pandas-UDF signatures + LSH self-join
+    "cosine_topk_bruteforce",     # mapInPandas local top-k + global rank
+    "sequence_packing_chunks",    # two-level sharded prefix sums
+    "near_dup_clusters",          # iterative connected components
+    "cms_token_frequencies",      # hash-sketch algebra
+    "grouped_zscore_chars",       # applyInPandas grouped-map
+    "training_shuffle_manifest",  # md5 epoch shuffle + per-shard rank
+    "value_percentiles",          # exact percentiles
+    "customer_balance_quartiles", # two-phase distributed rank
+]
+
+
+def _run(spark, name, sf_dir):
+    df = load_registry()[name].build(spark, sf_dir)
+    return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_is_partition_invariant(spark, sf_dir, name):
+    base = _run(spark, name, sf_dir)
+    assert base, f"{name} returned no rows at {sf_dir}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert _run(spark, name, sf_dir) == base, f"{name}: differs at 5 parts"
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        assert _run(spark, name, sf_dir) == base, (
+            f"{name}: differs at 17 parts / no AQE coalesce"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", saved_coalesce
+        )
