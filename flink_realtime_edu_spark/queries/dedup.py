@@ -541,3 +541,81 @@ def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SipHash signatures."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return minhash_signature_md5_km(d, n_hashes=4).orderBy("doc_id")
+
+
+@register(
+    "near_dup_incremental",
+    survey_rows=("X5", "X4", "J1"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+delta AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+inter AS (
+  SELECT a.doc_id AS id_delta, b.doc_id AS id_other, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM delta)
+    AND (b.doc_id NOT IN (SELECT doc_id FROM delta) OR a.doc_id < b.doc_id)
+  GROUP BY 1, 2
+)
+SELECT i.id_delta, i.id_other,
+       round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_delta
+JOIN sizes sb ON sb.doc_id = i.id_other
+WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.7
+""",
+)
+def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup: today's ingest batch (doc_id %
+    10 = 7, the same delta as incremental_dedup_delta) is checked
+    against the WHOLE corpus via the LSH band index — candidates form
+    only where a delta band hash collides with any band hash
+    (delta ⋈ all on (band_id, band_hash)), then exact Jaccard
+    verifies. Output: (id_delta, id_other, jaccard ≥ 0.7), with
+    delta-internal pairs reported once (id_delta < id_other).
+
+    This is the near-dup complement of the exact incremental path:
+    at 100 TB the corpus side of the join is the PERSISTED band
+    index (24 bytes per doc-band — the index the full-corpus job
+    already materializes), so a daily delta costs
+    O(|delta| bands ⋈ index) instead of re-banding the world. The
+    oracle (semantic, like near_dup_minhash's) computes the exact
+    delta-vs-all Jaccard ≥ 0.7 pair set, which LSH recovers at the
+    planted similarity with recall ≈ 1 and the verify stage keeps
+    false-positive-free."""
+    from flink_realtime_edu_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_bands,
+    )
+    from flink_realtime_edu_spark.session import materialize
+
+    d = load(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 == 7
+    bands_all = materialize(lsh_bands(d))
+    bands_delta = bands_all.join(
+        d.filter(is_delta).select("doc_id"), on="doc_id", how="left_semi"
+    )
+    cand = (
+        bands_delta.select(F.col("doc_id").alias("id_delta"), "band_id", "band_hash")
+        .join(
+            bands_all.select(F.col("doc_id").alias("id_other"), "band_id", "band_hash"),
+            on=["band_id", "band_hash"],
+        )
+        .filter(F.col("id_delta") != F.col("id_other"))
+        # delta-internal pairs once; cross pairs keyed by the delta side
+        .filter(
+            (F.col("id_other") % 10 != 7) | (F.col("id_delta") < F.col("id_other"))
+        )
+        .select("id_delta", "id_other")
+        .distinct()
+    )
+    verified = jaccard_verify(
+        cand.withColumnsRenamed({"id_delta": "id_a", "id_other": "id_b"}), d
+    ).filter(F.col("jaccard") >= 0.7)
+    return verified.select(
+        F.col("id_a").alias("id_delta"), F.col("id_b").alias("id_other"), "jaccard"
+    )
