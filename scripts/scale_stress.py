@@ -201,6 +201,7 @@ def main() -> None:
         "training_shuffle_manifest",
         "incremental_dedup_delta",
         "pq_ann_topk",
+        "near_dup_incremental",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
