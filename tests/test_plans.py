@@ -325,3 +325,29 @@ def test_candidate_pairs_skew_split(spark):
     # The materialized band frame's shuffle is stage-reused for both
     # join sides — one exchange, two readers.
     assert "ReusedExchange" in plan
+
+
+def test_registry_wide_no_cartesian_or_rowwise_python(spark, sf_dir):
+    """Plan audit across the ENTIRE registry: no query may plan a
+    CartesianProduct (the two deliberate cross joins are dim-grid /
+    1-row-aggregate shapes that Catalyst turns into BroadcastNestedLoop
+    — an actual CartesianProduct node means a join key got lost) or a
+    row-at-a-time Python UDF (BatchEvalPython — every Python stage in
+    this repo must be Arrow-vectorized: ArrowEvalPython / mapInPandas /
+    applyInPandas). One sweep, physical plans only, no execution."""
+    from flink_realtime_edu_spark.queries import load_registry
+
+    offenders = {}
+    for name, spec in load_registry().items():
+        plan = (
+            spec.build(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        flags = [
+            f for f in ("CartesianProduct", "BatchEvalPython") if f in plan
+        ]
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"plan red flags: {offenders}"
