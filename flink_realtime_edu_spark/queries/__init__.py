@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "temporal",
     "statistics",
     "training",
+    "bpe",
 )
 
 
