@@ -202,6 +202,7 @@ def main() -> None:
         "incremental_dedup_delta",
         "pq_ann_topk",
         "near_dup_incremental",
+        "bpe_merge_learning",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
