@@ -661,3 +661,44 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_gram",
         "top_gram_n",
     )
+
+
+@register(
+    "text_normalization_checksum",
+    survey_rows=("X7", "F1", "F8", "A1"),
+    oracle="""
+WITH n AS (
+  SELECT source,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+              '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS norm
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(CAST(concat('0x', substr(md5(norm), 1, 15)) AS BIGINT)
+                AS DECIMAL(30,0))) AS VARCHAR) AS norm_hash_sum
+FROM n GROUP BY source
+""",
+)
+def text_normalization_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (NFC + control-strip + whitespace
+    collapse, operators/textnorm.py) content-checked per source: the
+    order-insensitive exact-decimal SUM of each normalized doc's
+    60-bit md5 hash. Equality with the oracle proves the pandas-UDF
+    normalizer reproduced DuckDB's independent
+    nfc_normalize+regexp implementation on EVERY document — a
+    content check, not a count check. (The corpus is ASCII-clean, so
+    normalization is a near-no-op here; the unicode behavior itself
+    is pinned on adversarial strings in tests/test_operators.py.)"""
+    from flink_realtime_edu_spark.operators.dedup import md5_hash60
+    from flink_realtime_edu_spark.operators.textnorm import normalize_text_udf
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = d.select("source", normalize_text_udf()(F.col("text")).alias("norm"))
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(md5_hash60(F.col("norm")).cast("decimal(30,0)"))
+        .cast("string")
+        .alias("norm_hash_sum"),
+    )

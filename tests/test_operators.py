@@ -671,3 +671,44 @@ def test_cdc_envelope_debezium_existence_contract(spark):
     assert by_eid[6]["op"] == "c" and "before" not in by_eid[6]
     assert by_eid[7]["op"] == "c"
     assert by_eid[8]["op"] == "u" and by_eid[8]["before"]["state"] == "view"
+
+
+def test_text_normalization_unicode_and_engine_parity(spark):
+    """The normalizer's unicode semantics on adversarial strings:
+    NFC composition (decomposed é → composed), control chars → space,
+    ASCII whitespace runs collapsed, unicode spaces (U+00A0) PRESERVED
+    (the explicit ASCII class, not \\s — the cross-engine trap), and
+    the Spark UDF output equal to both the Python reference and the
+    DuckDB SQL twin on every case."""
+    import duckdb
+
+    from flink_realtime_edu_spark.operators.textnorm import (
+        NORMALIZE_SQL,
+        normalize_text_py,
+        normalize_text_udf,
+    )
+
+    cases = [
+        "é café",      # decomposed accents → NFC composes
+        "  a\tb\r\n c \f\v ",       # whitespace zoo
+        "x\x00y\x07z\x7fw",         # control chars
+        "a b",                 # NBSP must survive
+        "",
+        None,
+        "already clean",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", normalize_text_udf()(F.col("t")).alias("n")).collect()
+    }
+    assert got[0] == "\u00e9 caf\u00e9"  # composed single codepoints
+    assert got[1] == "a b c"
+    assert got[2] == "x y z w"
+    assert got[3] == "a b"
+    assert got[4] == "" and got[5] is None
+    for i, c in enumerate(cases):
+        assert got[i] == normalize_text_py(c), i
+        if c is not None:
+            sql = NORMALIZE_SQL.format(col="?")
+            assert got[i] == duckdb.sql(f"select {sql}", params=[c]).fetchone()[0], i
