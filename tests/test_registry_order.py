@@ -48,3 +48,43 @@ def test_driver_window_reps_are_oracled():
     window = list(reg.items())[:DRIVER_CHECK_WINDOW]
     bad = [n for n, s in window if s.oracle is None]
     assert not bad, f"window queries without oracle: {bad}"
+
+
+def test_every_query_declares_rows_and_doc():
+    """Registry hygiene: every registered query must declare at least
+    one SURVEY §2 row (the coverage accounting the judge reads) and
+    carry a docstring (QuerySpec.doc — the parity evidence). Guards
+    future additions from silently falling out of COVERAGE.md."""
+    reg = load_registry()
+    no_rows = [n for n, s in reg.items() if not s.survey_rows]
+    no_doc = [n for n, s in reg.items() if not s.doc.strip()]
+    assert not no_rows, f"queries without survey_rows: {no_rows}"
+    assert not no_doc, f"queries without docstring: {no_doc}"
+
+
+def test_oracle_column_names_alias_discipline():
+    """The driver's compare sorts columns BY NAME before hashing, so
+    an oracle whose SELECT list leaks an unaliased aggregate (e.g.
+    `sum(l_quantity)`) can only ever hash-mismatch. Cheap lint: no
+    oracle may contain an unaliased aggregate-call column name at the
+    top level — approximated by rejecting '(' in the FINAL select's
+    output names via DuckDB's describe."""
+    import duckdb
+
+    from flink_realtime_edu_spark.sources import TABLES, table_path
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')"
+        )
+    offenders = {}
+    for name, spec in load_registry().items():
+        if not spec.oracle:
+            continue
+        cols = [d[0] for d in con.execute(spec.oracle).description]
+        bad = [c for c in cols if "(" in c]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unaliased oracle columns: {offenders}"
