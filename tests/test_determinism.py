@@ -33,6 +33,8 @@ REPRESENTATIVES = [
     "training_shuffle_manifest",  # md5 epoch shuffle + per-shard rank
     "value_percentiles",          # exact percentiles
     "customer_balance_quartiles", # two-phase distributed rank
+    "bpe_merge_learning",         # driver-looped iterative merges
+    "text_normalization_checksum",  # pandas-UDF + exact decimal sum
 ]
 
 
