@@ -21,7 +21,11 @@ algorithms want small driver state and one job per pass):
   " lr " over the symbol strings — no UDF, no extra shuffle.
 
 Dual-engine exactness: symbol strings are built with the SAME
-regexp_replace('(.)' → char + space) in both engines, and both
+regexp_replace('([\\s\\S])' → char + space) in both engines — the
+class form, not '.', because Java's dot excludes all five line
+terminators while RE2's excludes only \\n, so '(.)' silently
+diverges on \\r/U+2028-bearing words ([\\s\\S] matches every char
+in both) — and both
 engines' `replace` scan left-to-right non-overlapping (verified
 bit-identical, including the shared-boundary-space case " a b a b "
 → " ab a b "), so the DuckDB oracle replays the identical five
@@ -71,7 +75,7 @@ def _bpe_oracle(n_merges: int) -> str:
     SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w FROM documents
   ) WHERE w <> '' GROUP BY w
 ), r0 AS (
-  SELECT freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS symstr FROM words
+  SELECT freq, ' ' || regexp_replace(w, '([\\s\\S])', '\\1 ', 'g') AS symstr FROM words
 )"""
     ]
     for i in range(1, n_merges + 1):
@@ -105,13 +109,17 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     sym = words.select(
-        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("symstr"),
+        F.concat(F.lit(" "), F.regexp_replace("w", r"([\s\S])", "$1 ")).alias("symstr"),
         "freq",
     ).persist()
     try:
         syms = F.split(F.trim("symstr"), " ")
         n = F.size(syms)
-        # guard n < 2: Spark sequence(1, 0) throws, DuckDB returns empty
+        # guard n < 2: sequence(1, n-1) with n=1 is sequence(1, 0),
+        # which COUNTS DOWN ([1, 0] — default step -1), and the i=0
+        # index would then hit element_at(sy, 0) → ANSI error; DuckDB's
+        # generate_series(1, 0) is empty, so the guard also keeps the
+        # two engines on the same (empty) pair set for 1-symbol words.
         pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
             F.array().cast("array<int>")
         )
@@ -135,6 +143,11 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
             best = pairs.orderBy(
                 F.col("c").desc(), F.col("left"), F.col("right")
             ).first()
+            if best is None:
+                raise ValueError(
+                    f"BPE round {rnd}: no adjacent pairs in the corpus "
+                    "(empty documents or single-character words only)"
+                )
             rows.append((rnd, best["left"], best["right"], int(best["c"])))
             cur = cur.withColumn(
                 "symstr",

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.functions import dec_avg_sql, dec_sum_sql
+from flink_realtime_edu_spark.operators.textnorm import (
+    NORMALIZE_SQL as _NORMALIZE_SQL,
+)
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
 from flink_realtime_edu_spark.session import materialize as _materialize
@@ -668,12 +671,12 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_rows=("X7", "F1", "F8", "A1"),
     oracle="""
 WITH n AS (
-  SELECT source,
-         trim(regexp_replace(regexp_replace(nfc_normalize(text),
-              '[\\x00-\\x1f\\x7f]', ' ', 'g'),
-              '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS norm
+  SELECT source, """
+    + _NORMALIZE_SQL.format(col="text")
+    + """ AS norm
   FROM documents WHERE text IS NOT NULL
-)
+)"""
+    + """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CAST(CAST(concat('0x', substr(md5(norm), 1, 15)) AS BIGINT)

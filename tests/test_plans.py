@@ -334,7 +334,11 @@ def test_registry_wide_no_cartesian_or_rowwise_python(spark, sf_dir):
     — an actual CartesianProduct node means a join key got lost) or a
     row-at-a-time Python UDF (BatchEvalPython — every Python stage in
     this repo must be Arrow-vectorized: ArrowEvalPython / mapInPandas /
-    applyInPandas). One sweep, physical plans only, no execution."""
+    applyInPandas). Caveats stated plainly: building a driver-looped
+    query (bpe_merge_learning, the k-means profiles) RUNS its training
+    loop, and what this audit sees for those is the final collected
+    frame's plan, not the per-round job plans — their internal stages
+    are covered by their own operator/parity tests instead."""
     from flink_realtime_edu_spark.queries import load_registry
 
     offenders = {}

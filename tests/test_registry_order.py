@@ -73,11 +73,12 @@ def test_oracle_column_names_alias_discipline():
 
     from flink_realtime_edu_spark.sources import TABLES, table_path
 
+    from tests.conftest import SF_DIR
+
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.001"
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
         )
     offenders = {}
     for name, spec in load_registry().items():
