@@ -123,6 +123,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     rerank_r: int = 0,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Approximate top-k neighbors by PQ asymmetric distance:
     (qid, nid, approx_cos), k rows per query, scores rounded to 6dp
@@ -142,7 +143,21 @@ def pq_adc_topk(
     (k·|Q| rows — tiny) joins back to the raw vectors, and exact
     rounded cosine re-ranks it down to k. One extra hash join sized
     by the shortlist, never the corpus; recall rises toward the
-    shortlist's recall while the scan still reads only codes."""
+    shortlist's recall while the scan still reads only codes.
+
+    NOTE on the returned schema: with ``rerank_r > 0`` the
+    ``approx_cos`` column holds the EXACT rounded cosine from the
+    refinement pass, not the ADC estimate — the name stays stable so
+    ADC and reranked results are drop-in interchangeable downstream
+    (both are "the score this index ranked by"); consumers that need
+    to distinguish them must carry that flag themselves.
+
+    ``max_queries`` guards the driver-side probe collect: the query
+    frame is the top-k PROBE set, small by definition, and a caller
+    passing a corpus-scale frame here would OOM the driver building
+    the LUT tensor — raise early instead (the `sample_n` discipline
+    of :func:`pq_fit_sample`). For corpus-scale query sets, self-join
+    via LSH banding instead."""
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     if rerank_r and rerank_r <= k:
         raise ValueError(
@@ -150,7 +165,13 @@ def pq_adc_topk(
         )
     keep = max(k, rerank_r)
     mq, kq, d_sub = codebooks.shape
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"query frame exceeds max_queries={max_queries}; the PQ probe "
+            "set must be driver-sized — raise max_queries deliberately or "
+            "use an LSH band self-join for corpus-scale query sets"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)

@@ -50,6 +50,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     impl: str = "vectorized",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Exact top-k neighbors: (qid, nid, cos), k rows per query.
 
@@ -104,7 +105,17 @@ def cosine_topk(
         from pyspark import cloudpickle  # the vendored copy Spark serializes with
 
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        q_rows = queries.select(id_col, vec_col).collect()
+        # Guard the driver-side collect: |Q| is the batch-scoring
+        # probe set (driver-sized by contract) — raise early on a
+        # corpus-scale frame instead of OOMing building the matrix.
+        q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+        if len(q_rows) > max_queries:
+            raise ValueError(
+                f"query frame exceeds max_queries={max_queries}; "
+                "brute-force scoring needs a driver-sized probe set — "
+                "raise max_queries deliberately or use lsh_cosine_topk "
+                "banding for corpus-scale query sets"
+            )
         qids = np.array([r[0] for r in q_rows], dtype=np.int64)
         qmat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (m, dim)
         m, dim = qmat.shape

@@ -28,7 +28,15 @@ diverges on \\r/U+2028-bearing words ([\\s\\S] matches every char
 in both) — and both
 engines' `replace` scan left-to-right non-overlapping (verified
 bit-identical, including the shared-boundary-space case " a b a b "
-→ " ab a b "), so the DuckDB oracle replays the identical five
+→ " ab a b "). SCOPE: the char split is BMP-only — Spark/Java regex
+operates on UTF-16 code units while DuckDB's RE2 operates on
+codepoints, so an astral character (emoji, supplementary CJK) would
+split into two surrogate halves on the Spark side only. The corpus
+is ASCII-clean so this is latent; a non-BMP corpus needs a
+codepoint-safe split (e.g. split to codepoints via
+``F.split(w, '(?<=.)(?=.)')`` is NOT enough — use a pandas UDF) on
+the Spark side before the oracle comparison holds. With that caveat,
+the DuckDB oracle replays the identical five
 rounds as chained CTEs and must reproduce every (round, left,
 right, pair_count) row exactly. The single-scan merge is the
 distributed-friendly variant of canonical greedy BPE; they differ

@@ -95,6 +95,7 @@ def write_clustered(
     cluster_cols: list[str] | None = None,
     files_per_day: int = 1,
     mode: str = "overwrite",
+    n_days: int | None = None,
 ) -> None:
     """Date-partitioned + CLUSTERED fact layout: within each `dt=`
     directory, rows are range-distributed and sorted on
@@ -122,10 +123,18 @@ def write_clustered(
     """
     cluster_cols = cluster_cols or []
     dtd = df.withColumn("dt", F.date_format(ts_col, "yyyy-MM-dd"))
+    probed = False
     if cluster_cols:
         # The day-count probe is an extra job over the input — only
-        # pay it when the range layout actually needs a target count.
-        n_days = dtd.select("dt").distinct().count()
+        # pay it when the range layout needs a target count and the
+        # caller didn't supply one. Persist around probe + write so
+        # (a) the input lineage is computed once, not twice, and
+        # (b) a non-deterministic upstream can't show the two jobs
+        # different rows.
+        if n_days is None:
+            dtd.persist()
+            probed = True
+            n_days = dtd.select("dt").distinct().count()
         clustered = dtd.repartitionByRange(
             max(n_days * files_per_day, 1),
             F.col("dt"),
@@ -133,4 +142,8 @@ def write_clustered(
         ).sortWithinPartitions("dt", *cluster_cols)
     else:
         clustered = dtd.repartition("dt")
-    clustered.write.partitionBy("dt").mode(mode).parquet(path)
+    try:
+        clustered.write.partitionBy("dt").mode(mode).parquet(path)
+    finally:
+        if probed:
+            dtd.unpersist()

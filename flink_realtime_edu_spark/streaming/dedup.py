@@ -29,6 +29,15 @@ Scale: per batch the work is O(|batch| + touched buckets), never
 O(corpus) — the index stores 16-byte hashes + two longs per UNIQUE
 document (~0.03% of corpus bytes for web text), text never shuffles,
 and the probe/merge joins hash-partition on the content hash.
+
+SINGLE-WRITER / LOCAL-FS ASSUMPTION (same as scd2.compact_changelog):
+the staged-swap uses POSIX rename/unlink semantics and a staging dir
+keyed by (index_dir, batch_id), so exactly ONE live writer may own an
+index_dir — Structured Streaming's checkpoint lock already guarantees
+this for a stream, but two QUERIES must not share an index_dir, and a
+manual replay must not race a live run (their staging moves would
+interleave). On object stores, swap the rename step for the store's
+atomic copy+commit primitive.
 """
 
 from __future__ import annotations

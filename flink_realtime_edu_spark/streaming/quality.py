@@ -27,7 +27,10 @@ DQ_OBSERVATION = "dq"
 
 
 def with_dq_metrics(
-    events: DataFrame, props_col: str = "props", value_col: str = "value"
+    events: DataFrame,
+    props_col: str = "props",
+    value_col: str = "value",
+    user_col: str = "user_id",
 ) -> DataFrame:
     """Attach the standard event-stream quality observation: total
     rows, rows whose props payload fails the strict parse (the S7
@@ -47,7 +50,7 @@ def with_dq_metrics(
                 F.col(value_col).isNull() | (F.col(value_col) < 0), 1
             ).otherwise(0)
         ).alias("n_bad_value"),
-        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+        F.sum(F.when(F.col(user_col).isNull(), 1).otherwise(0)).alias(
             "n_null_user"
         ),
     )

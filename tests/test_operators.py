@@ -242,6 +242,30 @@ def test_pq_finds_planted_duplicate(spark, sf_dir):
     assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
 
 
+def test_ann_probe_collect_guard(spark, sf_dir):
+    """The brute-force and PQ scorers collect the PROBE set to the
+    driver (batch-scoring contract: |Q| driver-sized). An oversized
+    query frame must raise a clear ValueError instead of OOMing the
+    driver building the query matrix / LUT tensor."""
+    import pytest
+
+    from flink_realtime_edu_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_fit_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(emb, q, k=3, max_queries=4)
+    cb = pq_fit_sample(emb, m=16, k=16)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_adc_topk(emb, q, cb, k=3, max_queries=4)
+    # At the cap exactly, both still run.
+    assert len(cosine_topk(emb, q, k=3, max_queries=5).collect()) == 15
+    assert len(pq_adc_topk(emb, q, cb, k=3, max_queries=5).collect()) == 15
+
+
 def test_minhash_cross_validates_exact_jaccard(spark, sf_dir):
     """The hashed pipeline (rows-only checked) against the
     oracle-checked exact one: on the testdata's planted near-dups,
