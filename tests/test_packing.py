@@ -122,3 +122,31 @@ def test_token_budget_sample_invariants(spark, sf_dir):
         # a source with any doc under budget keeps at least one
         if r.n_docs_kept == 0:
             assert r.tokens_kept == 0
+
+
+def test_bpe_encoder_roundtrip_and_compression(spark, sf_dir):
+    """The learned-BPE encoder's vocabulary must be lossless (token
+    concatenation reconstructs every word exactly) and actually
+    compress (the learned merges produce multi-char tokens for the
+    corpus's frequent pairs)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_spark.queries.bpe import (
+        _N_MERGES_APPLY,
+        _learned_vocab,
+    )
+
+    vocab = _learned_vocab(spark, sf_dir, _N_MERGES_APPLY).persist()
+    try:
+        assert vocab.filter(F.concat_ws("", "toks") != F.col("w")).count() == 0
+        assert vocab.filter(F.col("n_bpe") < F.length("w")).count() > 0
+        # every token non-empty, counts consistent
+        assert (
+            vocab.filter(
+                F.exists("toks", lambda t: F.length(t) == 0)
+                | (F.size("toks") != F.col("n_bpe"))
+            ).count()
+            == 0
+        )
+    finally:
+        vocab.unpersist()
