@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "statistics",
     "training",
     "bpe",
+    "late",
 )
 
 

@@ -1255,3 +1255,87 @@ def test_streaming_dq_observation_matches_batch_counts(spark, sf_dir, tmp_path):
     assert got["n_bad_value"] >= 1 and got["n_null_user"] >= 1
     # pass-through contract: observed stream wrote every row unchanged
     assert spark.read.parquet(out_dir).count() == want.n_rows
+
+
+def test_late_repair_converges_store_to_batch_truth(spark, tmp_path):
+    """T4 closure (allowed-lateness twin): the watermark drops a late
+    row, leaving the upsert store's finalized window stale; replaying
+    the late slice through streaming/late.py::repair_late_windows
+    recomputes the touched windows from the archive and converges the
+    store to batch truth. Running the repair twice is a no-op
+    (idempotent recompute-from-truth upsert)."""
+    from flink_realtime_edu_spark.functions import dec_sum
+    from flink_realtime_edu_spark.sources import normalize_events_ts
+    from flink_realtime_edu_spark.streaming.late import repair_late_windows
+    from flink_realtime_edu_spark.streaming.sinks import read_upsert_table
+
+    src = tmp_path / "repair_src"
+    src.mkdir()
+    store = str(tmp_path / "repair_store")
+
+    def write_batch(name: str, eid: int, ts: str, value: float):
+        row = spark.createDataFrame(
+            [(eid, ts, 1, "click", value, "{}")],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (F.unix_micros(F.to_timestamp("ts_s")) * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        row.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for i, f in enumerate((tmp_path / "stage").glob("*.parquet")):
+            shutil.copy(f, src / f"{name}-{i}.parquet")
+
+    writer = upsert_latest_by_key(
+        store, ["window_start", "event_type"], "version", n_buckets=4
+    )
+    stream = tumbling_stats_stream(
+        load_events_stream(spark, str(src)), watermark="30 minutes"
+    )
+    write_batch("a", 1, "2024-01-01 00:10:00", 1.5)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: writer(
+                df.withColumn("version", F.lit(bid).cast("long")), bid
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()  # watermark → 23:40 prev day
+    write_batch("b", 2, "2024-01-01 05:00:00", 2.0)
+    q.processAllAvailable()  # watermark → 04:30; hour 00 finalized
+    write_batch("late", 3, "2024-01-01 00:20:00", 4.0)  # below watermark
+    q.processAllAvailable()  # dropped by the stream
+    run_to_completion(q)
+
+    stale = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+        for r in read_upsert_table(spark, store).collect()
+    }
+    assert stale[("2024-01-01T00:00:00", "click")] == (1, 1.5)  # late row missing
+
+    archive = normalize_events_ts(spark.read.parquet(str(src)))
+    late = archive.filter(F.col("event_id") == 3)
+    for _ in range(2):  # idempotent: second run converges to the same state
+        repair_late_windows(late, archive, store, version=10**6, n_buckets=4)
+        fixed = {
+            (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+            for r in read_upsert_table(spark, store).collect()
+        }
+        truth = {
+            (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+            for r in archive.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dec_sum("value").alias("sum_value"),
+            )
+            .collect()
+        }
+        assert fixed == truth
