@@ -147,3 +147,102 @@ def write_clustered(
     finally:
         if probed:
             dtd.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Transactional batch writes — commit-log + atomic publish (the
+# exactly-once-SINK demo: SURVEY.md exhaustiveness note / VERDICT r4
+# item 5). The Flink family gets end-to-end exactly-once from 2PC
+# sinks; the warehouse-native equivalent (Delta/Iceberg's idea,
+# minimal form) is snapshot isolation via a manifest log: data files
+# land invisibly, a single atomic rename publishes them, readers only
+# trust committed manifests. Local-FS/single-committer assumptions as
+# streaming/dedup.py; on object stores the rename becomes the store's
+# atomic put-if-absent.
+# ---------------------------------------------------------------------------
+
+_TXN_DATA = "data"
+_TXN_LOG = "_commitlog"
+
+
+def txn_committed(table_dir: str) -> list[str]:
+    """Transaction ids with a published commit entry, in commit order
+    (log filenames are `<seq>-<txn_id>.json`, seq zero-padded)."""
+    import json
+    from pathlib import Path
+
+    log = Path(table_dir) / _TXN_LOG
+    if not log.is_dir():
+        return []
+    out = []
+    for p in sorted(log.glob("*.json")):
+        out.append(json.loads(p.read_text())["txn_id"])
+    return out
+
+
+def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool:
+    """Write `df` into the table as one atomic, idempotent transaction.
+
+    Protocol (crash-safe at every step):
+
+    1. data files land under ``data/txn=<txn_id>/`` — a dir no reader
+       ever lists directly, so a crash mid-write leaves INVISIBLE
+       orphans, never partial results;
+    2. a manifest ``<seq>-<txn_id>.json`` (the file list) is written
+       to a temp name and PUBLISHED with one atomic rename into
+       ``_commitlog/`` — the only step that changes visibility;
+    3. replaying a txn_id whose commit entry already exists skips both
+       steps (returns False): at-least-once driver retries yield
+       exactly-once table state.
+
+    ``write_fn(df, dir)`` overrides the physical write (e.g. a
+    clustered layout via :func:`write_clustered`); default is plain
+    parquet. All txns of one table must share one layout and schema
+    (as in any table format) — :func:`txn_read` unions their dirs in
+    a single scan. Returns True iff this call published the commit.
+    """
+    import json
+    import os
+    from pathlib import Path
+
+    table = Path(table_dir)
+    log = table / _TXN_LOG
+    log.mkdir(parents=True, exist_ok=True)
+    if any(log.glob(f"*-{txn_id}.json")):
+        return False  # already committed — replay is a no-op
+    data_dir = table / _TXN_DATA / f"txn={txn_id}"
+    # Overwrite handles a prior crashed attempt's partial files.
+    if write_fn is None:
+        df.write.mode("overwrite").parquet(str(data_dir))
+    else:
+        write_fn(df, str(data_dir))
+    # rglob: a partitioned write_fn (e.g. write_clustered) nests
+    # files under dt=… subdirs; record table-relative paths.
+    files = sorted(
+        str(p.relative_to(data_dir)) for p in data_dir.rglob("*.parquet")
+    )
+    seq = len(list(log.glob("*.json")))
+    entry = {"txn_id": txn_id, "seq": seq, "files": files}
+    tmp = log / f".tmp-{txn_id}.json"
+    tmp.write_text(json.dumps(entry))
+    # The atomic visibility flip. If another committer raced us to
+    # this seq the zero-padded name still sorts deterministically by
+    # (seq, txn_id); single-committer is the documented contract.
+    final = log / f"{seq:010d}-{txn_id}.json"
+    os.replace(tmp, final)
+    return True
+
+
+def txn_read(spark, table_dir: str) -> DataFrame:
+    """Snapshot read: union of exactly the COMMITTED transactions'
+    data dirs — uncommitted/orphaned txn dirs are invisible. Empty
+    committed set → empty frame with no schema guess, so callers
+    should handle the None."""
+    from pathlib import Path
+
+    table = Path(table_dir)
+    committed = txn_committed(table_dir)
+    dirs = [str(table / _TXN_DATA / f"txn={t}") for t in committed]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)

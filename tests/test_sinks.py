@@ -289,3 +289,58 @@ def test_write_clustered_prunes_partitions_and_row_groups(spark, sf_dir, tmp_pat
     assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
         map(tuple, ev.select(*cols).collect())
     )
+
+
+def test_txn_write_atomic_visibility_and_replay(spark, tmp_path):
+    """Exactly-once sink protocol: uncommitted data dirs are invisible
+    (crash mid-write leaves no partial results), the commit rename
+    flips visibility atomically, and replaying a committed txn_id is
+    a no-op — at-least-once retries yield exactly-once table state.
+    Also exercises the write_fn override with the clustered layout."""
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_committed,
+        txn_read,
+        txn_write,
+        write_clustered,
+    )
+
+    table = str(tmp_path / "txn_table")
+    a = spark.range(0, 10).withColumn("v", F.col("id") * 2)
+    b = spark.range(10, 15).withColumn("v", F.col("id") * 2)
+
+    assert txn_read(spark, table) is None
+    assert txn_write(a, table, "txn-a") is True
+    assert txn_committed(table) == ["txn-a"]
+    assert txn_read(spark, table).count() == 10
+
+    # Simulate a crash mid-write for txn-b: data files land but the
+    # commit entry is never published → reader still sees only txn-a.
+    crash_dir = tmp_path / "txn_table" / "data" / "txn=txn-b"
+    b.write.mode("overwrite").parquet(str(crash_dir))
+    assert txn_committed(table) == ["txn-a"]
+    assert txn_read(spark, table).count() == 10
+
+    # Replay txn-b properly: overwrites the orphaned attempt, commits.
+    assert txn_write(b, table, "txn-b") is True
+    assert txn_committed(table) == ["txn-a", "txn-b"]
+    assert txn_read(spark, table).count() == 15
+
+    # Replaying an already-committed txn is a no-op (idempotent).
+    assert txn_write(b, table, "txn-b") is False
+    assert txn_read(spark, table).count() == 15
+    assert sorted(r.id for r in txn_read(spark, table).collect()) == list(range(15))
+
+    # Clustered physical layout through the same protocol — its own
+    # table: all txns of one table must share one layout/schema.
+    table2 = str(tmp_path / "txn_table_clustered")
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3} 0{i % 9}:00:00") for i in range(30)],
+        "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    assert txn_write(
+        ev,
+        table2,
+        "txn-c",
+        write_fn=lambda df, d: write_clustered(df, d, cluster_cols=["user_id"]),
+    )
+    assert txn_read(spark, table2).count() == 30
