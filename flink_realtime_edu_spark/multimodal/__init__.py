@@ -44,6 +44,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from flink_realtime_edu_spark.multimodal.png import PNG_SIGNATURE, decode_png
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -90,12 +92,19 @@ def demo_media_frame(spark: SparkSession, n: int = 64, partitions: int = 4) -> D
 
 
 def decode_image(payload: bytes, mime: str) -> "np.ndarray":
-    """STUB — image decode requires a codec library (PIL/opencv) not
-    present in this container. The mapInPandas pipeline below is the
-    real integration point; swap this implementation when codecs are
-    available."""
+    """Decode an image payload to an (H, W, C) uint8 array.
+
+    PNG decodes for real via the pure-stdlib codec in
+    :mod:`flink_realtime_edu_spark.multimodal.png` (8-bit,
+    non-interlaced, non-palette — its documented subset). Other
+    codecs (JPEG/WebP/...) need libraries absent from this container
+    and still raise NotImplementedError; the mapInPandas pipeline
+    around this call is the production integration point either way."""
+    data = bytes(payload)
+    if data[:8] == PNG_SIGNATURE:
+        return decode_png(data)
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
+        f"no codec for {mime!r} in this environment (PNG only); "
         "extract_features uses a deterministic byte-level stand-in"
     )
 

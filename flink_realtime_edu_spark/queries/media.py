@@ -128,3 +128,112 @@ def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_realtime_edu_spark.multimodal import frame_sample_plan
 
     return frame_sample_plan(media, every_nth=10)
+
+
+@register(
+    "png_decode_stats",
+    survey_rows=("X8", "X2", "A2", "F3"),
+    oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         8 + (doc_id % 5) * 4 AS w,
+         8 + (doc_id % 7) * 4 AS h
+  FROM documents WHERE doc_id < 60
+), px AS (
+  SELECT media_id, w, h,
+         SUM((media_id * 31 + y.y * 7 + x.x * 3 + ch.c * 11) % 256) AS pixel_sum
+  FROM ids,
+       unnest(generate_series(0, h - 1)) y(y),
+       unnest(generate_series(0, w - 1)) x(x),
+       unnest(generate_series(0, 2)) ch(c)
+  GROUP BY 1, 2, 3
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h * 3 AS BIGINT) AS n_px,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       ROUND(pixel_sum / (w * h * 3.0), 6) AS pixel_mean
+FROM px
+""",
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the whole X8 pipeline: 60 synthetic
+    gradient images (pixel(y,x,c) = (id*31 + y*7 + x*3 + c*11) % 256,
+    geometry keyed by doc_id) are PNG-ENCODED with per-row filter
+    types cycling through all five spec filters, then decoded back by
+    the pure-stdlib codec (multimodal/png.py) inside one Arrow-batched
+    mapInPandas stage, and the DECODED pixels are aggregated. The
+    DuckDB oracle computes the same statistics analytically from the
+    pixel formula — any encoder or decoder defect (filter math, CRC,
+    geometry, channel order) breaks the value match.
+
+    Scale shape: per-asset decode is partition-local (no shuffle
+    before the stats), payload bytes cross the JVM↔Python boundary
+    once, and the aggregate output is one small row per asset."""
+    import sys
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark import cloudpickle  # the vendored copy Spark serializes with
+
+    import flink_realtime_edu_spark.multimodal as _mm
+    import flink_realtime_edu_spark.multimodal.png as _png
+    from flink_realtime_edu_spark.multimodal import decode_image
+    from flink_realtime_edu_spark.multimodal.png import encode_png
+
+    # Executors need no importable copy of the package (driver cwd ≠
+    # repo in the driver harness) — ship the codec by value, the
+    # operators/similarity.py discipline.
+    cloudpickle.register_pickle_by_value(_png)
+    cloudpickle.register_pickle_by_value(_mm)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"),
+        (8 + (F.col("doc_id") % 5) * 4).cast("int").alias("w"),
+        (8 + (F.col("doc_id") % 7) * 4).cast("int").alias("h"),
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, hh in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                y, x, c = np.meshgrid(
+                    np.arange(hh), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((int(mid) * 31 + y * 7 + x * 3 + c * 11) % 256).astype(
+                    np.uint8
+                )
+                decoded = decode_image(encode_png(img), "image/png")
+                n_px = int(decoded.size)
+                psum = int(decoded.astype(np.int64).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        int(w),
+                        int(hh),
+                        n_px,
+                        psum,
+                        round(psum / float(n_px), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "pixel_sum",
+                    "pixel_mean",
+                ],
+            )
+
+    return ids.mapInPandas(
+        stats,
+        schema="media_id long, width int, height int, n_px bigint, "
+        "pixel_sum bigint, pixel_mean double",
+    )
