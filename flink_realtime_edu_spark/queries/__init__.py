@@ -95,64 +95,72 @@ def register(
 # FIRST 50 keys of queries(), so the prefix below is curated to cover
 # EVERY batch-expressible SURVEY.md §2 row with at least one
 # representative (tests/test_registry_order.py pins this), and it
-# ROTATES each round (VERDICT r3 item 3): r4 keeps a minimal covering
-# core and fills the remaining slots with 36 queries the driver had
-# never oracled (r01-r03 windows were the same 50 names), converting
-# self-reported driver-sim results into hard driver verdicts.
+# ROTATES each round (VERDICT r3 item 3). r5 window = the 5 queries
+# NEW this round + a 16-query minimal §2-covering core + 28 of the 38
+# oracled queries the driver never sampled in r1–r4 (they were
+# verified by scripts/driver_sim.py in the r4 judge session; this
+# converts them to official verdicts). Ten homogeneous TPC-H shapes
+# (late_ship_priority_counts, small_qty_parts_revenue,
+# big_volume_customers, nation_revenue_share,
+# wealthy_inactive_customers, volume_shipping_pairs,
+# market_share_by_year, customer_order_distribution,
+# promo_revenue_share, part_supplier_diversity) didn't fit and rotate
+# into r6; kmeans_cluster_profile / spark_native_hashes are rows-only
+# by design and stay outside (the window must be all-oracled).
 # pricing_summary stays first (entry() runs it). Queries rotated out
 # remain verified by scripts/driver_sim.py --all + pytest.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
-    "cdc_scd2_intervals",         # S2 P3 F7 W3 (new to the window in r4)
-    "cohort_retention",           # T6 J2 A3 F2 (new to the window in r4)
-    "doc_chunking_windows",       # X7 X1 F5 F8 (new to the window in r4)
-    "nation_profit_trend",        # J1 J3 A1 F1 F3 (new to the window in r4)
-    "approx_value_percentiles",   # A8 A4 (new to the window in r4)
-    "cross_join_region_status",   # J7 U3 (new to the window in r4)
-    "fingerprint_overlap_docs",   # X4 X5 (new to the window in r4)
-    "waiting_supplier_counts",    # J5 J6 J1 A1 F2 (new to the window in r4)
-    "cube_customer_segments",     # A6 (new to the window in r4)
-    "doc_quality_scores",         # X7 F4 F5 (new to the window in r4)
-    "doc_repetition_stats",       # X7 X1 A1 W1 F5 (new to the window in r4)
-    "embedding_quantization_snr", # X6 F3 F5 A1 (new to the window in r4)
-    "error_burst_stats",          # T7 W3 A1 (new to the window in r4)
-    "funnel_click_view_purchase", # J4 W3 A3 (new to the window in r4)
-    "nations_without_suppliers",  # U2 (new to the window in r4)
-    "returned_item_top_customers",  # J1 J3 A1 O1 O2 (new to the window in r4)
-    "revenue_trend_daily",        # W3 W4 A1 F2 (new to the window in r4)
-    "top_revenue_supplier",       # J1 A5 A9 (new to the window in r4)
+    "bpe_encode_stats",           # X7 X1 F1 J1 A1 (new in r5)
+    "bpe_sequence_packing",       # X7 X1 W4 F2 (new in r5)
+    "bpe_token_budget_sample",    # X7 F8 A2 (new in r5)
+    "late_corrected_windows",     # T4 T1 W4 A1 F8 (new in r5)
+    "png_decode_stats",           # X8 X2 A2 F3 (new in r5)
+    "weighted_avg_udaf",          # A10 X2 P3
+    "map_funcs_props",            # F6 F7 P3
     "dirty_data_split",           # S7 P4 U1
-    "multimodal_feature_stats",   # X8 X2 A2
+    "abandoned_clicks_daily",     # T7 J6 J4
+    "cross_join_region_status",   # J7 U3
     "asof_join_purchase_last_click",  # J8 W3
     "collect_event_types",        # A7 F1
-    "customer_balance_quartiles",  # W2
-    "daily_unique_visitors",      # T5 U3
-    "grouped_zscore_chars",       # X3
-    "latest_event_per_user",      # A9 W1 T8
-    "map_funcs_props",            # F6 F7 P3
-    "session_window_stats",       # T3
+    "approx_value_percentiles",   # A8 A4
     "sliding_window_traffic",     # T2
-    "tumbling_hourly_stats",      # T1 A1 A2
-    "weighted_avg_udaf",          # A10 X2 P3
-    "full_join_nation_counts",    # J2 A1 (new to the window in r4)
-    "theta_join_acctbal",         # J7 (new to the window in r4)
-    "pivot_daily_activity",       # A1 F2 (new to the window in r4)
-    "skewed_event_type_stats",    # A1 A2 A3 (new to the window in r4)
-    "unpivot_daily_activity",     # A1 F2 (new to the window in r4)
-    "topk_orders",                # O1 O2 (new to the window in r4)
-    "trailing_24h_user_value",    # W4 F2 (new to the window in r4)
-    "distinct_segments_per_nation",  # U3 (new to the window in r4)
-    "token_topk",                 # X1 A1 O2 (new to the window in r4)
-    "vocab_coverage_topk",        # X7 X1 W4 A5 (new to the window in r4)
-    "text_stats_by_source",       # X7 F5 A2 (new to the window in r4)
-    "lang_guess_confusion",       # X7 F4 (new to the window in r4)
-    "bpe_token_counts",           # X7 X1 F1 (new to the window in r4)
-    "cms_token_frequencies",      # A4 X7 (new to the window in r4)
-    "mixture_sample_by_source",   # X7 F8 A1 (new to the window in r4)
-    "doc_unigram_surprisal",      # X7 X1 A1 F3 (new to the window in r4)
-    "sequence_packing_chunks",    # X7 W4 F2 (new to the window in r4)
-    "curated_packing_manifest",   # X4 X7 A1 F3 (new to the window in r4)
+    "session_window_stats",       # T3
+    "daily_unique_visitors",      # T5 U3
+    "cohort_retention",           # T6 J2 A3 F2
+    "latest_event_per_user",      # A9 W1 T8
+    "nations_without_suppliers",  # U2
+    "customer_balance_quartiles",  # W2
+    "grouped_zscore_chars",       # X3
+    "text_normalization_checksum",  # X7 F1 F8 A1 (never driver-sampled r1–r4)
+    "token_budget_sample",        # X7 F8 A2 (never r1–r4)
+    "video_frame_sample_plan",    # X8 F5 P1 (never r1–r4)
+    "near_dup_simhash",           # X5 (never r1–r4)
+    "doc_fingerprint_stats",      # X4 X7 F8 (never r1–r4)
+    "minhash_signatures_sample",  # X5 (never r1–r4)
+    "near_dup_incremental",       # X5 X4 J1 (never r1–r4)
+    "ivf_ann_topk",               # X6 (never r1–r4)
+    "pq_ann_topk",                # X6 (never r1–r4)
+    "ann_lsh_topk",               # X6 (never r1–r4)
+    "label_homophily_check",      # X6 J1 (never r1–r4)
+    "kmeans_quality_summary",     # X6 (never r1–r4)
+    "grouping_sets_traffic",      # A6 (never r1–r4)
+    "right_join_supplier_nations",  # J2 (never r1–r4)
+    "pii_redaction_stats",        # X7 F1 (never r1–r4)
+    "disjunctive_predicate_revenue",  # J1 P2 A5 (never r1–r4)
+    "excess_share_suppliers",     # J5 A1 A2 (never r1–r4)
+    "min_cost_supplier_per_part",  # J1 A2 U3 (never r1–r4)
+    "unshipped_order_revenue",    # J1 O2 A1 (never r1–r4)
+    "local_supplier_volume",      # J1 J3 A1 (never r1–r4)
+    "forecast_revenue_change",    # P2 A5 A1 (never r1–r4)
+    "late_priority_mix",          # J1 A2 F4 (never r1–r4)
+    "state_transition_matrix",    # W3 S2 A1 (never r1–r4)
+    "price_moments_by_flag",      # A2 A8 F3 (never r1–r4)
+    "training_shuffle_manifest",  # X7 F8 W1 (never r1–r4)
+    "stratified_split_by_source",  # X7 F8 A1 F4 (never r1–r4)
+    "incremental_dedup_delta",    # X4 F8 J6 A9 (never r1–r4)
+    "bpe_merge_learning",         # X7 X1 F1 A1 (never r1–r4)
 )
 
 

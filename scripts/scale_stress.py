@@ -153,6 +153,142 @@ def skew_case(spark) -> None:
     )
 
 
+def relational_skew_case(spark) -> None:
+    """Hot-key stress for the RELATIONAL core (VERDICT r4 item 4):
+    one customer owns 30% of a 2M-row orders table.
+
+    (a) Star join on the skewed key with broadcast disabled (the
+        100 TB fact-to-fact case): AQE must split the hot partition
+        (SortMergeJoin skew=true) instead of leaving one straggler.
+    (b) Windowed running sum partitioned BY the hot key: window
+        partitions cannot be AQE-split (sort-based, no partial agg),
+        so the naive form serializes 30% of the data onto one task —
+        the two-level sharded form (date-range shards inside the
+        customer, the packing.py prefix-sum discipline) restores
+        parallelism. Both walls + the ratio are recorded; results are
+        asserted equal so the fast form is proven correct, not just
+        fast.
+    Plan twin at pytest scale: tests/test_plans.py::test_star_join_skew_split.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {key: spark.conf.get(key, None) for key in skew_confs}
+    for key, v in skew_confs.items():
+        spark.conf.set(key, v)
+    try:
+        n_orders, n_cust, hot_frac = 2_000_000, 10_000, 0.3
+        hot_n = int(n_orders * hot_frac)
+        orders = spark.range(n_orders).select(
+            F.col("id").alias("o_orderkey"),
+            F.when(F.col("id") < hot_n, F.lit(1))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_cust)))
+            .alias("o_custkey"),
+            (F.pmod(F.xxhash64("id", F.lit("p")), F.lit(10000)) / 100.0 + 1.0)
+            .alias("o_totalprice"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                F.pmod(F.xxhash64("id", F.lit("d")), F.lit(365)).cast("int"),
+            ).alias("o_orderdate"),
+        ).repartition(32).localCheckpoint()
+        cust = spark.range(n_cust).select(
+            F.col("id").alias("c_custkey"),
+            F.concat(F.lit("seg"), F.pmod("id", F.lit(5))).alias("c_segment"),
+        ).repartition(8).localCheckpoint()
+
+        # (a) skewed SMJ star join + agg
+        joined = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_segment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+        )
+        t0 = time.perf_counter()
+        joined._jdf.queryExecution().executedPlan().execute().count()
+        join_wall = time.perf_counter() - t0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan_n = re.sub(r"#\d+", "#N", re.sub(r"plan_id=\d+", "plan_id=N", plan))
+        (REPO / "plans" / "star_join_skew.txt").write_text(plan_n)
+
+        # (b) hot-key window: naive vs two-level sharded running sum
+        w_naive = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        naive = orders.select(
+            "o_custkey", F.sum("o_totalprice").over(w_naive).alias("run")
+        )
+        t0 = time.perf_counter()
+        naive.write.format("noop").mode("overwrite").save()
+        naive_wall = time.perf_counter() - t0
+
+        shard = F.month("o_orderdate")  # range of the ordering key
+        w_local = (
+            Window.partitionBy("o_custkey", "__shard")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_off = (
+            Window.partitionBy("o_custkey")
+            .orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        t = orders.withColumn("__shard", shard)
+        offsets = (
+            t.groupBy("o_custkey", "__shard")
+            .agg(F.sum("o_totalprice").alias("st"))
+            .withColumn("off", F.coalesce(F.sum("st").over(w_off), F.lit(0.0)))
+            .select("o_custkey", "__shard", "off")
+        )
+        sharded = (
+            t.join(offsets, on=["o_custkey", "__shard"])
+            .select(
+                "o_custkey",
+                (F.col("off") + F.sum("o_totalprice").over(w_local)).alias("run"),
+            )
+        )
+        t0 = time.perf_counter()
+        sharded.write.format("noop").mode("overwrite").save()
+        sharded_wall = time.perf_counter() - t0
+        # correctness of the fast form: identical multiset of rounded sums
+        mism = (
+            naive.groupBy("o_custkey")
+            .agg(F.round(F.sum("run"), 4).alias("s"))
+            .exceptAll(
+                sharded.groupBy("o_custkey").agg(F.round(F.sum("run"), 4).alias("s"))
+            )
+            .count()
+        )
+    finally:
+        for key, v in saved.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+    print(
+        json.dumps(
+            {
+                "metric": "relational_skew",
+                "orders": n_orders,
+                "hot_fraction": hot_frac,
+                "star_join_wall_s": round(join_wall, 2),
+                "star_join_skew_split": "skew=true" in plan,
+                "window_naive_wall_s": round(naive_wall, 2),
+                "window_sharded_wall_s": round(sharded_wall, 2),
+                "window_naive_over_sharded": round(naive_wall / sharded_wall, 2),
+                "window_mismatch_rows": mism,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO / ".scratch" / "sf1d"))
@@ -166,6 +302,7 @@ def main() -> None:
 
         spark = get_spark(app_name="fres-skew-stress")
         skew_case(spark)
+        relational_skew_case(spark)
         spark.stop()
         return
 
