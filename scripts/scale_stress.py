@@ -69,6 +69,232 @@ def build(spark, out_dir: str) -> None:
         union.repartition(N_FILES).write.parquet(str(out / f"{t}.parquet"))
 
 
+def build_native(spark, out_dir: str, sf: int = 1000) -> None:
+    """NATIVE ~sf1 dataset (VERDICT r4 item 8): unique rows at 1000×
+    the sf0.001 row counts, distribution-matched to FIXTURES.md,
+    instead of 10× replication of sf0.1 — replication made every
+    document/embedding 10-plicated, so near-dup cliques grew
+    quadratically and dominated the sweep ratios with real-but-
+    artificial output growth. Here dup structure is PLANTED at a
+    fixed rate (~2% of documents are near/exact copies of a base doc,
+    the crawl-corpus shape), so near-dup cost scales like a corpus,
+    not like a replication artifact.
+
+    All columns derive from xxhash64 of the row id (deterministic,
+    distributed, no driver data); embeddings use per-label centers +
+    hash-noise so label-homophily survives. Multi-file output so
+    scans parallelize."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_spark.sources import load
+
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    def u(col, salt, mod):  # deterministic uniform int in [0, mod)
+        return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(mod))
+
+    # region/nation: tiny dims, copy the driver's verbatim.
+    for t in ("region", "nation"):
+        load(spark, BASE_SF, t).coalesce(1).write.parquet(str(out / f"{t}.parquet"))
+
+    n_cust, n_supp, n_part = 150 * sf, 10 * sf, 200 * sf
+    n_orders, n_events, n_docs = 1500 * sf, 1000 * sf, 500 * sf
+    segs = ["AUTOMOBILE", "MACHINERY", "BUILDING", "FURNITURE", "HOUSEHOLD"]
+    seg_arr = F.array(*[F.lit(s) for s in segs])
+
+    cust = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        u("id", "cn", 25).cast("int").alias("c_nationkey"),
+        (u("id", "cb", 1_100_000) / 100.0 - 999.0).alias("c_acctbal"),
+        F.element_at(seg_arr, (u("id", "cs", 5) + 1).cast("int")).alias(
+            "c_mktsegment"
+        ),
+    )
+    cust.repartition(4).write.parquet(str(out / "customer.parquet"))
+
+    spark.range(n_supp).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("id")).alias("s_name"),
+        u("id", "sn", 25).cast("int").alias("s_nationkey"),
+        (u("id", "sb", 1_100_000) / 100.0 - 999.0).alias("s_acctbal"),
+    ).coalesce(1).write.parquet(str(out / "supplier.parquet"))
+
+    types = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+    metals = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+    spark.range(n_part).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("part "), F.col("id")).alias("p_name"),
+        F.concat(F.lit("Brand#"), u("id", "pb", 25)).alias("p_brand"),
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(t) for t in types]), (u("id", "pt", 6) + 1).cast("int")
+            ),
+            F.lit(" "),
+            F.element_at(
+                F.array(*[F.lit(m) for m in metals]), (u("id", "pm", 5) + 1).cast("int")
+            ),
+        ).alias("p_type"),
+        (u("id", "ps", 50) + 1).cast("int").alias("p_size"),
+        (u("id", "pr", 200_000) / 100.0 + 900.0).alias("p_retailprice"),
+    ).repartition(2).write.parquet(str(out / "part.parquet"))
+
+    statuses = F.array(F.lit("P"), F.lit("O"), F.lit("F"))
+    prios = F.array(*[F.lit(p) for p in
+                      ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]])
+    orders = spark.range(n_orders).select(
+        F.col("id").alias("o_orderkey"),
+        u("id", "oc", n_cust).alias("o_custkey"),
+        F.element_at(statuses, (u("id", "os", 3) + 1).cast("int")).alias(
+            "o_orderstatus"
+        ),
+        (u("id", "op", 45_000_000) / 100.0 + 900.0).alias("o_totalprice"),
+        F.to_timestamp(
+            F.date_add(F.lit("1995-01-01").cast("date"), u("id", "od", 2404).cast("int"))
+        ).alias("o_orderdate"),
+        F.element_at(prios, (u("id", "opr", 5) + 1).cast("int")).alias(
+            "o_orderpriority"
+        ),
+    )
+    orders.repartition(N_FILES).write.parquet(str(out / "orders.parquet"))
+
+    # lineitem: 1-7 lines per order (avg 4 like TPC-H) via sequence.
+    flags = F.array(F.lit("N"), F.lit("A"), F.lit("R"))
+    li = (
+        spark.range(n_orders)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            F.explode(
+                F.sequence(F.lit(1), (u("id", "ln", 7) + 1).cast("int"))
+            ).alias("l_linenumber"),
+        )
+        .withColumn("lid", F.xxhash64("l_orderkey", "l_linenumber"))
+        .select(
+            "l_orderkey",
+            F.pmod("lid", F.lit(n_part)).alias("l_partkey"),
+            F.pmod(F.xxhash64("lid", F.lit("s")), F.lit(n_supp)).alias("l_suppkey"),
+            F.col("l_linenumber").cast("int"),
+            (F.pmod(F.xxhash64("lid", F.lit("q")), F.lit(50)) + 1)
+            .cast("double")
+            .alias("l_quantity"),
+            (F.pmod(F.xxhash64("lid", F.lit("e")), F.lit(9_500_000)) / 100.0 + 900.0)
+            .alias("l_extendedprice"),
+            (F.pmod(F.xxhash64("lid", F.lit("d")), F.lit(11)) / 100.0).alias(
+                "l_discount"
+            ),
+            (F.pmod(F.xxhash64("lid", F.lit("t")), F.lit(9)) / 100.0).alias("l_tax"),
+            F.element_at(
+                flags, (F.pmod(F.xxhash64("lid", F.lit("r")), F.lit(3)) + 1).cast("int")
+            ).alias("l_returnflag"),
+            F.when(
+                F.pmod(F.xxhash64("lid", F.lit("ls")), F.lit(2)) == 0, F.lit("O")
+            ).otherwise(F.lit("F")).alias("l_linestatus"),
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("1995-01-01").cast("date"),
+                    F.pmod(F.xxhash64("lid", F.lit("sd")), F.lit(2500)).cast("int"),
+                )
+            ).alias("l_shipdate"),
+        )
+    )
+    li.repartition(N_FILES).write.parquet(str(out / "lineitem.parquet"))
+
+    etypes = F.array(*[F.lit(t) for t in ["click", "purchase", "error", "signup", "view"]])
+    spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1704067200000000)  # 2024-01-01 UTC
+            + F.pmod(F.xxhash64("id", F.lit("ts")), F.lit(30 * 86400 * 1000000))
+        ).alias("ts"),
+        u("id", "eu", 20 * sf).alias("user_id"),
+        F.element_at(etypes, (u("id", "et", 5) + 1).cast("int")).alias("event_type"),
+        (u("id", "ev", 10000) / 100.0 + 0.01).alias("value"),
+        F.concat(F.lit('{"k": '), u("id", "ek", 100), F.lit("}")).alias("props"),
+    ).repartition(N_FILES).write.parquet(str(out / "events.parquet"))
+
+    # documents: hash-sampled word soup over an engine-term vocab;
+    # ~1% exact-dup + ~1% near-dup planted copies of base docs.
+    vocab = (
+        "join filter window aggregate shuffle partition broadcast hash sort merge "
+        "scan parquet column row batch stream state checkpoint watermark trigger "
+        "catalyst tungsten codegen plan stage task executor driver memory spill "
+        "index bucket cluster sample skew salt range key value tuple schema type "
+        "null cast string double bigint array map struct json explode flatten "
+        "union distinct limit order group having select where insert update"
+    ).split()
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    langs = F.array(*[F.lit(x) for x in ["en", "zh", "de", "es", "fr"]])
+    base_docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (u("id", "dw", 61) + 20).cast("int")),
+                lambda i: F.element_at(
+                    vocab_arr,
+                    (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(vocab))) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ),
+        ).alias("text"),
+        F.element_at(langs, (u("id", "dl", 5) + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("src"), u("id", "dsrc", 20)).alias("source"),
+    )
+    # plant dups: doc_id % 100 == 98 → exact copy of doc_id-98's text;
+    # % 100 == 99 → near copy (one word appended).
+    base = base_docs.withColumn(
+        "copy_of",
+        F.when(F.col("doc_id") % 100 >= 98, F.col("doc_id") - (F.col("doc_id") % 100) + 1)
+        .otherwise(F.lit(None)),
+    )
+    src_text = base_docs.select(
+        F.col("doc_id").alias("copy_of"), F.col("text").alias("src_text")
+    )
+    docs = (
+        base.join(src_text, on="copy_of", how="left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("copy_of").isNotNull() & (F.col("doc_id") % 100 == 98),
+                F.col("src_text"),
+            )
+            .when(
+                F.col("copy_of").isNotNull() & (F.col("doc_id") % 100 == 99),
+                F.concat(F.col("src_text"), F.lit(" shuffle")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    docs.repartition(N_FILES).write.parquet(str(out / "documents.parquet"))
+
+    # embeddings: 10 label centers (hash-derived) + per-vector noise,
+    # so label homophily holds; dim 64 float.
+    emb = spark.range(n_docs).select(
+        F.col("id").alias("vec_id"),
+        u("id", "el", 10).cast("int").alias("label"),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("vec_id"), i, F.lit("en")), F.lit(2000)) / 1000.0
+            - 1.0
+            + (F.pmod(F.xxhash64(F.col("label").cast("long"), i), F.lit(2000)) / 500.0
+               - 2.0)
+        ).cast("float"),
+    )
+    emb.select("vec_id", noise.alias("embedding"), "label").repartition(
+        N_FILES
+    ).write.parquet(str(out / "embeddings.parquet"))
+
+
 def bench_at(spark, sf_dir: str, names, repeats: int = 2) -> dict[str, float]:
     from flink_realtime_edu_spark.queries import load_registry
 
@@ -184,7 +410,7 @@ def relational_skew_case(spark) -> None:
     for key, v in skew_confs.items():
         spark.conf.set(key, v)
     try:
-        n_orders, n_cust, hot_frac = 2_000_000, 10_000, 0.3
+        n_orders, n_cust, hot_frac = 8_000_000, 10_000, 0.4
         hot_n = int(n_orders * hot_frac)
         orders = spark.range(n_orders).select(
             F.col("id").alias("o_orderkey"),
@@ -217,13 +443,17 @@ def relational_skew_case(spark) -> None:
         (REPO / "plans" / "star_join_skew.txt").write_text(plan_n)
 
         # (b) hot-key window: naive vs two-level sharded running sum
+        # decimal accumulation → associative, so the sharded and naive
+        # forms are comparable EXACTLY (double sums drift by addition
+        # order on the hot key's 3M-row prefix chain).
+        price = F.col("o_totalprice").cast("decimal(20,2)")
         w_naive = (
             Window.partitionBy("o_custkey")
             .orderBy("o_orderdate", "o_orderkey")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         naive = orders.select(
-            "o_custkey", F.sum("o_totalprice").over(w_naive).alias("run")
+            "o_custkey", F.sum(price).over(w_naive).alias("run")
         )
         t0 = time.perf_counter()
         naive.write.format("noop").mode("overwrite").save()
@@ -243,15 +473,20 @@ def relational_skew_case(spark) -> None:
         t = orders.withColumn("__shard", shard)
         offsets = (
             t.groupBy("o_custkey", "__shard")
-            .agg(F.sum("o_totalprice").alias("st"))
-            .withColumn("off", F.coalesce(F.sum("st").over(w_off), F.lit(0.0)))
+            .agg(F.sum(price).alias("st"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("st").over(w_off), F.lit(0).cast("decimal(20,2)")
+                ),
+            )
             .select("o_custkey", "__shard", "off")
         )
         sharded = (
             t.join(offsets, on=["o_custkey", "__shard"])
             .select(
                 "o_custkey",
-                (F.col("off") + F.sum("o_totalprice").over(w_local)).alias("run"),
+                (F.col("off") + F.sum(price).over(w_local)).alias("run"),
             )
         )
         t0 = time.perf_counter()
@@ -260,10 +495,8 @@ def relational_skew_case(spark) -> None:
         # correctness of the fast form: identical multiset of rounded sums
         mism = (
             naive.groupBy("o_custkey")
-            .agg(F.round(F.sum("run"), 4).alias("s"))
-            .exceptAll(
-                sharded.groupBy("o_custkey").agg(F.round(F.sum("run"), 4).alias("s"))
-            )
+            .agg(F.sum("run").alias("s"))
+            .exceptAll(sharded.groupBy("o_custkey").agg(F.sum("run").alias("s")))
             .count()
         )
     finally:
@@ -295,7 +528,12 @@ def main() -> None:
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--skew", action="store_true",
                     help="run only the skewed band-join case")
+    ap.add_argument("--native", action="store_true",
+                    help="build/use the NATIVE sf1 dataset (unique rows, "
+                         "planted dup rate) instead of 10x replication")
     args = ap.parse_args()
+    if args.native and args.out == str(REPO / ".scratch" / "sf1d"):
+        args.out = str(REPO / ".scratch" / "sf1native")
 
     if args.skew:
         from flink_realtime_edu_spark.session import get_spark
@@ -311,7 +549,7 @@ def main() -> None:
 
     spark = get_spark(app_name="fres-scale-stress")
     if not args.skip_build:
-        build(spark, args.out)
+        (build_native if args.native else build)(spark, args.out)
     # Headline set + the heavier late-r1 pipeline operators: the point
     # of the sweep is how the WORK scales, so include the ops with
     # real data-volume-proportional cost.
@@ -348,10 +586,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale_stress_10x",
+                "metric": "scale_stress_native_sf1" if args.native
+                else "scale_stress_10x",
                 "base_sf_dir": BASE_SF,
                 "derived_dir": args.out,
-                "replicas": REPLICAS,
+                "replicas": None if args.native else REPLICAS,
                 "small_s": small,
                 "big_s": big,
                 "wall_ratio_10x_data": ratios,
