@@ -1,0 +1,124 @@
+"""Generic k-step CEP pattern matching — the Flink `Pattern.begin()
+.followedBy()...` / `.next()` shapes as DataFrame compositions
+(SURVEY.md §2 exhaustiveness note; VERDICT r4 "What's missing" #5).
+
+The Flink family uses CEP for funnels and timeout alarms; the fixed
+3-step funnels here were previously hand-written lead/lag queries.
+This operator generalizes to ANY step list, in both contiguity
+modes, with declared first-match semantics:
+
+- ``mode="relaxed"`` (Flink ``followedBy``): the EARLIEST completion
+  chain — step 1 matches the key's first event of that type, each
+  later step the first matching event strictly after the previous
+  step, and the whole chain must fit in ``within``. Built as k−1
+  min-after join/agg rounds on the key: every round is one hash
+  aggregate + one join on the key column, so the plan is k−1 keyed
+  shuffles — no per-key Python, no state machine, scales like any
+  star join. (Earliest-chain is Flink's skip-till-next-match
+  restricted to the first match per key — the funnel-conversion
+  question the family's warehouse actually asks.)
+- ``mode="strict"`` (Flink ``next``): the pattern must occupy
+  CONSECUTIVE events of the key — expressed with one window sort per
+  key and a conjunction of ``lead(type, i) = step_i`` predicates;
+  every match position is reported. One shuffle total.
+
+Timeout detection (the family's "clicked but never purchased within
+N minutes" alarm) is the relaxed mode's complement — see
+queries/time_semantics.py::abandoned_clicks_daily for the
+anti-join form.
+
+Both modes are plain Catalyst plans, so the DuckDB oracle replays
+them as chained CTEs / window SQL (queries/cep.py) — exact value
+checks, not smoke tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cep_first_match(
+    events: DataFrame,
+    steps: list[str],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Relaxed-contiguity (followedBy) earliest completion per key:
+    one row per key that completes all ``steps`` in order within
+    ``within`` (an INTERVAL string, e.g. '24 hours') — columns
+    (key, start_ts, end_ts, duration_s). Plan: k−1 (min-agg + join)
+    rounds keyed on ``key_col``; the within-filter applies at the
+    end so intermediate chains stay monotone-minimal."""
+    if len(steps) < 2:
+        raise ValueError("a CEP pattern needs at least 2 steps")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    prev = "t1"
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .select(key_col, F.col(ts_col).alias("__ts"))
+            .join(cur, on=key_col)
+            .filter(F.col("__ts") > F.col(prev))
+            .groupBy(key_col, *[c for c in cur.columns if c != key_col])
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        cur = nxt
+        prev = f"t{i}"
+    last = f"t{len(steps)}"
+    return (
+        cur.filter(
+            F.col(last) <= F.col("t1") + F.expr(f"INTERVAL {within}")
+        )
+        .select(
+            key_col,
+            F.col("t1").alias("start_ts"),
+            F.col(last).alias("end_ts"),
+            (
+                F.unix_micros(F.col(last)) - F.unix_micros("t1")
+            ).cast("double").alias("duration_us"),
+        )
+        .withColumn("duration_s", F.round(F.col("duration_us") / 1e6, 6))
+        .drop("duration_us")
+    )
+
+
+def cep_strict_matches(
+    events: DataFrame,
+    steps: list[str],
+    within: str | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Strict-contiguity (next) matches: every position where the
+    key's CONSECUTIVE events (ts order, tie-broken by ``order_cols``)
+    spell out ``steps`` exactly, optionally within ``within`` from
+    first to last event. One window sort per key; emits
+    (key, start_ts, end_ts) per match."""
+    if len(steps) < 2:
+        raise ValueError("a CEP pattern needs at least 2 steps")
+    order = [ts_col] + (order_cols or [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cond = F.col(type_col) == steps[0]
+    for i, s in enumerate(steps[1:], start=1):
+        cond = cond & (F.lead(type_col, i).over(w) == s)
+    end_ts = F.lead(ts_col, len(steps) - 1).over(w)
+    out = events.select(
+        key_col,
+        F.col(ts_col).alias("start_ts"),
+        end_ts.alias("end_ts"),
+        cond.alias("__m"),
+    ).filter("__m").drop("__m")
+    if within is not None:
+        out = out.filter(
+            F.col("end_ts") <= F.col("start_ts") + F.expr(f"INTERVAL {within}")
+        )
+    return out

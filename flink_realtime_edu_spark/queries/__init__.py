@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "training",
     "bpe",
     "late",
+    "cep",
 )
 
 
@@ -95,7 +96,7 @@ def register(
 # FIRST 50 keys of queries(), so the prefix below is curated to cover
 # EVERY batch-expressible SURVEY.md §2 row with at least one
 # representative (tests/test_registry_order.py pins this), and it
-# ROTATES each round (VERDICT r3 item 3). r5 window = the 5 queries
+# ROTATES each round (VERDICT r3 item 3). r5 window = the 7 queries
 # NEW this round + a 16-query minimal §2-covering core + 28 of the 38
 # oracled queries the driver never sampled in r1–r4 (they were
 # verified by scripts/driver_sim.py in the r4 judge session; this
@@ -104,7 +105,9 @@ def register(
 # big_volume_customers, nation_revenue_share,
 # wealthy_inactive_customers, volume_shipping_pairs,
 # market_share_by_year, customer_order_distribution,
-# promo_revenue_share, part_supplier_diversity) didn't fit and rotate
+# promo_revenue_share, part_supplier_diversity — plus, to make room
+# for the two new generic-CEP queries, late_priority_mix and
+# price_moments_by_flag) didn't fit and rotate
 # into r6; kmeans_cluster_profile / spark_native_hashes are rows-only
 # by design and stay outside (the window must be all-oracled).
 # pricing_summary stays first (entry() runs it). Queries rotated out
@@ -154,9 +157,9 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "unshipped_order_revenue",    # J1 O2 A1 (never r1–r4)
     "local_supplier_volume",      # J1 J3 A1 (never r1–r4)
     "forecast_revenue_change",    # P2 A5 A1 (never r1–r4)
-    "late_priority_mix",          # J1 A2 F4 (never r1–r4)
+    "cep_funnel_first_match",     # T7 J4 W3 A9 (new in r5 — generic CEP)
     "state_transition_matrix",    # W3 S2 A1 (never r1–r4)
-    "price_moments_by_flag",      # A2 A8 F3 (never r1–r4)
+    "cep_strict_error_runs",      # T7 W3 W1 (new in r5 — generic CEP)
     "training_shuffle_manifest",  # X7 F8 W1 (never r1–r4)
     "stratified_split_by_source",  # X7 F8 A1 F4 (never r1–r4)
     "incremental_dedup_delta",    # X4 F8 J6 A9 (never r1–r4)

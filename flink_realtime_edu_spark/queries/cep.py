@@ -1,0 +1,102 @@
+"""CEP pattern queries — driver-checkable faces of operators/cep.py
+(SURVEY.md §2 exhaustiveness note: Flink CEP re-expression, now via
+a GENERIC k-step operator instead of hand-written funnels).
+
+The oracle SQL is generated from the same step list the operator
+receives, so widening a pattern changes both sides in lockstep —
+the chained min-after CTEs replay ``cep_first_match`` and the
+lead-conjunction window replays ``cep_strict_matches`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_realtime_edu_spark.operators.cep import (
+    cep_first_match,
+    cep_strict_matches,
+)
+from flink_realtime_edu_spark.queries import register
+from flink_realtime_edu_spark.sources import load
+
+_FUNNEL_STEPS = ["view", "click", "purchase", "purchase"]
+_FUNNEL_WITHIN = "96 hours"
+_STRICT_STEPS = ["error", "error", "error"]
+
+
+def _relaxed_oracle(steps: list[str], within_sql: str) -> str:
+    parts = [
+        f"""WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        prev_cols = ", ".join(f"t{j}" for j in range(1, i))
+        parts.append(
+            f""", s{i} AS (
+  SELECT e.user_id, {prev_cols}, MIN(e.ts) AS t{i}
+  FROM events e JOIN s{i - 1} p
+    ON e.user_id = p.user_id AND e.ts > p.t{i - 1}
+  WHERE e.event_type = '{s}'
+  GROUP BY e.user_id, {prev_cols}
+)"""
+        )
+    k = len(steps)
+    return "".join(parts) + f"""
+SELECT user_id, t1 AS start_ts, t{k} AS end_ts,
+       ROUND((epoch_us(t{k}) - epoch_us(t1)) / 1e6, 6) AS duration_s
+FROM s{k} WHERE t{k} <= t1 + INTERVAL {within_sql}
+"""
+
+
+def _strict_oracle(steps: list[str]) -> str:
+    k = len(steps)
+    leads = ", ".join(
+        f"lead(event_type, {i}) OVER w AS n{i}" for i in range(1, k)
+    )
+    conds = " AND ".join(
+        [f"event_type = '{steps[0]}'"]
+        + [f"n{i} = '{s}'" for i, s in enumerate(steps[1:], start=1)]
+    )
+    return f"""
+SELECT user_id, ts AS start_ts, lk AS end_ts FROM (
+  SELECT user_id, ts, event_type, {leads},
+         lead(ts, {k - 1}) OVER w AS lk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE {conds}
+"""
+
+
+@register(
+    "cep_funnel_first_match",
+    survey_rows=("T7", "J4", "W3", "A9"),
+    oracle=_relaxed_oracle(_FUNNEL_STEPS, "96 HOUR"),
+)
+def cep_funnel_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic relaxed-contiguity CEP (Flink followedBy): the earliest
+    view → click → purchase → purchase chain per user completing
+    within 96 h — a FOUR-step pattern no hand-written funnel query
+    covered, built by the k-generic operator (k−1 min-after keyed
+    join rounds, no per-key Python). Oracle: the same chain as
+    generated min-after CTEs."""
+    ev = load(spark, sf_dir, "events")
+    return cep_first_match(ev, _FUNNEL_STEPS, _FUNNEL_WITHIN)
+
+
+@register(
+    "cep_strict_error_runs",
+    survey_rows=("T7", "W3", "W1"),
+    oracle=_strict_oracle(_STRICT_STEPS),
+)
+def cep_strict_error_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic strict-contiguity CEP (Flink next): every position
+    where a user's three CONSECUTIVE events are all errors — the
+    crash-loop alarm. One window sort per user, lead-conjunction
+    predicate; every match position reported (overlapping runs of
+    length n emit n−2 matches, as Flink's next does)."""
+    ev = load(spark, sf_dir, "events")
+    return cep_strict_matches(
+        ev, _STRICT_STEPS, key_col="user_id", order_cols=["event_id"]
+    )

@@ -736,3 +736,73 @@ def test_text_normalization_unicode_and_engine_parity(spark):
         if c is not None:
             sql = NORMALIZE_SQL.format(col="?")
             assert got[i] == duckdb.sql(f"select {sql}", params=[c]).fetchone()[0], i
+
+
+def test_cep_first_match_and_strict_semantics(spark):
+    """Generic CEP operator semantics on a hand-built sequence: the
+    relaxed mode finds the EARLIEST completion chain (and honors the
+    within-horizon), the strict mode only fires on consecutive
+    events and reports every overlapping position."""
+    from flink_realtime_edu_spark.operators.cep import (
+        cep_first_match,
+        cep_strict_matches,
+    )
+
+    rows = [
+        # user 1: view@0, click@1h, view@2h, purchase@3h → chain 0..3h
+        (0, "2024-01-01 00:00:00", 1, "view"),
+        (1, "2024-01-01 01:00:00", 1, "click"),
+        (2, "2024-01-01 02:00:00", 1, "view"),
+        (3, "2024-01-01 03:00:00", 1, "purchase"),
+        # user 2: click before any view → no match
+        (4, "2024-01-01 00:00:00", 2, "click"),
+        (5, "2024-01-01 01:00:00", 2, "purchase"),
+        (6, "2024-01-01 02:00:00", 2, "view"),
+        # user 3: completes but outside the 2h horizon
+        (7, "2024-01-01 00:00:00", 3, "view"),
+        (8, "2024-01-01 00:30:00", 3, "click"),
+        (9, "2024-01-01 04:00:00", 3, "purchase"),
+        # user 4: error error error error → two strict triples
+        (10, "2024-01-01 00:00:00", 4, "error"),
+        (11, "2024-01-01 00:01:00", 4, "error"),
+        (12, "2024-01-01 00:02:00", 4, "error"),
+        (13, "2024-01-01 00:03:00", 4, "error"),
+        # user 5: errors separated by a view → no strict triple
+        (14, "2024-01-01 00:00:00", 5, "error"),
+        (15, "2024-01-01 00:01:00", 5, "error"),
+        (16, "2024-01-01 00:02:00", 5, "view"),
+        (17, "2024-01-01 00:03:00", 5, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+
+    got = {
+        r.user_id: (r.start_ts.isoformat(), r.end_ts.isoformat(), r.duration_s)
+        for r in cep_first_match(
+            ev, ["view", "click", "purchase"], "2 hours"
+        ).collect()
+    }
+    # user 1: earliest chain view@0 → click@1h → purchase@3h exceeds
+    # 2h, so no user at all under the 2h horizon except... none.
+    assert 3 not in got and 2 not in got
+    got24 = {
+        r.user_id: (r.start_ts.isoformat(), r.duration_s)
+        for r in cep_first_match(
+            ev, ["view", "click", "purchase"], "24 hours"
+        ).collect()
+    }
+    assert got24[1] == ("2024-01-01T00:00:00", 10800.0)
+    assert got24[3] == ("2024-01-01T00:00:00", 14400.0)
+    assert 2 not in got24
+
+    strict = sorted(
+        (r.user_id, r.start_ts.isoformat())
+        for r in cep_strict_matches(
+            ev, ["error", "error", "error"], order_cols=["event_id"]
+        ).collect()
+    )
+    assert strict == [
+        (4, "2024-01-01T00:00:00"),
+        (4, "2024-01-01T00:01:00"),
+    ]
