@@ -487,3 +487,36 @@ def bpe_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tokens_kept"),
         F.count(F.lit(1)).alias("n_docs_total"),
     )
+
+
+def bpe_encode_udf_vocab(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """PRODUCTION-SCALE encoder variant: apply a merge table of ANY
+    size to a (w, freq, symstr)-shaped vocab frame via one
+    Arrow-batched pandas UDF instead of a chained-replace expression
+    — a 50k-merge tokenizer cannot compile as 50k Catalyst replaces,
+    but a rank-dict loop per word is O(|word| · matches). Same
+    single-scan merge semantics as :func:`bpe_apply_merges` (each
+    merge applied once, left-to-right, in rank order), asserted equal
+    on the learned table by tests/test_packing.py. Still vocab-frame
+    work — the corpus is never touched."""
+    import sys
+
+    import pandas as pd
+    from pyspark import cloudpickle
+    from pyspark.sql.functions import pandas_udf
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    merge_list = [(f" {l} {r} ", f" {l}{r} ") for l, r in merges]
+
+    @pandas_udf("string")
+    def apply_merges(symstr: pd.Series) -> pd.Series:
+        def enc(s: str) -> str:
+            for pat, rep in merge_list:
+                s = s.replace(pat, rep)
+            return s
+
+        return symstr.map(enc)
+
+    return words.withColumn("symstr", apply_merges("symstr"))

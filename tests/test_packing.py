@@ -150,3 +150,35 @@ def test_bpe_encoder_roundtrip_and_compression(spark, sf_dir):
         )
     finally:
         vocab.unpersist()
+
+
+def test_bpe_udf_encoder_matches_expression_chain(spark, sf_dir):
+    """The pandas-UDF encoder (the 50k-merge production path) must
+    produce byte-identical symbol strings to the chained-replace
+    expression encoder on the learned merge table."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_spark.queries.bpe import (
+        _learn_merges,
+        _word_symbols,
+        bpe_apply_merges,
+        bpe_encode_udf_vocab,
+    )
+    from flink_realtime_edu_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    sym = _word_symbols(d).persist()
+    try:
+        merges, _ = _learn_merges(sym, 8)
+        table = [(l, r) for _, l, r, _ in merges]
+        expr = sym.withColumn("symstr", bpe_apply_merges(F.col("symstr"), table))
+        udf = bpe_encode_udf_vocab(sym, table)
+        assert (
+            expr.select("w", "symstr")
+            .exceptAll(udf.select("w", "symstr"))
+            .count()
+            == 0
+        )
+        assert expr.count() == udf.count()
+    finally:
+        sym.unpersist()
