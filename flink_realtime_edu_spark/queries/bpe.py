@@ -510,8 +510,10 @@ def bpe_encode_udf_vocab(
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     merge_list = [(f" {l} {r} ", f" {l}{r} ") for l, r in merges]
 
+    # plain signature (no pd.Series hints): the hints resolve against
+    # module globals, and pandas is imported function-locally here.
     @pandas_udf("string")
-    def apply_merges(symstr: pd.Series) -> pd.Series:
+    def apply_merges(symstr):
         def enc(s: str) -> str:
             for pat, rep in merge_list:
                 s = s.replace(pat, rep)
