@@ -233,15 +233,23 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     return True
 
 
-def txn_read(spark, table_dir: str) -> DataFrame:
+def txn_read(spark, table_dir: str, as_of: int | None = None) -> DataFrame:
     """Snapshot read: union of exactly the COMMITTED transactions'
     data dirs — uncommitted/orphaned txn dirs are invisible. Empty
     committed set → empty frame with no schema guess, so callers
-    should handle the None."""
+    should handle the None.
+
+    ``as_of`` gives TIME TRAVEL (the Delta/Iceberg VERSION AS OF
+    idea): read the table as of commit seq ``as_of`` inclusive —
+    i.e. the first ``as_of + 1`` commits. The commit log is
+    append-only, so any historical snapshot remains reproducible
+    until a compaction rewrites it."""
     from pathlib import Path
 
     table = Path(table_dir)
     committed = txn_committed(table_dir)
+    if as_of is not None:
+        committed = committed[: as_of + 1]
     dirs = [str(table / _TXN_DATA / f"txn={t}") for t in committed]
     if not dirs:
         return None

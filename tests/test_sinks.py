@@ -330,6 +330,10 @@ def test_txn_write_atomic_visibility_and_replay(spark, tmp_path):
     assert txn_read(spark, table).count() == 15
     assert sorted(r.id for r in txn_read(spark, table).collect()) == list(range(15))
 
+    # Time travel: as_of seq 0 = the table before txn-b existed.
+    assert txn_read(spark, table, as_of=0).count() == 10
+    assert txn_read(spark, table, as_of=1).count() == 15
+
     # Clustered physical layout through the same protocol — its own
     # table: all txns of one table must share one layout/schema.
     table2 = str(tmp_path / "txn_table_clustered")
