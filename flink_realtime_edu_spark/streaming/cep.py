@@ -1,0 +1,127 @@
+"""Streaming CEP — the live face of operators/cep.py (Flink
+`CEP.pattern(stream, ...)`; SURVEY.md §2 exhaustiveness note).
+
+Relaxed-contiguity first-match as a keyed state machine on
+``applyInPandasWithState``: per key the state is (next step index,
+chain start, last matched time); each micro-batch advances the
+automaton over its rows in event-time order and emits ONE completion
+row per key — exactly the earliest-completion-chain semantics of
+``cep_first_match``, provided arrival order respects event-time
+order per key (the testable contract: an ordered replay makes
+stream ≡ batch; out-of-order arrivals would need a watermark-deep
+reordering buffer, which Flink CEP also requires for event-time
+patterns).
+
+The ``within`` horizon is enforced at completion time, matching the
+batch operator (the greedy chain is fixed by the data; the horizon
+only decides whether the completed chain is reported — a key whose
+chain overruns the horizon emits nothing and stays done).
+
+Scale: state per key = three longs + a bool; matching work is
+O(batch rows); completions stream out in append mode. State is
+hash-partitioned by key across executors like every GroupState
+operator here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+CEP_OUTPUT_SCHEMA = (
+    "user_id BIGINT, start_us BIGINT, end_us BIGINT, duration_s DOUBLE"
+)
+CEP_STATE_SCHEMA = "step_idx INT, t1_us LONG, tprev_us LONG, done BOOLEAN"
+
+
+def _make_cep_fn(steps: list[str], within_us: int):
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            step_idx, t1_us, tprev_us, done = state.get
+        else:
+            step_idx, t1_us, tprev_us, done = 0, None, None, False
+        out = []
+        if not done:
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(["ts_us", "event_id"])
+                for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+                    if etype != steps[step_idx]:
+                        continue
+                    if step_idx > 0 and ts_us <= tprev_us:
+                        continue
+                    if step_idx == 0:
+                        t1_us = int(ts_us)
+                    tprev_us = int(ts_us)
+                    step_idx += 1
+                    if step_idx == len(steps):
+                        done = True
+                        if tprev_us - t1_us <= within_us:
+                            out.append(
+                                (
+                                    key[0],
+                                    t1_us,
+                                    tprev_us,
+                                    round((tprev_us - t1_us) / 1e6, 6),
+                                )
+                            )
+                        break
+                if done:
+                    break
+        else:
+            for _ in pdf_iter:  # drain — completed keys ignore new events
+                pass
+        state.update((step_idx, t1_us, tprev_us, done))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "end_us", "duration_s"]
+            )
+
+    return fn
+
+
+def cep_first_match_stream(
+    events: DataFrame,
+    steps: list[str],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming earliest-completion CEP. ``within`` is '<n> hours' /
+    '<n> minutes' style; completions emit in append mode as
+    (user_id, start_ts, end_ts, duration_s)."""
+    qty, unit = within.split()
+    mult = {
+        "second": 1,
+        "seconds": 1,
+        "minute": 60,
+        "minutes": 60,
+        "hour": 3600,
+        "hours": 3600,
+        "day": 86400,
+        "days": 86400,
+    }[unit.lower()]
+    within_us = int(qty) * mult * 1_000_000
+    prepared = events.select(
+        F.col(key_col).alias("user_id"),
+        F.unix_micros(ts_col).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+        F.col("event_id"),
+    )
+    out = prepared.groupBy("user_id").applyInPandasWithState(
+        _make_cep_fn(steps, within_us),
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("start_ts"),
+        F.timestamp_micros("end_us").alias("end_ts"),
+        "duration_s",
+    )

@@ -1339,3 +1339,43 @@ def test_late_repair_converges_store_to_batch_truth(spark, tmp_path):
             .collect()
         }
         assert fixed == truth
+
+
+def test_cep_stream_equals_batch_on_ordered_replay(spark, sf_dir, tmp_path):
+    """Streaming CEP (keyed GroupState automaton) must reproduce the
+    batch earliest-completion chain exactly when the replay respects
+    event-time order — here the events file split into three
+    time-ordered chunks consumed one file per trigger, so chains
+    cross micro-batch boundaries."""
+    from flink_realtime_edu_spark.operators.cep import cep_first_match
+    from flink_realtime_edu_spark.streaming.cep import cep_first_match_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    steps, within = ["view", "click", "purchase"], "24 hours"
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    # three event-time-ordered chunks (events are ts-ordered by id)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    stream = cep_first_match_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        steps,
+        within,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cep_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = _rows(spark.sql("SELECT * FROM cep_stream"))
+    want = _rows(cep_first_match(ev, steps, within))
+    assert got == want and len(want) > 0
