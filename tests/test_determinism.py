@@ -35,6 +35,10 @@ REPRESENTATIVES = [
     "customer_balance_quartiles", # two-phase distributed rank
     "bpe_merge_learning",         # driver-looped iterative merges
     "text_normalization_checksum",  # pandas-UDF + exact decimal sum
+    "bpe_encode_stats",           # learned-merge encode + vocab join (r5)
+    "late_corrected_windows",     # sharded running-max watermark (r5)
+    "cep_funnel_first_match",     # k-step min-after join chain (r5)
+    "png_decode_stats",           # mapInPandas codec round-trip (r5)
 ]
 
 
