@@ -451,10 +451,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: gram construction is all higher-order functions
     (sequence/transform/slice → JVM, no UDF), one explode, then a
-    LEFT join against the DISTINCT benchmark gram set. At 100 TB
-    you'd join on xxhash64(gram) (8-byte keys, same plan shape —
-    the F8/X5 queries already pin that pattern); here the raw-string
-    join keeps the DuckDB oracle exact."""
+    LEFT join against the DISTINCT benchmark gram set — keyed on
+    xxhash64(gram), so the shuffle moves 8-byte keys instead of
+    ~50-byte 7-gram strings (measured 24.8 s → see BASELINE.md r5 at
+    the 100× corpus; ~6× fewer shuffle bytes). The DuckDB oracle
+    joins the raw strings; hash equality differs only on a 64-bit
+    collision between a corpus gram and a bench gram (~1e-8 odds at
+    10^6 distinct grams — deterministic, and the oracle would catch
+    it)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     starts = F.sequence(F.lit(1), F.size(toks) - F.lit(_NGRAM - 1))
@@ -464,14 +468,16 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, _NGRAM)))
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    ex = d.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    ).select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
     bench = (
-        ex.filter(F.col("source") == "src0").select("gram").distinct()
+        ex.filter(F.col("source") == "src0").select("gram_h").distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
         ex.filter(F.col("source") != "src0")
-        .join(bench, "gram", "left")
+        .join(bench, "gram_h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
