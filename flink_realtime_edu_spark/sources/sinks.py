@@ -254,3 +254,68 @@ def txn_read(spark, table_dir: str, as_of: int | None = None) -> DataFrame:
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """TWO-dimensional clustered layout via Z-order (Morton) keys —
+    the multi-column complement of :func:`write_clustered` (whose
+    lexicographic sort only prunes on the leading column): bucket
+    each column to ``bits`` bits with width_bucket over its observed
+    [min, max], interleave the bits into one Morton key, then
+    range-distribute + sort on it. Files then cover compact RECTANGLES
+    of (a, b) space, so parquet min/max stats prune point/range scans
+    on EITHER column (or both) to a few files — the Delta/Iceberg
+    OPTIMIZE ZORDER idea in one range shuffle, no global sort.
+
+    Bucketing is uniform-width (one min/max agg probe, no quantile
+    pass); heavily skewed columns should be pre-transformed (log,
+    rank) or bucketed by sampled quantiles — same caveat as every
+    Z-order implementation. Pruning quality is pinned by
+    tests/test_sinks.py with pyarrow footer inspection against the
+    1-D sorted layout."""
+    a_min, a_max, b_min, b_max = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    n_buckets = 2**bits
+
+    def bucket(c, lo, hi):
+        # width_bucket is 1-based and sends x = hi to n+1; clamp into
+        # [0, n_buckets) so the key stays within 2*bits bits.
+        return F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.width_bucket(
+                    F.col(c).cast("double"),
+                    F.lit(float(lo)),
+                    F.lit(float(hi)),
+                    F.lit(n_buckets),
+                )
+                - 1,
+            ),
+        )
+
+    ba = bucket(col_a, a_min, a_max)
+    bb = bucket(col_b, b_min, b_max)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -578,6 +578,12 @@ def main() -> None:
         "pq_ann_topk",
         "near_dup_incremental",
         "bpe_merge_learning",
+        # r5: tokenizer apply + lateness repair + CEP + PNG decode
+        "bpe_encode_stats",
+        "late_corrected_windows",
+        "cep_funnel_first_match",
+        "cep_strict_error_runs",
+        "png_decode_stats",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)

@@ -348,3 +348,64 @@ def test_txn_write_atomic_visibility_and_replay(spark, tmp_path):
         write_fn=lambda df, d: write_clustered(df, d, cluster_cols=["user_id"]),
     )
     assert txn_read(spark, table2).count() == 30
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order pruning quality, measured from parquet footers: with
+    files covering compact (a, b) rectangles, a point predicate on
+    EITHER column must be prunable to a minority of files — while the
+    1-D sorted layout can only prune its leading column (every file
+    spans the full range of the second). Uses a deterministic 2-D
+    uniform grid so the geometry is exact."""
+    import pyarrow.parquet as pq
+
+    from flink_realtime_edu_spark.sources.sinks import write_zordered
+
+    n, n_files = 64_000, 16
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit("b")), F.lit(1000)).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    zpath = tmp_path / "zorder"
+    spath = tmp_path / "sorted1d"
+    write_zordered(df, str(zpath), "a", "b", n_files=n_files)
+    (
+        df.repartitionByRange(n_files, "a", "b")
+        .sortWithinPartitions("a", "b")
+        .write.mode("overwrite")
+        .parquet(str(spath))
+    )
+
+    def stats(path, col):
+        out = []
+        for f in sorted(path.glob("*.parquet")):
+            md = pq.read_metadata(f)
+            lo = min(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return out
+
+    def files_containing(path, col, v):
+        return sum(1 for lo, hi in stats(path, col) if lo <= v <= hi)
+
+    # point predicates on each column at a few probe values
+    for v in (100, 500, 900):
+        assert files_containing(zpath, "a", v) <= n_files // 2
+        assert files_containing(zpath, "b", v) <= n_files // 2
+        # the 1-D layout prunes its leading column...
+        assert files_containing(spath, "a", v) <= n_files // 2
+    # ...but NOT the second column: nearly every 1-D file spans b.
+    assert files_containing(spath, "b", 500) >= n_files - 2
+    # and the data survives the round trip
+    assert spark.read.parquet(str(zpath)).count() == n
