@@ -64,7 +64,7 @@ def _first_visit_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd
 
 
 ABANDONED_OUTPUT_SCHEMA = "user_id BIGINT, click_ts_ms BIGINT"
-ABANDONED_STATE_SCHEMA = "pending ARRAY<BIGINT>"
+ABANDONED_STATE_SCHEMA = "pending ARRAY<BIGINT>, recent_purchases ARRAY<BIGINT>"
 
 
 def _make_abandoned_fn(timeout_ms: int):
@@ -75,7 +75,11 @@ def _make_abandoned_fn(timeout_ms: int):
     click is emitted as abandoned (the registered-timer firing)."""
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        pending = list(state.get[0]) if state.exists else []
+        if state.exists:
+            pending = list(state.get[0])
+            recent_p = list(state.get[1])
+        else:
+            pending, recent_p = [], []
         wm = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
             clicks: list[int] = []
@@ -98,15 +102,34 @@ def _make_abandoned_fn(timeout_ms: int):
             # the batch). Pinned by tests/test_properties.py::
             # test_abandoned_state_fn_matches_antijoin (hypothesis
             # shuffles arrival order).
+            #
+            # CROSS-batch ties need state too (hypothesis-found, r5):
+            # a purchase in batch N must clear a click arriving in
+            # batch N+1 at the same (or, under bounded out-of-order
+            # arrival, an earlier) event time — the anti-join spec has
+            # no batch boundaries. Purchases stay remembered while
+            # p ≥ watermark; older ones can never match a future
+            # click (Spark drops rows below the watermark before this
+            # operator, so future clicks have c ≥ wm, and a match
+            # needs c ≤ p).
             pending.extend(clicks)
-            for p in purchases:
+            all_p = recent_p + purchases
+            for p in all_p:
                 pending = [c for c in pending if not (c <= p <= c + timeout_ms)]
+            recent_p = sorted(p for p in set(all_p) if p >= wm)
+        else:
+            recent_p = [p for p in recent_p if p >= wm]
         expired = sorted(c for c in pending if c + timeout_ms <= wm)
         pending = [c for c in pending if c + timeout_ms > wm]
-        if pending:
-            state.update((pending,))
-            # timer must be strictly above the current watermark
-            state.setTimeoutTimestamp(max(min(pending) + timeout_ms, wm + 1))
+        if pending or recent_p:
+            state.update((pending, recent_p))
+            # timer must be strictly above the current watermark; a
+            # purchase-only state fires once its last purchase falls
+            # below the watermark, so eviction cannot leak state.
+            horizon = (
+                min(pending) + timeout_ms if pending else max(recent_p) + 1
+            )
+            state.setTimeoutTimestamp(max(horizon, wm + 1))
         elif state.exists:
             state.remove()
         yield pd.DataFrame(
