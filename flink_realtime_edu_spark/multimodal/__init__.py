@@ -17,11 +17,13 @@ metadata-only queries never read payload bytes.
 Processing (decode / resize / feature-extract / frame-sample) runs as
 Arrow-batched ``mapInPandas``: one Python process per partition, one
 pandas batch at a time, so payload bytes cross the JVM↔Python
-boundary exactly once per stage. The actual codecs (PIL/ffmpeg/...)
-are NOT in this container, so `decode_image` raises
-NotImplementedError; `extract_features` uses a deterministic
+boundary exactly once per stage. PNG payloads decode for real via the
+pure-stdlib codec in :mod:`.png` (``decode_image`` dispatches on mime);
+other formats (JPEG/ffmpeg/...) have no codec in this container and
+raise NotImplementedError. `extract_features` uses a deterministic
 byte-histogram stand-in with the REAL batch shape, schema and
-partitioning, which is what the tests pin down.
+partitioning; the PNG path additionally feeds true pixel stats
+(``queries/media.py`` png_decode_stats) with an analytic oracle.
 """
 
 from __future__ import annotations

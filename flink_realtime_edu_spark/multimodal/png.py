@@ -109,11 +109,10 @@ def decode_png(data: bytes) -> np.ndarray:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        crc_bytes = data[pos + 8 + length : pos + 12 + length]
+        if len(body) != length or len(crc_bytes) != 4:
             raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(
-            ">I", data[pos + 8 + length : pos + 12 + length]
-        )
+        (crc,) = struct.unpack(">I", crc_bytes)
         if crc != zlib.crc32(tag + body):
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":

@@ -400,7 +400,10 @@ def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     token slot (greatest(·,1), matching the whitespace variant's
     floor). The oracle re-learns the merges, re-encodes, and replays
     the same window arithmetic."""
-    from flink_realtime_edu_spark.queries.packing import _sharded_cum_before
+    from flink_realtime_edu_spark.queries.packing import (
+        _SHARD_SPAN,
+        _sharded_cum_before,
+    )
 
     d = load(spark, sf_dir, "documents")
     per_doc = _doc_bpe_counts(spark, sf_dir, _N_MERGES_APPLY).select(
@@ -411,7 +414,7 @@ def bpe_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.greatest(F.coalesce("nb", F.lit(0)), F.lit(1)).alias("n_toks"),
     )
-    c = _sharded_cum_before(t, F.expr("doc_id div 64"), ["doc_id"])
+    c = _sharded_cum_before(t, F.expr(f"doc_id div {_SHARD_SPAN}"), ["doc_id"])
     return c.select(
         "source",
         "doc_id",

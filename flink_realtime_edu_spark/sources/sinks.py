@@ -19,6 +19,8 @@ flink_realtime_edu_spark/streaming/sinks.py.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -163,21 +165,34 @@ def write_clustered(
 
 _TXN_DATA = "data"
 _TXN_LOG = "_commitlog"
+# Published entries are EXACTLY `<10-digit seq>-<txn_id>.json`. Listing
+# parses this shape instead of globbing: `*-{txn_id}.json` would also
+# match a txn whose id merely ends with `-{txn_id}` (silent replay-skip
+# = data loss), and pathlib's glob matches dotfiles, so the `.tmp-*`
+# staging manifest would count as committed after a crash between
+# write_text and the publishing rename.
+_TXN_ENTRY_RE = re.compile(r"^(\d{10})-(.+)\.json$")
+
+
+def _txn_entries(log) -> list:
+    """(filename, txn_id, Path) for published commit entries only, in
+    commit (= filename) order; staging/foreign files are ignored."""
+    if not log.is_dir():
+        return []
+    out = []
+    for p in sorted(log.iterdir()):
+        m = _TXN_ENTRY_RE.match(p.name)
+        if m:
+            out.append((p.name, m.group(2), p))
+    return out
 
 
 def txn_committed(table_dir: str) -> list[str]:
     """Transaction ids with a published commit entry, in commit order
     (log filenames are `<seq>-<txn_id>.json`, seq zero-padded)."""
-    import json
     from pathlib import Path
 
-    log = Path(table_dir) / _TXN_LOG
-    if not log.is_dir():
-        return []
-    out = []
-    for p in sorted(log.glob("*.json")):
-        out.append(json.loads(p.read_text())["txn_id"])
-    return out
+    return [t for _, t, _ in _txn_entries(Path(table_dir) / _TXN_LOG)]
 
 
 def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool:
@@ -208,7 +223,7 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     table = Path(table_dir)
     log = table / _TXN_LOG
     log.mkdir(parents=True, exist_ok=True)
-    if any(log.glob(f"*-{txn_id}.json")):
+    if txn_id in {t for _, t, _ in _txn_entries(log)}:
         return False  # already committed — replay is a no-op
     data_dir = table / _TXN_DATA / f"txn={txn_id}"
     # Overwrite handles a prior crashed attempt's partial files.
@@ -221,8 +236,10 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     files = sorted(
         str(p.relative_to(data_dir)) for p in data_dir.rglob("*.parquet")
     )
-    seq = len(list(log.glob("*.json")))
+    seq = len(_txn_entries(log))
     entry = {"txn_id": txn_id, "seq": seq, "files": files}
+    # Staging name deliberately fails _TXN_ENTRY_RE: a crash here
+    # leaves an inert file that is never listed, counted, or read.
     tmp = log / f".tmp-{txn_id}.json"
     tmp.write_text(json.dumps(entry))
     # The atomic visibility flip. If another committer raced us to
@@ -283,6 +300,11 @@ def write_zordered(
     a_min, a_max, b_min, b_max = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if a_min is None or b_min is None:
+        # Empty input (or all-null cluster cols): nothing to order —
+        # still materialize the (empty) table like plain parquet would.
+        df.write.mode("overwrite").parquet(path)
+        return
     n_buckets = 2**bits
 
     def bucket(c, lo, hi):

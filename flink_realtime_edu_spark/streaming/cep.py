@@ -47,7 +47,7 @@ def _make_cep_fn(steps: list[str], within_us: int):
         out = []
         if not done:
             for pdf in pdf_iter:
-                pdf = pdf.sort_values(["ts_us", "event_id"])
+                pdf = pdf.sort_values(["ts_us", "__tb"])
                 for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
                     if etype != steps[step_idx]:
                         continue
@@ -74,7 +74,12 @@ def _make_cep_fn(steps: list[str], within_us: int):
         else:
             for _ in pdf_iter:  # drain — completed keys ignore new events
                 pass
-        state.update((step_idx, t1_us, tprev_us, done))
+        if step_idx > 0 or done:
+            state.update((step_idx, t1_us, tprev_us, done))
+        # step_idx == 0 is indistinguishable from state.exists == False:
+        # skipping the update keeps zero-progress keys out of the store
+        # (with NoTimeout an entry would otherwise live forever), so
+        # state is O(keys with progress), not O(keys ever seen).
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "start_us", "end_us", "duration_s"]
@@ -90,10 +95,13 @@ def cep_first_match_stream(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Streaming earliest-completion CEP. ``within`` is '<n> hours' /
     '<n> minutes' style; completions emit in append mode as
-    (user_id, start_ts, end_ts, duration_s)."""
+    (user_id, start_ts, end_ts, duration_s). ``tiebreak_col`` orders
+    same-timestamp rows within a batch deterministically (same role as
+    event_id in the batch operator's oracle)."""
     qty, unit = within.split()
     mult = {
         "second": 1,
@@ -110,7 +118,7 @@ def cep_first_match_stream(
         F.col(key_col).alias("user_id"),
         F.unix_micros(ts_col).alias("ts_us"),
         F.col(type_col).alias("event_type"),
-        F.col("event_id"),
+        F.col(tiebreak_col).alias("__tb"),
     )
     out = prepared.groupBy("user_id").applyInPandasWithState(
         _make_cep_fn(steps, within_us),

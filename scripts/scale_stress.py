@@ -381,7 +381,7 @@ def skew_case(spark) -> None:
 
 def relational_skew_case(spark) -> None:
     """Hot-key stress for the RELATIONAL core (VERDICT r4 item 4):
-    one customer owns 30% of a 2M-row orders table.
+    one customer owns 40% of an 8M-row orders table.
 
     (a) Star join on the skewed key with broadcast disabled (the
         100 TB fact-to-fact case): AQE must split the hot partition
@@ -499,6 +499,10 @@ def relational_skew_case(spark) -> None:
             .exceptAll(sharded.groupBy("o_custkey").agg(F.sum("run").alias("s")))
             .count()
         )
+        # Hard gate, not just a recorded number: a future edit that
+        # breaks the shard-is-range-of-ordering-key invariant must
+        # fail the sweep loudly.
+        assert mism == 0, f"sharded window diverged from naive: {mism} rows"
     finally:
         for key, v in saved.items():
             if v is None:

@@ -147,6 +147,13 @@ def test_png_codec_rejects_bad_input():
     )
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(deep)
+    # truncation INSIDE a chunk's 4-byte CRC must still be the
+    # documented ValueError, not a struct.error leaking out of the
+    # mapInPandas task
+    ihdr_at = good.index(b"IHDR") - 4
+    cut_in_crc = good[: ihdr_at + 8 + 13 + 2]  # len+tag+body+2 CRC bytes
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(cut_in_crc)
 
 
 def test_decode_image_dispatches_png(spark):

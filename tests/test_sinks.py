@@ -350,6 +350,50 @@ def test_txn_write_atomic_visibility_and_replay(spark, tmp_path):
     assert txn_read(spark, table2).count() == 30
 
 
+def test_txn_log_is_robust_to_suffix_ids_and_staging_leftovers(spark, tmp_path):
+    """Two commit-log pitfalls a glob-based listing gets wrong:
+
+    1. a txn whose id is a dash-suffix of a committed one ('a' after
+       'txn-a') must still commit — suffix matching would silently
+       skip it (data loss while the caller believes it committed);
+    2. a crash between staging write_text and the publishing rename
+       leaves `.tmp-<id>.json` in the log — it must be invisible to
+       txn_committed/txn_read/seq numbering, and a retry of that txn
+       must still publish (pathlib's glob matches dotfiles, so a
+       naive `*.json` listing would count it as committed)."""
+    import json
+
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_committed,
+        txn_read,
+        txn_write,
+    )
+
+    table = str(tmp_path / "txn_suffix")
+    a = spark.range(0, 10)
+    assert txn_write(a, table, "txn-a") is True
+
+    # (1) 'a' is a dash-suffix of 'txn-a' — must be a NEW transaction.
+    assert txn_write(spark.range(10, 14), table, "a") is True
+    assert txn_committed(table) == ["txn-a", "a"]
+    assert txn_read(spark, table).count() == 14
+
+    # (2) crash after staging, before the atomic rename.
+    log = tmp_path / "txn_suffix" / "_commitlog"
+    stale = log / ".tmp-txn-crashed.json"
+    stale.write_text(json.dumps({"txn_id": "txn-crashed", "seq": 99, "files": []}))
+    assert txn_committed(table) == ["txn-a", "a"]  # staging file invisible
+    assert txn_read(spark, table).count() == 14
+    # The crashed txn retries and still publishes, with the next seq
+    # (not one inflated by the staging leftover).
+    assert txn_write(spark.range(14, 16), table, "txn-crashed") is True
+    assert txn_committed(table) == ["txn-a", "a", "txn-crashed"]
+    entries = sorted(p.name for p in log.iterdir() if not p.name.startswith("."))
+    assert entries[-1].startswith("0000000002-")
+    # Time travel ordering unaffected by the stale staging file.
+    assert txn_read(spark, table, as_of=1).count() == 14
+
+
 def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     """Z-order pruning quality, measured from parquet footers: with
     files covering compact (a, b) rectangles, a point predicate on
@@ -409,3 +453,17 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     assert files_containing(spath, "b", 500) >= n_files - 2
     # and the data survives the round trip
     assert spark.read.parquet(str(zpath)).count() == n
+
+
+def test_zorder_write_handles_empty_input(spark, tmp_path):
+    """An empty (or all-null-key) frame must still materialize an
+    empty table — plain parquet does, so the clustered layout cannot
+    crash on the min/max probe returning NULLs."""
+    from flink_realtime_edu_spark.sources.sinks import write_zordered
+
+    empty = spark.range(0).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    path = str(tmp_path / "z_empty")
+    write_zordered(empty, path, "a", "b", n_files=4)
+    assert spark.read.parquet(path).count() == 0
