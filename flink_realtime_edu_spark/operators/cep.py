@@ -89,6 +89,92 @@ def cep_first_match(
     )
 
 
+def cep_timed_out(
+    events: DataFrame,
+    steps: list[str],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Timeout SIDE OUTPUT of the relaxed pattern — Flink CEP's
+    timed-out partial matches (`PatternTimeoutFunction` /
+    `TimedOutPartialMatchHandler`): keys that STARTED the pattern but
+    had not completed it when the ``within`` horizon closed, with the
+    prefix they did match.
+
+    Semantics (first-attempt per key, the same restriction
+    :func:`cep_first_match` declares): the greedy earliest chain
+    t1 < t2 < … is computed WITHOUT a horizon via k−1 left-join
+    min-after rounds, then cut at ``horizon = t1 + within``. Because
+    every t_i is the earliest possible continuation, the prefix of
+    the chain with t_i <= horizon is exactly what an NFA whose window
+    closed at the horizon had matched — a completed-but-late chain is
+    a timeout too (matched < k at the horizon), as in Flink. Keys
+    that never match step 1 start no pattern and emit nothing.
+
+    Emits (key, start_ts, horizon_ts, matched_steps, last_matched_ts,
+    awaiting) for each timed-out key. Plan: the same k−1 keyed
+    join/agg rounds as the match side (left joins here), so match +
+    timeout together cost two chain passes — no per-key Python.
+    Complement: rows where matched == k are precisely
+    :func:`cep_first_match`'s output keys."""
+    if len(steps) < 2:
+        raise ValueError("a CEP pattern needs at least 2 steps")
+    k = len(steps)
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        ev_s = events.filter(F.col(type_col) == s).select(
+            F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")
+        )
+        # Left join keeps stalled chains (t_{i-1} null ⇒ condition
+        # null ⇒ unmatched ⇒ t_i null) flowing to the final cut.
+        cur = (
+            cur.join(
+                ev_s,
+                (cur[key_col] == ev_s["__k"])
+                & (F.col("__ts") > F.col(f"t{i - 1}")),
+                "left",
+            )
+            .groupBy(*[F.col(c) for c in cur.columns])
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+    horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
+    # t_i are strictly increasing where defined, so this sum counts
+    # the prefix matched when the horizon closed.
+    matched = F.lit(1)
+    for i in range(2, k + 1):
+        matched = matched + F.coalesce(
+            (F.col(f"t{i}") <= horizon).cast("int"), F.lit(0)
+        )
+    last_ts = F.col("t1")
+    awaiting = F.lit(steps[1])
+    for i in range(2, k + 1):
+        last_ts = F.when(F.col("__matched") >= i, F.col(f"t{i}")).otherwise(
+            last_ts
+        )
+        if i < k:
+            awaiting = F.when(
+                F.col("__matched") == i, F.lit(steps[i])
+            ).otherwise(awaiting)
+    return (
+        cur.withColumn("__matched", matched)
+        .filter(F.col("__matched") < k)
+        .select(
+            key_col,
+            F.col("t1").alias("start_ts"),
+            horizon.alias("horizon_ts"),
+            F.col("__matched").alias("matched_steps"),
+            last_ts.alias("last_matched_ts"),
+            awaiting.alias("awaiting"),
+        )
+    )
+
+
 def cep_strict_matches(
     events: DataFrame,
     steps: list[str],

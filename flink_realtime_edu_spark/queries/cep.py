@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_realtime_edu_spark.operators.cep import (
     cep_first_match,
     cep_strict_matches,
+    cep_timed_out,
 )
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
@@ -22,6 +23,7 @@ from flink_realtime_edu_spark.sources import load
 _FUNNEL_STEPS = ["view", "click", "purchase", "purchase"]
 _FUNNEL_WITHIN = "96 hours"
 _STRICT_STEPS = ["error", "error", "error"]
+_TIMEOUT_WITHIN = "2 hours"  # short horizon so plenty of chains stall
 
 
 def _relaxed_oracle(steps: list[str], within_sql: str) -> str:
@@ -67,6 +69,68 @@ SELECT user_id, ts AS start_ts, lk AS end_ts FROM (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ) WHERE {conds}
 """
+
+
+def _timeout_oracle(steps: list[str], within_sql: str) -> str:
+    """Left-join chained CTEs replaying cep_timed_out: the greedy
+    chain with stalls kept as NULLs, cut at the per-key horizon."""
+    k = len(steps)
+    parts = [
+        f"""WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        prev_cols = ", ".join(f"p.t{j}" for j in range(1, i))
+        parts.append(
+            f""", s{i} AS (
+  SELECT p.user_id, {prev_cols}, MIN(e.ts) AS t{i}
+  FROM s{i - 1} p LEFT JOIN events e
+    ON e.user_id = p.user_id AND e.ts > p.t{i - 1}
+   AND e.event_type = '{s}'
+  GROUP BY p.user_id, {prev_cols}
+)"""
+        )
+    horizon = f"t1 + INTERVAL {within_sql}"
+    matched = " + ".join(
+        ["1"]
+        + [
+            f"COALESCE(CAST(t{i} <= {horizon} AS INT), 0)"
+            for i in range(2, k + 1)
+        ]
+    )
+    last_ts = "CASE " + " ".join(
+        f"WHEN matched >= {i} THEN t{i}" for i in range(k, 1, -1)
+    ) + " ELSE t1 END"
+    awaiting = "CASE matched " + " ".join(
+        f"WHEN {i} THEN '{steps[i]}'" for i in range(1, k)
+    ) + " END"
+    return "".join(parts) + f"""
+SELECT user_id, t1 AS start_ts, {horizon} AS horizon_ts,
+       matched AS matched_steps, {last_ts} AS last_matched_ts,
+       {awaiting} AS awaiting
+FROM (SELECT *, {matched} AS matched FROM s{k})
+WHERE matched < {k}
+"""
+
+
+@register(
+    "cep_funnel_timeouts",
+    survey_rows=("T7", "T4", "J2", "A9"),
+    oracle=_timeout_oracle(_FUNNEL_STEPS, "2 HOUR"),
+)
+def cep_funnel_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CEP's timeout SIDE OUTPUT (PatternTimeoutFunction): users
+    whose earliest view → click → purchase → purchase attempt had NOT
+    completed when its 2 h horizon closed, with the matched prefix
+    (matched_steps, last_matched_ts) and the step still awaited — the
+    'started checkout but stalled' alarm the family feeds to ops
+    dashboards. Same k−1 keyed join/agg chain as the match side, left
+    joins keeping stalls; oracle replays it as generated left-join
+    CTEs with the identical horizon cut."""
+    ev = load(spark, sf_dir, "events")
+    return cep_timed_out(ev, _FUNNEL_STEPS, _TIMEOUT_WITHIN)
 
 
 @register(

@@ -36,6 +36,26 @@ CEP_OUTPUT_SCHEMA = (
     "user_id BIGINT, start_us BIGINT, end_us BIGINT, duration_s DOUBLE"
 )
 CEP_STATE_SCHEMA = "step_idx INT, t1_us LONG, tprev_us LONG, done BOOLEAN"
+CEP_TO_OUTPUT_SCHEMA = (
+    "user_id BIGINT, start_us BIGINT, last_us BIGINT, "
+    "matched_steps INT, timed_out BOOLEAN"
+)
+
+
+def _parse_within_us(within: str) -> int:
+    """'<n> hours' / '<n> minutes' style horizon → microseconds."""
+    qty, unit = within.split()
+    mult = {
+        "second": 1,
+        "seconds": 1,
+        "minute": 60,
+        "minutes": 60,
+        "hour": 3600,
+        "hours": 3600,
+        "day": 86400,
+        "days": 86400,
+    }[unit.lower()]
+    return int(qty) * mult * 1_000_000
 
 
 def _make_cep_fn(steps: list[str], within_us: int):
@@ -102,18 +122,7 @@ def cep_first_match_stream(
     (user_id, start_ts, end_ts, duration_s). ``tiebreak_col`` orders
     same-timestamp rows within a batch deterministically (same role as
     event_id in the batch operator's oracle)."""
-    qty, unit = within.split()
-    mult = {
-        "second": 1,
-        "seconds": 1,
-        "minute": 60,
-        "minutes": 60,
-        "hour": 3600,
-        "hours": 3600,
-        "day": 86400,
-        "days": 86400,
-    }[unit.lower()]
-    within_us = int(qty) * mult * 1_000_000
+    within_us = _parse_within_us(within)
     prepared = events.select(
         F.col(key_col).alias("user_id"),
         F.unix_micros(ts_col).alias("ts_us"),
@@ -132,4 +141,126 @@ def cep_first_match_stream(
         F.timestamp_micros("start_us").alias("start_ts"),
         F.timestamp_micros("end_us").alias("end_ts"),
         "duration_s",
+    )
+
+
+def _make_cep_to_fn(steps: list[str], within_us: int):
+    """State fn for the timeout-emitting variant. Matching differs
+    from the plain automaton in ONE rule: a candidate beyond the
+    chain's horizon (ts > t1 + within) can no longer extend it — the
+    batch operator's prefix-cut — so stalled chains sit in state
+    until the WATERMARK passes the horizon and the timer fires the
+    timed-out partial (Flink's PatternTimeoutFunction emission
+    discipline). Completions emit inline as before; every invocation
+    of a live started chain re-arms the event-time timer (Spark
+    clears it on each invocation)."""
+    k = len(steps)
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            step_idx, t1_us, tprev_us, done = state.get
+        else:
+            step_idx, t1_us, tprev_us, done = 0, None, None, False
+        out = []
+        if state.hasTimedOut:
+            # watermark passed t1 + within with the chain incomplete
+            out.append((key[0], t1_us, tprev_us, step_idx, True))
+            state.update((step_idx, t1_us, tprev_us, True))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id", "start_us", "last_us",
+                        "matched_steps", "timed_out",
+                    ],
+                )
+            return
+        if not done:
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(["ts_us", "__tb"])
+                for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+                    if etype != steps[step_idx]:
+                        continue
+                    if step_idx > 0 and (
+                        ts_us <= tprev_us or ts_us - t1_us > within_us
+                    ):
+                        continue  # beyond-horizon events cannot extend
+                    if step_idx == 0:
+                        t1_us = int(ts_us)
+                    tprev_us = int(ts_us)
+                    step_idx += 1
+                    if step_idx == k:
+                        done = True
+                        out.append((key[0], t1_us, tprev_us, k, False))
+                        break
+                if done:
+                    break
+        else:
+            for _ in pdf_iter:
+                pass
+        if step_idx > 0 or done:
+            horizon_ms = (t1_us + within_us) // 1000
+            if not done and horizon_ms <= state.getCurrentWatermarkMs():
+                # The watermark already passed this chain's horizon
+                # (its key kept receiving events, so the timer never
+                # got to fire): the partial is final — emit it inline;
+                # re-arming below the watermark would throw.
+                out.append((key[0], t1_us, tprev_us, step_idx, True))
+                done = True
+            state.update((step_idx, t1_us, tprev_us, done))
+            if not done:
+                # re-arm: cleared on every invocation by Spark
+                state.setTimeoutTimestamp(horizon_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "start_us", "last_us",
+                    "matched_steps", "timed_out",
+                ],
+            )
+
+    return fn
+
+
+def cep_with_timeouts_stream(
+    events: DataFrame,
+    steps: list[str],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming CEP with Flink's timeout SIDE OUTPUT: one stream
+    carrying both completions (timed_out = false, matched_steps = k)
+    and timed-out partials (timed_out = true, matched_steps < k,
+    last_ts = last matched event) — the partials emit when the
+    EVENT-TIME WATERMARK passes each chain's t1 + within, exactly the
+    horizon cut of the batch operators (operators/cep.py
+    cep_first_match / cep_timed_out), which the stream-equals-batch
+    test pins. Requires in-order arrival per key like the plain
+    automaton; ``watermark_delay`` maps to withWatermark."""
+    within_us = _parse_within_us(within)
+    prepared = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(key_col).alias("user_id"),
+        F.col(ts_col),
+        F.unix_micros(ts_col).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    out = prepared.groupBy("user_id").applyInPandasWithState(
+        _make_cep_to_fn(steps, within_us),
+        outputStructType=CEP_TO_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("start_ts"),
+        F.timestamp_micros("last_us").alias("last_ts"),
+        "matched_steps",
+        "timed_out",
     )

@@ -806,3 +806,78 @@ def test_cep_first_match_and_strict_semantics(spark):
         (4, "2024-01-01T00:00:00"),
         (4, "2024-01-01T00:01:00"),
     ]
+
+
+def test_cep_timed_out_partial_matches(spark):
+    """Timeout side output semantics on a hand-built sequence: the
+    matched prefix is cut at the horizon, completed-but-late chains
+    time out too, keys that never start emit nothing, and the
+    timeout set is the exact complement of the match set over the
+    keys that matched step 1."""
+    from flink_realtime_edu_spark.operators.cep import (
+        cep_first_match,
+        cep_timed_out,
+    )
+
+    rows = [
+        # user 1: full chain inside 2h → NOT a timeout
+        (0, "2024-01-01 00:00:00", 1, "view"),
+        (1, "2024-01-01 00:30:00", 1, "click"),
+        (2, "2024-01-01 01:00:00", 1, "purchase"),
+        # user 2: click before any view, view then nothing → stalls at 1
+        (3, "2024-01-01 00:00:00", 2, "click"),
+        (4, "2024-01-01 01:00:00", 2, "view"),
+        # user 3: completes but the purchase lands after the horizon
+        (5, "2024-01-01 00:00:00", 3, "view"),
+        (6, "2024-01-01 00:30:00", 3, "click"),
+        (7, "2024-01-01 04:00:00", 3, "purchase"),
+        # user 4: never matches step 1 → no pattern started
+        (8, "2024-01-01 00:00:00", 4, "click"),
+        (9, "2024-01-01 00:10:00", 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    steps = ["view", "click", "purchase"]
+
+    out = {
+        r.user_id: (
+            r.start_ts.isoformat(),
+            r.horizon_ts.isoformat(),
+            r.matched_steps,
+            r.last_matched_ts.isoformat(),
+            r.awaiting,
+        )
+        for r in cep_timed_out(ev, steps, "2 hours").collect()
+    }
+    assert 1 not in out  # completed in time
+    assert 4 not in out  # never started
+    assert out[2] == (
+        "2024-01-01T01:00:00",
+        "2024-01-01T03:00:00",
+        1,
+        "2024-01-01T01:00:00",
+        "click",
+    )
+    # user 3 matched view+click inside the horizon; the late purchase
+    # is beyond it → partial of 2, awaiting 'purchase'
+    assert out[3] == (
+        "2024-01-01T00:00:00",
+        "2024-01-01T02:00:00",
+        2,
+        "2024-01-01T00:30:00",
+        "purchase",
+    )
+
+    # complement property: timeouts ∪ matches = keys with a step-1
+    # event, and the two sets are disjoint
+    started = {
+        r.user_id
+        for r in ev.filter(F.col("event_type") == steps[0])
+        .select("user_id").distinct().collect()
+    }
+    matched = {
+        r.user_id for r in cep_first_match(ev, steps, "2 hours").collect()
+    }
+    assert set(out) | matched == started
+    assert set(out) & matched == set()

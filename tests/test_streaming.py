@@ -1379,3 +1379,76 @@ def test_cep_stream_equals_batch_on_ordered_replay(spark, sf_dir, tmp_path):
     got = _rows(spark.sql("SELECT * FROM cep_stream"))
     want = _rows(cep_first_match(ev, steps, within))
     assert got == want and len(want) > 0
+
+
+def test_cep_timeout_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The timeout-emitting streaming CEP must reproduce BOTH batch
+    sides exactly on an ordered replay: completions ≡ cep_first_match
+    and watermark-fired partials ≡ cep_timed_out (same horizon cut).
+    A far-future sentinel event in the final micro-batch drives the
+    watermark beyond every chain's horizon so all pending timers
+    fire before the stream drains."""
+    import datetime
+
+    from flink_realtime_edu_spark.operators.cep import (
+        cep_first_match,
+        cep_timed_out,
+    )
+    from flink_realtime_edu_spark.streaming.cep import cep_with_timeouts_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    steps, within = ["view", "click", "purchase"], "24 hours"
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    src = tmp_path / "cep_to_src"
+    src.mkdir()
+    chunks = [
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        for lo, hi in [(0, n // 2), (n // 2, n)]
+    ]
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + datetime.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        ev.schema,
+    )
+    for i, chunk in enumerate(chunks + [sentinel]):
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = cep_with_timeouts_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        steps,
+        within,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cep_to_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_to"))
+        .start()
+    )
+    run_to_completion(q)
+    got = spark.sql("SELECT * FROM cep_to_stream").collect()
+    assert all(r.user_id != -1 for r in got)  # sentinel never matches
+
+    got_completed = sorted(
+        (r.user_id, r.start_ts, r.last_ts) for r in got if not r.timed_out
+    )
+    want_completed = sorted(
+        (r.user_id, r.start_ts, r.end_ts)
+        for r in cep_first_match(ev, steps, within).collect()
+    )
+    assert got_completed == want_completed and len(want_completed) > 0
+
+    got_timeouts = sorted(
+        (r.user_id, r.start_ts, r.matched_steps, r.last_ts)
+        for r in got
+        if r.timed_out
+    )
+    want_timeouts = sorted(
+        (r.user_id, r.start_ts, r.matched_steps, r.last_matched_ts)
+        for r in cep_timed_out(ev, steps, within).collect()
+    )
+    assert got_timeouts == want_timeouts and len(want_timeouts) > 0
