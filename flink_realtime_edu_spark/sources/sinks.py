@@ -172,27 +172,53 @@ _TXN_LOG = "_commitlog"
 # staging manifest would count as committed after a crash between
 # write_text and the publishing rename.
 _TXN_ENTRY_RE = re.compile(r"^(\d{10})-(.+)\.json$")
+# Checkpoints (`<seq>.checkpoint.json`) deliberately fail the entry
+# regex so the two listings never cross-match.
+_TXN_CKPT_RE = re.compile(r"^(\d{10})\.checkpoint\.json$")
 
 
 def _txn_entries(log) -> list:
-    """(filename, txn_id, Path) for published commit entries only, in
-    commit (= filename) order; staging/foreign files are ignored."""
+    """(seq, txn_id, Path) for published commit entries only, in
+    commit (= seq) order; staging/checkpoint/foreign files are
+    ignored."""
     if not log.is_dir():
         return []
     out = []
     for p in sorted(log.iterdir()):
         m = _TXN_ENTRY_RE.match(p.name)
         if m:
-            out.append((p.name, m.group(2), p))
+            out.append((int(m.group(1)), m.group(2), p))
+    return out
+
+
+def _txn_checkpoints(log) -> list:
+    """(seq, manifest dict) for published checkpoints, seq ascending."""
+    import json
+
+    if not log.is_dir():
+        return []
+    out = []
+    for p in sorted(log.iterdir()):
+        m = _TXN_CKPT_RE.match(p.name)
+        if m:
+            out.append((int(m.group(1)), json.loads(p.read_text())))
     return out
 
 
 def txn_committed(table_dir: str) -> list[str]:
-    """Transaction ids with a published commit entry, in commit order
-    (log filenames are `<seq>-<txn_id>.json`, seq zero-padded)."""
+    """ALL transaction ids in commit order — ids compacted into the
+    latest checkpoint (whose original entries may have been vacuumed)
+    followed by ids of surviving log entries after it."""
     from pathlib import Path
 
-    return [t for _, t, _ in _txn_entries(Path(table_dir) / _TXN_LOG)]
+    log = Path(table_dir) / _TXN_LOG
+    cps = _txn_checkpoints(log)
+    if cps:
+        cp_seq, cp = cps[-1]
+        return list(cp["txn_ids"]) + [
+            t for s, t, _ in _txn_entries(log) if s > cp_seq
+        ]
+    return [t for _, t, _ in _txn_entries(log)]
 
 
 def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool:
@@ -223,7 +249,10 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     table = Path(table_dir)
     log = table / _TXN_LOG
     log.mkdir(parents=True, exist_ok=True)
-    if txn_id in {t for _, t, _ in _txn_entries(log)}:
+    # Replay check spans live entries AND ids absorbed into the
+    # latest checkpoint — a txn vacuumed after compaction must still
+    # be recognized, or an at-least-once retry would duplicate it.
+    if txn_id in set(txn_committed(table_dir)):
         return False  # already committed — replay is a no-op
     data_dir = table / _TXN_DATA / f"txn={txn_id}"
     # Overwrite handles a prior crashed attempt's partial files.
@@ -236,7 +265,11 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     files = sorted(
         str(p.relative_to(data_dir)) for p in data_dir.rglob("*.parquet")
     )
-    seq = len(_txn_entries(log))
+    # max-seq + 1, not a count: vacuum may have removed low entries.
+    used = [s for s, _, _ in _txn_entries(log)] + [
+        s for s, _ in _txn_checkpoints(log)
+    ]
+    seq = max(used) + 1 if used else 0
     entry = {"txn_id": txn_id, "seq": seq, "files": files}
     # Staging name deliberately fails _TXN_ENTRY_RE: a crash here
     # leaves an inert file that is never listed, counted, or read.
@@ -257,20 +290,141 @@ def txn_read(spark, table_dir: str, as_of: int | None = None) -> DataFrame:
     should handle the None.
 
     ``as_of`` gives TIME TRAVEL (the Delta/Iceberg VERSION AS OF
-    idea): read the table as of commit seq ``as_of`` inclusive —
-    i.e. the first ``as_of + 1`` commits. The commit log is
-    append-only, so any historical snapshot remains reproducible
-    until a compaction rewrites it."""
+    idea): read the table as of commit seq ``as_of`` inclusive.
+
+    A published CHECKPOINT (see :func:`txn_compact`) substitutes one
+    compacted dir for every commit it covers, so the scan lists
+    O(commits since last checkpoint) dirs instead of O(all commits) —
+    the small-files discipline a long-lived table needs. Snapshots at
+    or after a checkpoint stay reproducible forever; snapshots BEFORE
+    one survive until :func:`txn_vacuum` reclaims the superseded
+    commits (then they raise, like Delta time travel past VACUUM)."""
     from pathlib import Path
 
     table = Path(table_dir)
-    committed = txn_committed(table_dir)
-    if as_of is not None:
-        committed = committed[: as_of + 1]
-    dirs = [str(table / _TXN_DATA / f"txn={t}") for t in committed]
+    log = table / _TXN_LOG
+    entries = _txn_entries(log)
+    cps = _txn_checkpoints(log)
+    if not entries and not cps:
+        return None
+    head = max(
+        [s for s, _, _ in entries] + [s for s, _ in cps]
+    )
+    target = head if as_of is None else as_of
+    usable = [(s, cp) for s, cp in cps if s <= target]
+    dirs: list[str] = []
+    lo = -1  # highest seq already covered
+    if usable:
+        cp_seq, cp = usable[-1]
+        dirs.append(str(table / cp["data_dir"]))
+        lo = cp_seq
+    selected = [(s, t) for s, t, _ in entries if lo < s <= target]
+    if not usable:
+        # no checkpoint at or below target: the raw entries must
+        # reach back to seq 0, else vacuum reclaimed this snapshot
+        if not selected or min(s for s, _ in selected) > 0:
+            raise ValueError(
+                f"snapshot as_of={target} is no longer reproducible: "
+                "its commits were compacted and vacuumed"
+            )
+    dirs += [str(table / _TXN_DATA / f"txn={t}") for _, t in selected]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def txn_commit_dirs_scanned(table_dir: str) -> int:
+    """How many data dirs a HEAD snapshot read lists — the
+    small-files health metric compaction exists to bound: 1 (latest
+    checkpoint) + commits since it, or all commits if never
+    compacted."""
+    from pathlib import Path
+
+    log = Path(table_dir) / _TXN_LOG
+    entries = _txn_entries(log)
+    cps = _txn_checkpoints(log)
+    if not cps:
+        return len(entries)
+    cp_seq = cps[-1][0]
+    return 1 + sum(1 for s, _, _ in entries if s > cp_seq)
+
+
+def txn_compact(
+    spark, table_dir: str, n_files: int | None = None
+) -> bool:
+    """Publish a CHECKPOINT: rewrite every commit up to the current
+    head into one compacted dir and one manifest — the Delta
+    checkpoint idea applied to both the log and the data. After N
+    small commits a snapshot read lists N dirs of small files; the
+    checkpoint collapses them to one dir (``n_files`` files via
+    coalesce — no shuffle), after which reads list 1 + (commits
+    since) dirs. Old commits stay readable for time travel until
+    :func:`txn_vacuum`.
+
+    Crash-safe like txn_write: the compacted data lands in a dir no
+    reader lists (only a published manifest makes it visible), and
+    the manifest publishes with one atomic rename. Idempotent: a
+    checkpoint at the current head already existing is a no-op
+    (returns False). Single-committer contract as the rest of the
+    protocol."""
+    import json
+    import os
+    from pathlib import Path
+
+    table = Path(table_dir)
+    log = table / _TXN_LOG
+    entries = _txn_entries(log)
+    cps = _txn_checkpoints(log)
+    if not entries:
+        return False  # nothing new to compact
+    head = max(s for s, _, _ in entries)
+    if cps and cps[-1][0] >= head:
+        return False  # already checkpointed at head
+    snap = txn_read(spark, table_dir)  # current head snapshot
+    cp_dir = table / _TXN_DATA / f"__checkpoint-{head:010d}"
+    out = snap.coalesce(n_files) if n_files else snap
+    out.write.mode("overwrite").parquet(str(cp_dir))
+    entry = {
+        "seq": head,
+        "data_dir": f"{_TXN_DATA}/__checkpoint-{head:010d}",
+        "txn_ids": txn_committed(str(table)),
+        "n_txns": len(txn_committed(str(table))),
+    }
+    tmp = log / f".tmp-checkpoint-{head:010d}.json"
+    tmp.write_text(json.dumps(entry))
+    os.replace(tmp, log / f"{head:010d}.checkpoint.json")
+    return True
+
+
+def txn_vacuum(table_dir: str) -> int:
+    """Reclaim commits superseded by the latest checkpoint: their log
+    entries and data dirs are deleted (entries FIRST, so a crash
+    between the two leaves only invisible orphan dirs, never a live
+    entry pointing at missing data). Time travel to seqs below the
+    checkpoint stops working — callers own the retention decision,
+    exactly as with Delta VACUUM. Replay of a vacuumed txn_id remains
+    a no-op: the checkpoint manifest carries the absorbed ids and
+    txn_write consults them. Returns the number of commits
+    reclaimed."""
+    import shutil
+    from pathlib import Path
+
+    table = Path(table_dir)
+    log = table / _TXN_LOG
+    cps = _txn_checkpoints(log)
+    if not cps:
+        return 0
+    cp_seq, cp = cps[-1]
+    doomed = [(s, t, p) for s, t, p in _txn_entries(log) if s <= cp_seq]
+    for _, _, p in doomed:
+        p.unlink()
+    for _, t, _ in doomed:
+        shutil.rmtree(table / _TXN_DATA / f"txn={t}", ignore_errors=True)
+    # superseded older checkpoints: manifest first, then data
+    for s, old in cps[:-1]:
+        (log / f"{s:010d}.checkpoint.json").unlink(missing_ok=True)
+        shutil.rmtree(table / old["data_dir"], ignore_errors=True)
+    return len(doomed)
 
 
 def write_zordered(

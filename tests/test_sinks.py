@@ -467,3 +467,56 @@ def test_zorder_write_handles_empty_input(spark, tmp_path):
     path = str(tmp_path / "z_empty")
     write_zordered(empty, path, "a", "b", n_files=4)
     assert spark.read.parquet(path).count() == 0
+
+
+def test_txn_checkpoint_compaction_and_vacuum(spark, tmp_path):
+    """Delta-style checkpoint lifecycle on the commit log: compaction
+    collapses every commit at head into one dir without changing what
+    readers see; later commits stack on top; vacuum reclaims the
+    superseded commits while (a) replaying a vacuumed txn_id is still
+    a no-op (the checkpoint manifest carries absorbed ids) and
+    (b) time travel below the checkpoint fails loudly instead of
+    returning a partial table."""
+    import pytest as _pytest
+
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_commit_dirs_scanned,
+        txn_committed,
+        txn_compact,
+        txn_read,
+        txn_vacuum,
+        txn_write,
+    )
+
+    table = str(tmp_path / "txn_cp")
+    for i in range(4):
+        assert txn_write(spark.range(i * 10, (i + 1) * 10), table, f"t{i}")
+
+    before = sorted(r.id for r in txn_read(spark, table).collect())
+    assert txn_compact(spark, table, n_files=1) is True
+    assert txn_compact(spark, table, n_files=1) is False  # idempotent at head
+    # same table state, via 1 compacted dir instead of 4 commit dirs
+    assert sorted(r.id for r in txn_read(spark, table).collect()) == before
+    assert txn_commit_dirs_scanned(table) == 1
+
+    # commits after the checkpoint stack on top (and get fresh seqs)
+    assert txn_write(spark.range(40, 45), table, "t4")
+    assert sorted(r.id for r in txn_read(spark, table).collect()) == list(range(45))
+    assert txn_commit_dirs_scanned(table) == 2
+    # pre-vacuum: all history still time-travels
+    assert txn_read(spark, table, as_of=1).count() == 20
+
+    reclaimed = txn_vacuum(table)
+    assert reclaimed == 4
+    # full ids survive in order; head reads unchanged; replay still no-op
+    assert txn_committed(table) == ["t0", "t1", "t2", "t3", "t4"]
+    assert sorted(r.id for r in txn_read(spark, table).collect()) == list(range(45))
+    assert txn_write(spark.range(99), table, "t2") is False  # vacuumed id
+    # seq numbering keeps advancing past the vacuumed range
+    assert txn_write(spark.range(45, 50), table, "t5") is True
+    assert sorted(r.id for r in txn_read(spark, table).collect()) == list(range(50))
+    # time travel: at/after the checkpoint fine, below it raises
+    assert txn_read(spark, table, as_of=3).count() == 40
+    assert txn_read(spark, table, as_of=4).count() == 45
+    with _pytest.raises(ValueError, match="vacuumed"):
+        txn_read(spark, table, as_of=1)
