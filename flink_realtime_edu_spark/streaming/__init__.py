@@ -38,6 +38,10 @@ from flink_realtime_edu_spark.streaming.quality import (
     dq_totals_from_progress,
     with_dq_metrics,
 )
+from flink_realtime_edu_spark.streaming.rules import (
+    evaluate_rules,
+    rules_alerts_stream,
+)
 from flink_realtime_edu_spark.streaming.scd2 import (
     maintain_scd2_dim,
     read_scd2_intervals,
@@ -74,4 +78,6 @@ __all__ = [
     "read_dedup_index",
     "with_dq_metrics",
     "dq_totals_from_progress",
+    "evaluate_rules",
+    "rules_alerts_stream",
 ]

@@ -1452,3 +1452,92 @@ def test_cep_timeout_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in cep_timed_out(ev, steps, within).collect()
     )
     assert got_timeouts == want_timeouts and len(want_timeouts) > 0
+
+
+def test_broadcast_rules_stream_picks_up_live_updates(spark, sf_dir, tmp_path):
+    """Flink broadcast-state parity: the alerting stream evaluates
+    each micro-batch against the rules snapshot CURRENT at that batch
+    — a rule update published between batches changes behavior from
+    the next batch on (one-trigger propagation), checkpoint-restart
+    included; alerts land exactly-once through the commit-log sink."""
+    from flink_realtime_edu_spark.sources.sinks import txn_committed, txn_read
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+    from flink_realtime_edu_spark.streaming.rules import (
+        evaluate_rules,
+        rules_alerts_stream,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    chunk0 = ev.filter(F.col("event_id") < n // 2)
+    chunk1 = ev.filter(F.col("event_id") >= n // 2)
+
+    rules_store = str(tmp_path / "rules_store")
+    alerts = str(tmp_path / "alerts")
+    src = tmp_path / "rules_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_rules")
+
+    def rules_df(rows):
+        return spark.createDataFrame(
+            rows,
+            "rule_id string, version long, event_type string, "
+            "min_value double, active boolean",
+        )
+
+    def publish(rows, version):
+        upsert_latest_by_key(rules_store, ["rule_id"], "version")(
+            rules_df(rows), version
+        )
+
+    def feed(chunk, name):
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / name)
+
+    # v1: alert on purchases over 120
+    v1 = [("r-purchase", 1, "purchase", 120.0, True)]
+    publish(v1, 0)
+    feed(chunk0, "chunk-0.parquet")
+    q = rules_alerts_stream(
+        load_events_stream(spark, str(src)), rules_store, alerts, ckpt
+    )
+    run_to_completion(q)
+
+    # v2 lands BETWEEN batches: threshold raised + a click rule added
+    v2 = [
+        ("r-purchase", 2, "purchase", 200.0, True),
+        ("r-click", 1, "click", 150.0, True),
+    ]
+    publish(v2, 1)
+    feed(chunk1, "chunk-1.parquet")
+    q = rules_alerts_stream(
+        load_events_stream(spark, str(src)), rules_store, alerts, ckpt
+    )
+    run_to_completion(q)
+
+    got = _rows(txn_read(spark, alerts))
+    want = _rows(
+        evaluate_rules(chunk0, rules_df(v1)).unionByName(
+            evaluate_rules(chunk1, rules_df(v2))
+        )
+    )
+    assert got == want and len(want) > 0
+    # both phases actually alerted, and phase 2 used the NEW rules:
+    per_rule = {
+        r.rule_id: r.n
+        for r in txn_read(spark, alerts)
+        .groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_rule.get("r-click", 0) > 0  # new rule live in phase 2
+    # old threshold (120) would have over-alerted phase 2: every
+    # phase-2 purchase alert respects the v2 threshold
+    assert (
+        txn_read(spark, alerts)
+        .filter((F.col("rule_id") == "r-purchase") & (F.col("value") < 200.0))
+        .join(chunk1.select("event_id"), on="event_id", how="inner")
+        .count()
+        == 0
+    )
+    # exactly-once via the txn sink: one commit per processed batch
+    assert txn_committed(alerts) == ["batch-0", "batch-1"]
