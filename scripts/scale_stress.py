@@ -587,6 +587,7 @@ def main() -> None:
         "late_corrected_windows",
         "cep_funnel_first_match",
         "cep_strict_error_runs",
+        "cep_funnel_timeouts",
         "png_decode_stats",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
