@@ -124,7 +124,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "volume_shipping_pairs",      # J1 A1 F2 (never r1–r4)
     "market_share_by_year",       # J1 A1 F4 (never r1–r4)
     "customer_order_distribution",  # J2 A1 (never r1–r4)
-    "session_window_stats",       # T3
+    "cep_funnel_timeouts",        # T7 T4 J2 A9 (new in r5 — CEP timeout side output)
     "promo_revenue_share",        # J1 F4 A5 (never r1–r4)
     "cohort_retention",           # T6 J2 A3 F2
     "part_supplier_diversity",    # J5 A3 (never r1–r4)
