@@ -415,3 +415,114 @@ def test_pq_encode_batch_is_deterministic_and_in_range(vecs):
     x2 = np.vstack([x, x[:1]])
     c3 = pq_encode_batch(x2, cb)
     assert (c3[0] == c3[-1]).all()
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP timeout fn vs the batch horizon-cut semantics
+# ---------------------------------------------------------------------------
+
+cep_events = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "click", "purchase", "noise"]),
+        st.integers(min_value=0, max_value=1000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(
+    evs=cep_events,
+    cuts=st.sets(st.integers(min_value=1, max_value=29)),
+    data=st.data(),
+)
+@SET
+def test_cep_timeout_state_fn_matches_batch_cut(evs, cuts, data):
+    """Replaying any in-order batch split through the timeout-emitting
+    CEP state fn (including its two emission paths: watermark timer
+    and inline overtaken-horizon) must produce exactly the batch
+    operator's horizon-cut result: one completion if the greedy chain
+    finishes within the horizon, else one timed-out partial with the
+    prefix matched at horizon close — regardless of batching,
+    within-batch arrival order, or watermark pacing."""
+    import pandas as pd
+
+    from flink_realtime_edu_spark.streaming.cep import _make_cep_to_fn
+
+    steps, T, DELAY = ["view", "click", "purchase"], 100, 50
+    # Unit discipline mirrors Spark: event times in MICROseconds, the
+    # watermark and timers in MILLIseconds (the fn divides by 1000).
+    # Abstract time u -> ts_us = 1000*u, wm_ms = u, so horizons land
+    # exactly where the fn computes them.
+    T_us = T * 1000
+    evs = sorted(enumerate(evs), key=lambda e: (e[1][1], e[0]))
+    # (event_type, ts_us, tiebreak) in event-time order across batches
+    seq = [(et, ts * 1000, i) for i, (et, ts) in evs]
+
+    # pure-python mirror of the batch greedy chain + horizon cut
+    step_idx, t1, tprev = 0, None, None
+    for et, ts, _ in seq:
+        if step_idx >= len(steps) or et != steps[step_idx]:
+            continue
+        if step_idx > 0 and (ts <= tprev or ts - t1 > T_us):
+            continue
+        if step_idx == 0:
+            t1 = ts
+        tprev = ts
+        step_idx += 1
+    if t1 is None:
+        want = []
+    elif step_idx == len(steps):
+        want = [(t1, tprev, len(steps), False)]
+    else:
+        want = [(t1, tprev, step_idx, True)]
+
+    idx = sorted(c for c in cuts if c < len(seq))
+    batches, prev = [], 0
+    for c in idx + [len(seq)]:
+        if c > prev:
+            batches.append(seq[prev:c])
+            prev = c
+    fn = _make_cep_to_fn(steps, T_us)
+    state, emitted, max_seen = _FakeGroupState(), [], None
+
+    def drain_timers():
+        while state.timeout is not None and state.wm >= state.timeout:
+            state.hasTimedOut = True
+            state.timeout = None
+            for out in fn((7,), iter([]), state):
+                emitted.extend(
+                    (int(a), int(b), int(m), bool(to))
+                    for a, b, m, to in zip(
+                        out["start_us"], out["last_us"],
+                        out["matched_steps"], out["timed_out"],
+                    )
+                )
+            state.hasTimedOut = False
+
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "event_type": [e[0] for e in batch],
+                "ts_us": pd.Series([e[1] for e in batch], dtype="int64"),
+                "__tb": pd.Series([e[2] for e in batch], dtype="int64"),
+            }
+        )
+        pdf = pdf.sample(frac=1, random_state=data.draw(st.integers(0, 10)))
+        for out in fn((7,), iter([pdf]), state):
+            emitted.extend(
+                (int(a), int(b), int(m), bool(to))
+                for a, b, m, to in zip(
+                    out["start_us"], out["last_us"],
+                    out["matched_steps"], out["timed_out"],
+                )
+            )
+        max_seen = max(
+            [e[1] for e in batch] + ([max_seen] if max_seen is not None else [])
+        )
+        state.wm = max_seen // 1000 - DELAY  # ms, end-of-batch update
+        drain_timers()
+    state.wm = 10**9  # end of stream
+    drain_timers()
+
+    assert emitted == want
