@@ -38,6 +38,11 @@ from flink_realtime_edu_spark.streaming.quality import (
     dq_totals_from_progress,
     with_dq_metrics,
 )
+from flink_realtime_edu_spark.streaming.cep import (
+    cep_first_match_stream,
+    cep_strict_matches_stream,
+    cep_with_timeouts_stream,
+)
 from flink_realtime_edu_spark.streaming.rules import (
     evaluate_rules,
     rules_alerts_stream,
@@ -80,4 +85,7 @@ __all__ = [
     "dq_totals_from_progress",
     "evaluate_rules",
     "rules_alerts_stream",
+    "cep_first_match_stream",
+    "cep_strict_matches_stream",
+    "cep_with_timeouts_stream",
 ]

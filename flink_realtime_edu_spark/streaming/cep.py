@@ -264,3 +264,90 @@ def cep_with_timeouts_stream(
         "matched_steps",
         "timed_out",
     )
+
+
+CEP_STRICT_OUTPUT_SCHEMA = "user_id BIGINT, start_us BIGINT, end_us BIGINT"
+CEP_STRICT_STATE_SCHEMA = "types ARRAY<STRING>, ts_us ARRAY<LONG>"
+
+
+def _make_cep_strict_fn(steps: list[str], within_us: int | None):
+    """State fn for strict-contiguity (next) streaming matches: the
+    state is a ring buffer of the key's last k−1 events (type + ts),
+    so a pattern spanning a micro-batch boundary still fires. Every
+    match position emits, exactly like the batch lead-conjunction
+    (overlapping runs of length n emit n−k+1 matches)."""
+    k = len(steps)
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            types, ts = state.get
+            types, ts = list(types), list(ts)
+        else:
+            types, ts = [], []
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_us", "__tb"])
+            for t_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+                types.append(str(etype))
+                ts.append(int(t_us))
+                if len(types) > k:
+                    del types[0], ts[0]
+                if len(types) == k and types == steps:
+                    if within_us is None or ts[-1] - ts[0] <= within_us:
+                        out.append((key[0], ts[0], ts[-1]))
+        # Carry only the longest suffix that is a PREFIX of steps (the
+        # KMP failure-function insight): any other tail can never be
+        # part of a future consecutive match, so most keys carry no
+        # state at all — the store stays O(keys mid-pattern).
+        carry = 0
+        for j in range(min(len(types), k - 1), 0, -1):
+            if types[-j:] == steps[:j]:
+                carry = j
+                break
+        if carry:
+            state.update((types[-carry:], ts[-carry:]))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "start_us", "end_us"])
+
+    return fn
+
+
+def cep_strict_matches_stream(
+    events: DataFrame,
+    steps: list[str],
+    within: str | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming strict-contiguity CEP (Flink `next`): every position
+    where a key's CONSECUTIVE events spell ``steps`` — the live form
+    of operators/cep.py::cep_strict_matches, which the
+    stream-equals-batch test pins. State per key is the last k−1
+    events (a bounded ring buffer, independent of stream length), so
+    matches crossing micro-batch boundaries fire correctly; in-order
+    arrival per key is the contract, as for the other CEP automata."""
+    if len(steps) < 2:
+        raise ValueError("a CEP pattern needs at least 2 steps")
+    within_us = None if within is None else _parse_within_us(within)
+    prepared = events.select(
+        F.col(key_col).alias("user_id"),
+        F.unix_micros(ts_col).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    out = prepared.groupBy("user_id").applyInPandasWithState(
+        _make_cep_strict_fn(steps, within_us),
+        outputStructType=CEP_STRICT_OUTPUT_SCHEMA,
+        stateStructType=CEP_STRICT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("start_ts"),
+        F.timestamp_micros("end_us").alias("end_ts"),
+    )

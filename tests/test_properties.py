@@ -526,3 +526,55 @@ def test_cep_timeout_state_fn_matches_batch_cut(evs, cuts, data):
     drain_timers()
 
     assert emitted == want
+
+
+@given(
+    evs=st.lists(
+        st.sampled_from(["error", "view"]), min_size=3, max_size=25
+    ),
+    cuts=st.sets(st.integers(min_value=1, max_value=24)),
+)
+@SET
+def test_cep_strict_state_fn_matches_sliding_window(evs, cuts):
+    """Any in-order batch split through the strict-contiguity state fn
+    must emit exactly the sliding-window matches of the whole
+    sequence — runs straddling batch boundaries included — and the
+    KMP suffix-prefix trim must never carry state for a key whose
+    recent events cannot continue the pattern."""
+    import pandas as pd
+
+    from flink_realtime_edu_spark.streaming.cep import _make_cep_strict_fn
+
+    steps = ["error", "error", "error"]
+    seq = [(et, (i + 1) * 1000, i) for i, et in enumerate(evs)]
+    want = [
+        (seq[i][1], seq[i + 2][1])
+        for i in range(len(seq) - 2)
+        if [seq[i][0], seq[i + 1][0], seq[i + 2][0]] == steps
+    ]
+
+    idx = sorted(c for c in cuts if c < len(seq))
+    batches, prev = [], 0
+    for c in idx + [len(seq)]:
+        if c > prev:
+            batches.append(seq[prev:c])
+            prev = c
+    fn = _make_cep_strict_fn(steps, None)
+    state, emitted = _FakeGroupState(), []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "event_type": [e[0] for e in batch],
+                "ts_us": pd.Series([e[1] for e in batch], dtype="int64"),
+                "__tb": pd.Series([e[2] for e in batch], dtype="int64"),
+            }
+        )
+        for out in fn((7,), iter([pdf]), state):
+            emitted.extend(
+                (int(a), int(b)) for a, b in zip(out["start_us"], out["end_us"])
+            )
+        # hygiene: carried state must be a usable pattern prefix
+        if state.exists:
+            types, _ = state.get
+            assert list(types) and all(t == "error" for t in types)
+    assert emitted == want

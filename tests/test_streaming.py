@@ -1541,3 +1541,46 @@ def test_broadcast_rules_stream_picks_up_live_updates(spark, sf_dir, tmp_path):
     )
     # exactly-once via the txn sink: one commit per processed batch
     assert txn_committed(alerts) == ["batch-0", "batch-1"]
+
+
+def test_cep_strict_stream_equals_batch_across_batch_boundaries(
+    spark, sf_dir, tmp_path
+):
+    """Strict-contiguity streaming CEP must reproduce the batch
+    lead-conjunction exactly — including matches whose k consecutive
+    events SPAN a micro-batch boundary, which the per-key ring-buffer
+    state must carry (its KMP suffix-prefix trim included)."""
+    from flink_realtime_edu_spark.operators.cep import cep_strict_matches
+    from flink_realtime_edu_spark.streaming.cep import cep_strict_matches_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    steps = ["error", "error", "error"]
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    src = tmp_path / "cep_strict_src"
+    src.mkdir()
+    # four chunks → three interior boundaries for runs to straddle
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    stream = cep_strict_matches_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1), steps
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cep_strict_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_strict"))
+        .start()
+    )
+    run_to_completion(q)
+    got = _rows(spark.sql("SELECT * FROM cep_strict_stream"))
+    want = _rows(
+        cep_strict_matches(ev, steps, order_cols=["event_id"])
+    )
+    assert got == want and len(want) > 0
