@@ -22,8 +22,9 @@ pure-stdlib codec in :mod:`.png` (``decode_image`` dispatches on mime);
 other formats (JPEG/ffmpeg/...) have no codec in this container and
 raise NotImplementedError. `extract_features` uses a deterministic
 byte-histogram stand-in with the REAL batch shape, schema and
-partitioning; the PNG path additionally feeds true pixel stats
-(``queries/media.py`` png_decode_stats) with an analytic oracle.
+partitioning; the PNG and WAV paths additionally feed true
+pixel/sample stats (``queries/media.py`` png_decode_stats /
+wav_decode_stats) with analytic oracles.
 """
 
 from __future__ import annotations
@@ -47,6 +48,11 @@ from pyspark.sql.types import (
 )
 
 from flink_realtime_edu_spark.multimodal.png import PNG_SIGNATURE, decode_png
+from flink_realtime_edu_spark.multimodal.wav import (
+    RIFF_MAGIC,
+    WAVE_TAG,
+    decode_wav,
+)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -108,6 +114,20 @@ def decode_image(payload: bytes, mime: str) -> "np.ndarray":
     raise NotImplementedError(
         f"no codec for {mime!r} in this environment (PNG only); "
         "extract_features uses a deterministic byte-level stand-in"
+    )
+
+
+def decode_audio(payload: bytes, mime: str) -> tuple["np.ndarray", int]:
+    """Decode an audio payload to ((n_frames, n_channels) int16,
+    sample_rate). WAV/PCM decodes for real via the pure-stdlib codec
+    in :mod:`flink_realtime_edu_spark.multimodal.wav`; other codecs
+    (mp3/ogg/flac/...) need libraries absent from this container and
+    raise NotImplementedError."""
+    data = bytes(payload)
+    if data[:4] == RIFF_MAGIC and data[8:12] == WAVE_TAG:
+        return decode_wav(data)
+    raise NotImplementedError(
+        f"no codec for {mime!r} in this environment (WAV/PCM only)"
     )
 
 

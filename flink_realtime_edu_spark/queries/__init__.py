@@ -126,7 +126,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "customer_order_distribution",  # J2 A1 (never r1–r4)
     "cep_funnel_timeouts",        # T7 T4 J2 A9 (new in r5 — CEP timeout side output)
     "promo_revenue_share",        # J1 F4 A5 (never r1–r4)
-    "cohort_retention",           # T6 J2 A3 F2
+    "wav_decode_stats",           # X8 X2 A2 F3 (new in r5 — real audio decode)
     "part_supplier_diversity",    # J5 A3 (never r1–r4)
     "late_priority_mix",          # P2 F4 A1 (never r1–r4)
     "price_moments_by_flag",      # A2 F3 (never r1–r4)

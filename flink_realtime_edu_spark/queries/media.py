@@ -237,3 +237,118 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, width int, height int, n_px bigint, "
         "pixel_sum bigint, pixel_mean double",
     )
+
+
+@register(
+    "wav_decode_stats",
+    survey_rows=("X8", "X2", "A2", "F3"),
+    oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         8000 + (doc_id % 3) * 4000 AS sample_rate,
+         CAST(1 + doc_id % 2 AS INT) AS n_channels,
+         500 + (doc_id % 8) * 250 AS n_frames
+  FROM documents WHERE doc_id < 40
+), smp AS (
+  SELECT media_id, sample_rate, n_channels, n_frames,
+         SUM((media_id * 37 + i.i * 13 + c.c * 29) % 4096 - 2048) AS sample_sum,
+         MAX(ABS((media_id * 37 + i.i * 13 + c.c * 29) % 4096 - 2048)) AS peak
+  FROM ids,
+       unnest(generate_series(0, n_frames - 1)) i(i),
+       unnest(generate_series(0, n_channels - 1)) c(c)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       n_channels,
+       CAST(sample_rate AS INT) AS sample_rate,
+       ROUND(n_frames / CAST(sample_rate AS DOUBLE), 6) AS duration_s,
+       CAST(sample_sum AS BIGINT) AS sample_sum,
+       CAST(peak AS INT) AS peak
+FROM smp
+""",
+)
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the X8 pipeline — the WAV sibling of
+    png_decode_stats: 40 synthetic PCM waveforms (sample(i, c) =
+    (id*37 + i*13 + c*29) % 4096 − 2048; rate/channels/length keyed
+    by doc_id) are WAV-ENCODED then decoded back by the pure-stdlib
+    RIFF codec (multimodal/wav.py) inside one Arrow-batched
+    mapInPandas stage, and the DECODED samples aggregate to per-asset
+    stats. The DuckDB oracle computes the same stats analytically
+    from the sample formula — any header, interleave, endianness or
+    framing defect in either direction breaks the value match.
+
+    Scale shape identical to the image path: decode is
+    partition-local, payloads cross the JVM↔Python boundary once,
+    one small output row per asset."""
+    import sys
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark import cloudpickle
+
+    import flink_realtime_edu_spark.multimodal as _mm
+    import flink_realtime_edu_spark.multimodal.png as _png
+    import flink_realtime_edu_spark.multimodal.wav as _wav
+    from flink_realtime_edu_spark.multimodal import decode_audio
+    from flink_realtime_edu_spark.multimodal.wav import encode_wav
+
+    cloudpickle.register_pickle_by_value(_wav)
+    cloudpickle.register_pickle_by_value(_png)
+    cloudpickle.register_pickle_by_value(_mm)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"),
+        (8000 + (F.col("doc_id") % 3) * 4000).cast("int").alias("sr"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("ch"),
+        (500 + (F.col("doc_id") % 8) * 250).cast("int").alias("n"),
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, sr, ch, n in zip(
+                pdf["media_id"], pdf["sr"], pdf["ch"], pdf["n"]
+            ):
+                i, c = np.meshgrid(
+                    np.arange(int(n)), np.arange(int(ch)), indexing="ij"
+                )
+                wave = (
+                    (int(mid) * 37 + i * 13 + c * 29) % 4096 - 2048
+                ).astype(np.int16)
+                decoded, rate = decode_audio(
+                    encode_wav(wave, int(sr)), "audio/wav"
+                )
+                rows.append(
+                    (
+                        int(mid),
+                        int(decoded.shape[0]),
+                        int(decoded.shape[1]),
+                        int(rate),
+                        round(decoded.shape[0] / float(rate), 6),
+                        int(decoded.astype(np.int64).sum()),
+                        int(np.abs(decoded.astype(np.int64)).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "n_channels",
+                    "sample_rate",
+                    "duration_s",
+                    "sample_sum",
+                    "peak",
+                ],
+            )
+
+    return ids.mapInPandas(
+        stats,
+        schema="media_id long, n_frames bigint, n_channels int, "
+        "sample_rate int, duration_s double, sample_sum bigint, peak int",
+    )

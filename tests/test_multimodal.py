@@ -1,6 +1,8 @@
 """X8 multimodal plumbing: binary columns + mapInPandas featurize +
-frame-sample plan. Codecs are stubbed (none in this container); the
-Spark-side schema/batching/partitioning is real and pinned here."""
+frame-sample plan. PNG and WAV decode for REAL via the pure-stdlib
+codecs (multimodal/png.py, multimodal/wav.py); other codecs stay
+honestly stubbed. The Spark-side schema/batching/partitioning is
+pinned here alongside the codec round-trip/rejection contracts."""
 
 from __future__ import annotations
 
@@ -169,3 +171,47 @@ def test_decode_image_dispatches_png(spark):
     assert (decode_image(encode_png(img), "image/png") == img).all()
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg", "image/jpeg")
+
+
+def test_wav_codec_roundtrip_mono_stereo_and_rejects_bad_input():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_realtime_edu_spark.multimodal import decode_audio
+    from flink_realtime_edu_spark.multimodal.wav import decode_wav, encode_wav
+
+    rng = np.arange(-5000, 5000, 7, dtype=np.int16)
+    # mono 1-D input comes back as (n, 1); odd frame counts exercise
+    # the RIFF even-padding path
+    mono = rng[:1001]
+    got, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and got.shape == (1001, 1)
+    assert np.array_equal(got[:, 0], mono)
+    # stereo interleave survives the round trip exactly
+    st = np.stack([rng[:400], rng[100:500]], axis=1)
+    got2, rate2 = decode_wav(encode_wav(st, 8000))
+    assert rate2 == 8000 and np.array_equal(got2, st)
+    # dispatch: RIFF magic routes to the codec, others refuse honestly
+    got3, _ = decode_audio(encode_wav(mono, 22050), "audio/wav")
+    assert np.array_equal(got3[:, 0], mono)
+    with pytest.raises(NotImplementedError, match="mp3"):
+        decode_audio(b"ID3\x04" + b"\x00" * 64, "audio/mp3")
+
+    good = encode_wav(mono, 16000)
+    with pytest.raises(ValueError, match="magic"):
+        decode_wav(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[: len(good) - 3])
+    # float PCM (format 3) is a different codec, not corruption
+    fmt_at = good.index(b"fmt ") + 8
+    floaty = bytearray(good)
+    floaty[fmt_at : fmt_at + 2] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError, match="format 3"):
+        decode_wav(bytes(floaty))
+    # inconsistent block_align must be rejected, not misparsed
+    broken = bytearray(good)
+    broken[fmt_at + 12 : fmt_at + 14] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_wav(bytes(broken))
