@@ -16,6 +16,18 @@ payloads next to typed metadata; this codec exists so the Spark-side
 pipeline (binary column → Arrow batch → decode → per-asset stats) is
 exercised with true sample values, oracle-checkable analytically
 (queries/media.py::wav_decode_stats).
+
+Why not stdlib ``wave``: the stdlib module could read/write this
+subset, but it (a) raises a mixed taxonomy (wave.Error/EOFError/
+struct.error) where the pipeline contract wants exactly
+ValueError-for-corruption vs NotImplementedError-for-other-codecs,
+(b) is stream-oriented (seeks a file object per asset) where this
+decoder is one linear pass over bytes already in an Arrow batch, and
+(c) silently tolerates some structural inconsistencies (e.g. a
+block_align that contradicts channels×width) that a data pipeline
+should reject loudly. The format is 3 fixed-layout chunks; owning the
+~90 lines is cheaper than wrapping and re-mapping the stdlib's
+behavior, and the round-trip/rejection tests pin the edge cases.
 """
 
 from __future__ import annotations

@@ -249,10 +249,17 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     table = Path(table_dir)
     log = table / _TXN_LOG
     log.mkdir(parents=True, exist_ok=True)
+    # One listing pass serves both the replay check and the seq
+    # computation (the log can be long-lived; don't walk it thrice).
+    entries = _txn_entries(log)
+    cps = _txn_checkpoints(log)
     # Replay check spans live entries AND ids absorbed into the
     # latest checkpoint — a txn vacuumed after compaction must still
     # be recognized, or an at-least-once retry would duplicate it.
-    if txn_id in set(txn_committed(table_dir)):
+    seen = {t for _, t, _ in entries}
+    if cps:
+        seen.update(cps[-1][1]["txn_ids"])
+    if txn_id in seen:
         return False  # already committed — replay is a no-op
     data_dir = table / _TXN_DATA / f"txn={txn_id}"
     # Overwrite handles a prior crashed attempt's partial files.
@@ -266,9 +273,7 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
         str(p.relative_to(data_dir)) for p in data_dir.rglob("*.parquet")
     )
     # max-seq + 1, not a count: vacuum may have removed low entries.
-    used = [s for s, _, _ in _txn_entries(log)] + [
-        s for s, _ in _txn_checkpoints(log)
-    ]
+    used = [s for s, _, _ in entries] + [s for s, _ in cps]
     seq = max(used) + 1 if used else 0
     entry = {"txn_id": txn_id, "seq": seq, "files": files}
     # Staging name deliberately fails _TXN_ENTRY_RE: a crash here
@@ -319,14 +324,17 @@ def txn_read(spark, table_dir: str, as_of: int | None = None) -> DataFrame:
         dirs.append(str(table / cp["data_dir"]))
         lo = cp_seq
     selected = [(s, t) for s, t, _ in entries if lo < s <= target]
-    if not usable:
-        # no checkpoint at or below target: the raw entries must
-        # reach back to seq 0, else vacuum reclaimed this snapshot
-        if not selected or min(s for s, _ in selected) > 0:
-            raise ValueError(
-                f"snapshot as_of={target} is no longer reproducible: "
-                "its commits were compacted and vacuumed"
-            )
+    # The snapshot is reproducible iff the covered seqs are exactly
+    # lo+1 .. min(target, head) with no holes — a crash mid-vacuum
+    # (or a foreign deletion) must fail LOUDLY here, never return a
+    # silently partial table. (Commit seqs are contiguous by
+    # construction; vacuum only ever removes a prefix.)
+    want_seqs = set(range(lo + 1, min(target, head) + 1))
+    if {s for s, _ in selected} != want_seqs:
+        raise ValueError(
+            f"snapshot as_of={target} is no longer reproducible: "
+            "its commits were compacted and vacuumed"
+        )
     dirs += [str(table / _TXN_DATA / f"txn={t}") for _, t in selected]
     if not dirs:
         return None
@@ -387,8 +395,8 @@ def txn_compact(
     entry = {
         "seq": head,
         "data_dir": f"{_TXN_DATA}/__checkpoint-{head:010d}",
-        "txn_ids": txn_committed(str(table)),
-        "n_txns": len(txn_committed(str(table))),
+        "txn_ids": (ids := txn_committed(str(table))),
+        "n_txns": len(ids),
     }
     tmp = log / f".tmp-checkpoint-{head:010d}.json"
     tmp.write_text(json.dumps(entry))
@@ -416,13 +424,22 @@ def txn_vacuum(table_dir: str) -> int:
         return 0
     cp_seq, cp = cps[-1]
     doomed = [(s, t, p) for s, t, p in _txn_entries(log) if s <= cp_seq]
+    # Deletion order = crash-safety order: (1) superseded OLDER
+    # checkpoint manifests first — if entries vanished while an old
+    # checkpoint manifest survived, txn_read could resolve a pre-
+    # latest-checkpoint as_of against it and silently miss the
+    # entries between the two checkpoints; with the manifest gone
+    # the contiguity check raises instead. Then (2) log entries,
+    # then (3) data dirs — at every crash point reads are either
+    # correct or fail loudly, and leftover data dirs are invisible
+    # orphans.
+    for s, old in cps[:-1]:
+        (log / f"{s:010d}.checkpoint.json").unlink(missing_ok=True)
     for _, _, p in doomed:
         p.unlink()
     for _, t, _ in doomed:
         shutil.rmtree(table / _TXN_DATA / f"txn={t}", ignore_errors=True)
-    # superseded older checkpoints: manifest first, then data
     for s, old in cps[:-1]:
-        (log / f"{s:010d}.checkpoint.json").unlink(missing_ok=True)
         shutil.rmtree(table / old["data_dir"], ignore_errors=True)
     return len(doomed)
 

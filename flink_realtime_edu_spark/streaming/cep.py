@@ -199,8 +199,14 @@ def _make_cep_to_fn(steps: list[str], within_us: int):
             for _ in pdf_iter:
                 pass
         if step_idx > 0 or done:
-            horizon_ms = (t1_us + within_us) // 1000
-            if not done and horizon_ms <= state.getCurrentWatermarkMs():
+            # Timers are ms-granular while the horizon is µs: the
+            # timer must land STRICTLY beyond the true horizon, else
+            # a floor-truncated value lets the watermark reach it
+            # while a non-late completing event at ts <= horizon can
+            # still arrive (wm_ms >= timer ⇒ wm_us > horizon_us only
+            # with the +1).
+            timer_ms = (t1_us + within_us) // 1000 + 1
+            if not done and timer_ms <= state.getCurrentWatermarkMs():
                 # The watermark already passed this chain's horizon
                 # (its key kept receiving events, so the timer never
                 # got to fire): the partial is final — emit it inline;
@@ -210,7 +216,7 @@ def _make_cep_to_fn(steps: list[str], within_us: int):
             state.update((step_idx, t1_us, tprev_us, done))
             if not done:
                 # re-arm: cleared on every invocation by Spark
-                state.setTimeoutTimestamp(horizon_ms)
+                state.setTimeoutTimestamp(timer_ms)
         if out:
             yield pd.DataFrame(
                 out,

@@ -82,11 +82,17 @@ def rules_alerts_stream(
     from flink_realtime_edu_spark.streaming.sinks import read_upsert_table
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch.sparkSession
-        try:
-            rules = read_upsert_table(spark, rules_store)
-        except Exception:
-            return  # no rules published yet: nothing can match
+        # Only the missing-store condition is tolerated (no rules
+        # published yet → nothing can match). Any OTHER read failure
+        # must propagate so Spark retries the batch — swallowing it
+        # would advance the checkpoint and silently drop every alert
+        # of this batch.
+        if not os.path.isdir(rules_store):
+            return
+        rules = read_upsert_table(spark, rules_store)
         alerts = evaluate_rules(batch, rules)
         txn_write(alerts, alerts_table, f"batch-{batch_id}")
 

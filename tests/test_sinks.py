@@ -520,3 +520,47 @@ def test_txn_checkpoint_compaction_and_vacuum(spark, tmp_path):
     assert txn_read(spark, table, as_of=4).count() == 45
     with _pytest.raises(ValueError, match="vacuumed"):
         txn_read(spark, table, as_of=1)
+
+
+def test_txn_read_refuses_partial_snapshots_after_interrupted_vacuum(
+    spark, tmp_path
+):
+    """Crash-mid-vacuum discipline: with two checkpoints and the
+    commits between them deleted but the OLDER checkpoint manifest
+    still present (the worst interleaving), a time travel into the
+    gap must raise — never silently serve the older checkpoint as if
+    it were the requested snapshot."""
+    import json
+
+    import pytest as _pytest
+
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_compact,
+        txn_read,
+        txn_write,
+    )
+
+    table = str(tmp_path / "txn_gap")
+    for i in range(3):
+        txn_write(spark.range(i * 10, (i + 1) * 10), table, f"t{i}")
+    assert txn_compact(spark, table, n_files=1)  # cp at seq 2
+    for i in range(3, 6):
+        txn_write(spark.range(i * 10, (i + 1) * 10), table, f"t{i}")
+    assert txn_compact(spark, table, n_files=1)  # cp at seq 5
+
+    # simulate the crash: entries <= 5 deleted, older cp manifest kept
+    log = tmp_path / "txn_gap" / "_commitlog"
+    for p in list(log.iterdir()):
+        if p.name.endswith(".json") and not p.name.endswith(".checkpoint.json"):
+            seq = int(p.name.split("-")[0])
+            if seq <= 5:
+                p.unlink()
+    assert any(p.name == "0000000002.checkpoint.json" for p in log.iterdir())
+
+    # head still reads via the latest checkpoint
+    assert txn_read(spark, table).count() == 60
+    # the gap between the checkpoints must fail loudly
+    with _pytest.raises(ValueError, match="vacuumed"):
+        txn_read(spark, table, as_of=4)
+    # at the older checkpoint exactly is still reproducible
+    assert txn_read(spark, table, as_of=2).count() == 30
