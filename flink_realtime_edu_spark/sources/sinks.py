@@ -157,10 +157,11 @@ def write_clustered(
 # item 5). The Flink family gets end-to-end exactly-once from 2PC
 # sinks; the warehouse-native equivalent (Delta/Iceberg's idea,
 # minimal form) is snapshot isolation via a manifest log: data files
-# land invisibly, a single atomic rename publishes them, readers only
-# trust committed manifests. Local-FS/single-committer assumptions as
-# streaming/dedup.py; on object stores the rename becomes the store's
-# atomic put-if-absent.
+# land invisibly, an atomic create-if-absent link publishes them (a
+# seq-CAS that serializes CONCURRENT committers of different
+# transactions, Delta-style), readers only trust committed
+# manifests. Local-POSIX-FS assumptions as streaming/dedup.py; on
+# object stores the link becomes the store's atomic put-if-absent.
 # ---------------------------------------------------------------------------
 
 _TXN_DATA = "data"
@@ -230,11 +231,17 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
        ever lists directly, so a crash mid-write leaves INVISIBLE
        orphans, never partial results;
     2. a manifest ``<seq>-<txn_id>.json`` (the file list) is written
-       to a temp name and PUBLISHED with one atomic rename into
-       ``_commitlog/`` — the only step that changes visibility;
+       to a temp name and PUBLISHED with one atomic create-if-absent
+       link into ``_commitlog/`` — the only step that changes
+       visibility, and the seq-CAS that lets CONCURRENT committers of
+       different transactions serialize optimistically (lose the seq
+       race → re-list, retry at the new head — the Delta protocol;
+       put-if-absent on an object store);
     3. replaying a txn_id whose commit entry already exists skips both
        steps (returns False): at-least-once driver retries yield
-       exactly-once table state.
+       exactly-once table state. Concurrent retries of the SAME
+       txn_id are the one thing left to the caller — retries are
+       sequential by nature.
 
     ``write_fn(df, dir)`` overrides the physical write (e.g. a
     clustered layout via :func:`write_clustered`); default is plain
@@ -272,20 +279,38 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     files = sorted(
         str(p.relative_to(data_dir)) for p in data_dir.rglob("*.parquet")
     )
-    # max-seq + 1, not a count: vacuum may have removed low entries.
-    used = [s for s, _, _ in entries] + [s for s, _ in cps]
-    seq = max(used) + 1 if used else 0
-    entry = {"txn_id": txn_id, "seq": seq, "files": files}
     # Staging name deliberately fails _TXN_ENTRY_RE: a crash here
     # leaves an inert file that is never listed, counted, or read.
     tmp = log / f".tmp-{txn_id}.json"
-    tmp.write_text(json.dumps(entry))
-    # The atomic visibility flip. If another committer raced us to
-    # this seq the zero-padded name still sorts deterministically by
-    # (seq, txn_id); single-committer is the documented contract.
-    final = log / f"{seq:010d}-{txn_id}.json"
-    os.replace(tmp, final)
-    return True
+    # OPTIMISTIC CONCURRENCY on the log (the Delta model): claim the
+    # next seq with an atomic create-if-absent (os.link fails with
+    # EEXIST if another committer won the seq; on an object store
+    # this is the put-if-absent). Losing a race means re-listing and
+    # retrying at the new head — different transactions serialize
+    # without a coordinator. Concurrent retries of the SAME txn_id
+    # remain the caller's contract (retries are sequential by
+    # nature); the re-check inside the loop closes the window where
+    # the other committer published this very txn_id.
+    while True:
+        entries = _txn_entries(log)
+        cps = _txn_checkpoints(log)
+        seen = {t for _, t, _ in entries}
+        if cps:
+            seen.update(cps[-1][1]["txn_ids"])
+        if txn_id in seen:
+            tmp.unlink(missing_ok=True)
+            return False  # another committer published this txn
+        # max-seq + 1, not a count: vacuum may have removed entries.
+        used = [s for s, _, _ in entries] + [s for s, _ in cps]
+        seq = max(used) + 1 if used else 0
+        tmp.write_text(json.dumps({"txn_id": txn_id, "seq": seq, "files": files}))
+        final = log / f"{seq:010d}-{txn_id}.json"
+        try:
+            os.link(tmp, final)  # atomic fail-if-exists publish
+        except FileExistsError:
+            continue  # lost the seq race — re-list and retry
+        tmp.unlink()
+        return True
 
 
 def txn_read(spark, table_dir: str, as_of: int | None = None) -> DataFrame:
@@ -371,10 +396,14 @@ def txn_compact(
 
     Crash-safe like txn_write: the compacted data lands in a dir no
     reader lists (only a published manifest makes it visible), and
-    the manifest publishes with one atomic rename. Idempotent: a
-    checkpoint at the current head already existing is a no-op
-    (returns False). Single-committer contract as the rest of the
-    protocol."""
+    the manifest publishes with one atomic create-if-absent link.
+    Concurrency-safe against live committers: the snapshot, the
+    manifest's id list, and the covered range are all pinned to the
+    head observed at entry (a commit landing mid-compaction simply
+    stays outside the checkpoint), and two racing compactions at the
+    same head resolve via the link (loser sees EEXIST → False).
+    Idempotent: a checkpoint at the current head already existing is
+    a no-op (returns False)."""
     import json
     import os
     from pathlib import Path
@@ -388,19 +417,31 @@ def txn_compact(
     head = max(s for s, _, _ in entries)
     if cps and cps[-1][0] >= head:
         return False  # already checkpointed at head
-    snap = txn_read(spark, table_dir)  # current head snapshot
+    # Everything below is pinned to `head`: a commit published after
+    # this listing is NOT absorbed (its entry stays in the log).
+    snap = txn_read(spark, table_dir, as_of=head)
     cp_dir = table / _TXN_DATA / f"__checkpoint-{head:010d}"
     out = snap.coalesce(n_files) if n_files else snap
     out.write.mode("overwrite").parquet(str(cp_dir))
+    prev_ids, lo = ([], -1)
+    if cps:
+        lo = cps[-1][0]
+        prev_ids = list(cps[-1][1]["txn_ids"])
+    ids = prev_ids + [t for s, t, _ in entries if lo < s <= head]
     entry = {
         "seq": head,
         "data_dir": f"{_TXN_DATA}/__checkpoint-{head:010d}",
-        "txn_ids": (ids := txn_committed(str(table))),
+        "txn_ids": ids,
         "n_txns": len(ids),
     }
     tmp = log / f".tmp-checkpoint-{head:010d}.json"
     tmp.write_text(json.dumps(entry))
-    os.replace(tmp, log / f"{head:010d}.checkpoint.json")
+    try:
+        os.link(tmp, log / f"{head:010d}.checkpoint.json")
+    except FileExistsError:
+        tmp.unlink()
+        return False  # a racing compaction already published head
+    tmp.unlink()
     return True
 
 
