@@ -195,6 +195,37 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
     return media.mapInPandas(transform, MEDIA_SCHEMA)
 
 
+def resample_audio(media: DataFrame, factor: int) -> DataFrame:
+    """Audio decimation stage — and unlike :func:`resize_images` this
+    one is REAL end to end: WAV payloads decode through the stdlib
+    codec, keep every ``factor``-th frame, re-encode at rate/factor,
+    and the metadata (sample_rate, n_frames) tracks the new payload.
+    Non-audio rows and audio payloads in codecs this container can't
+    decode pass through untouched (same pass-through contract as the
+    image stage). Partition-local, one JVM↔Python crossing, output
+    schema = the media struct so stages compose."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    from flink_realtime_edu_spark.multimodal.wav import encode_wav
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            for i in out.index[out["modality"] == "audio"]:
+                data = bytes(out.at[i, "payload"])
+                if data[:4] != RIFF_MAGIC or data[8:12] != WAVE_TAG:
+                    continue  # undecodable codec: pass through
+                samples, rate = decode_wav(data)
+                down = samples[::factor]
+                new_rate = max(1, rate // factor)
+                out.at[i, "payload"] = bytearray(encode_wav(down, new_rate))
+                out.at[i, "sample_rate"] = new_rate
+                out.at[i, "n_frames"] = down.shape[0]
+            yield out
+
+    return media.mapInPandas(transform, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one row per (video, frame index to
     decode) — pure JVM sequence/explode, no Python. The decode itself

@@ -215,3 +215,51 @@ def test_wav_codec_roundtrip_mono_stereo_and_rejects_bad_input():
     broken[fmt_at + 12 : fmt_at + 14] = struct.pack("<H", 5)
     with pytest.raises(ValueError, match="inconsistent"):
         decode_wav(bytes(broken))
+
+
+def test_resample_audio_real_decimation_and_passthrough(spark, media):
+    """The audio resample stage really decodes/decimates/re-encodes
+    WAV payloads (every-4th-frame content check against the source
+    wave), updates metadata to match, passes through non-audio rows
+    and non-WAV audio payloads byte-identically, and composes with
+    the featurizer."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resample_audio,
+    )
+    from flink_realtime_edu_spark.multimodal.wav import decode_wav, encode_wav
+
+    waves = {
+        mid: ((mid * 37 + np.arange(2000) * 13) % 4096 - 2048).astype(np.int16)
+        for mid in range(6)
+    }
+    rows = [
+        (
+            mid, "audio", "audio/wav", None, None, 16000, None,
+            bytearray(encode_wav(w, 16000)),
+        )
+        for mid, w in waves.items()
+    ] + [(99, "image", "image/png", 64, 64, None, None, bytearray(b"notpng" * 10)),
+         (98, "audio", "audio/mp3", None, None, 44100, None, bytearray(b"ID3\x04" + b"x" * 40))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+
+    out = {r.media_id: r for r in resample_audio(df, factor=4).collect()}
+    for mid, w in waves.items():
+        r = out[mid]
+        assert r.sample_rate == 4000 and r.n_frames == len(w[::4])
+        dec, rate = decode_wav(bytes(r.payload))
+        assert rate == 4000 and np.array_equal(dec[:, 0], w[::4])
+    # pass-through: non-audio and undecodable-codec rows untouched
+    assert bytes(out[99].payload) == b"notpng" * 10
+    assert bytes(out[98].payload) == b"ID3\x04" + b"x" * 40
+    assert out[98].sample_rate == 44100
+
+    # stages compose; the synthetic corpus (non-RIFF audio) flows
+    # through the resampler unchanged end-to-end
+    assert extract_features(resample_audio(df, factor=4)).count() == len(rows)
+    a = {r.media_id: bytes(r.payload) for r in resample_audio(media, 4).collect()}
+    b = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert a == b  # demo corpus audio is not RIFF: byte-identical
