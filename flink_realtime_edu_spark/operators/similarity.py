@@ -307,6 +307,91 @@ def ivf_cosine_topk(
             on="nid",
         )
     )
+    return _ivf_probe_search(
+        assigned, centers, queries, k, n_probe, id_col, vec_col
+    )
+
+
+def ivf_append(
+    delta: DataFrame,
+    centers: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL index maintenance: assign NEW vectors to the
+    EXISTING coarse quantizer (argmin L2 against the broadcast
+    centroid matrix — the same metric KMeans.transform uses) without
+    refitting. O(delta) work, one vectorized pandas-UDF pass, no
+    corpus rescan — the FAISS `add` discipline: codebooks/centroids
+    are fit once on a representative sample and appended into, with
+    periodic refits owned by the caller when drift accumulates.
+    Returns rows in the index layout (nid, cluster, cv), union-able
+    with the base index."""
+
+    @pandas_udf("int")
+    def nearest_center(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return delta.select(
+        F.col(id_col).alias("nid"),
+        nearest_center(F.col(vec_col)).alias("cluster"),
+        F.col(vec_col).alias("cv"),
+    )
+
+
+def ivf_incremental_topk(
+    base: DataFrame,
+    delta: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN over base ∪ delta where the quantizer was fit on BASE
+    only and the delta was APPENDED via :func:`ivf_append` — the
+    index-maintenance path a growing corpus needs (rebuilding the
+    index per batch of new vectors is O(corpus); appending is
+    O(delta)). Search semantics identical to :func:`ivf_cosine_topk`;
+    recall degrades only as far as the fixed quantizer misfits the
+    new data, which the registry query's recall floor watches."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = base.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    assigned_base = (
+        model.transform(train)
+        .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cluster"))
+        .join(
+            base.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
+            on="nid",
+        )
+    )
+    assigned = assigned_base.unionByName(ivf_append(delta, centers, id_col, vec_col))
+    return _ivf_probe_search(
+        assigned, centers, queries, k, n_probe, id_col, vec_col
+    )
+
+
+def _ivf_probe_search(
+    assigned: DataFrame,
+    centers: "np.ndarray",
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF search: each query probes its n_probe nearest
+    centroids; exact cosine re-ranks inside the probed lists."""
 
     @pandas_udf("array<int>")
     def probe_clusters(vecs: pd.Series) -> pd.Series:

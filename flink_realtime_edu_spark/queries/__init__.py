@@ -118,7 +118,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "late_ship_priority_counts",  # J1 A1 (never r1–r4; TPC-H family)
     "small_qty_parts_revenue",    # J1 A5 (never r1–r4)
     "big_volume_customers",       # J1 A1 O2 (never r1–r4)
-    "abandoned_clicks_daily",     # T7 J6 J4
+    "ivf_ann_incremental_topk",   # X6 (new in r5 — IVF append path)
     "nation_revenue_share",       # J1 A1 (never r1–r4)
     "wealthy_inactive_customers",  # J6 P2 (never r1–r4)
     "volume_shipping_pairs",      # J1 A1 F2 (never r1–r4)

@@ -98,6 +98,33 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_summary(ann, exact, queries, k=_K, min_mean_recall=0.35)
 
 
+@register("ivf_ann_incremental_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)
+def ivf_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE path: the quantizer is fit on a 90% base
+    corpus only, the remaining 10% 'newly-arrived' vectors are
+    APPENDED by assigning them to the existing centroids (O(delta),
+    one vectorized pandas-UDF pass — the FAISS `add` discipline), and
+    search runs over the union. A growing corpus pays per-batch
+    append cost instead of per-batch index rebuilds.
+
+    Same tolerance-summary oracle as ivf_ann_topk: recall@5 vs exact
+    brute force over the FULL corpus, threshold 0.35 — far under the
+    measured 0.60–0.70 mean floor across sf0.001–0.1 with the
+    base-only quantizer, so deterministically TRUE unless the append
+    path mis-assigns or drops vectors."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        ivf_incremental_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ann = ivf_incremental_topk(base, delta, queries, k=_K)
+    exact = cosine_topk(emb, queries, k=_K)
+    return ann_recall_summary(ann, exact, queries, k=_K, min_mean_recall=0.35)
+
+
 _PAIR_COS = (
     "list_dot_product(a.e, b.e) / "
     "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"

@@ -881,3 +881,68 @@ def test_cep_timed_out_partial_matches(spark):
     }
     assert set(out) | matched == started
     assert set(out) & matched == set()
+
+
+def test_ivf_append_assigns_and_search_finds_delta_vectors(spark, sf_dir):
+    """Incremental IVF: appended vectors land in valid cluster lists
+    (argmin-L2 of the SAME metric the fitted quantizer uses), search
+    over base ∪ delta answers k for every query, delta vectors are
+    reachable as neighbors, and recall matches the full-rebuild index
+    on the same data."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        cosine_topk,
+        ivf_append,
+        ivf_cosine_topk,
+        ivf_incremental_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+
+    # append layout: every delta vector assigned exactly once, to a
+    # real cluster id
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = base.select("vec_id", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=16, seed=42, maxIter=10).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    appended = ivf_append(delta, centers).collect()
+    assert len(appended) == delta.count()
+    assert all(0 <= r.cluster < 16 for r in appended)
+    # assignment agrees with the quantizer's own transform
+    want = {
+        r.vec_id: r.prediction
+        for r in model.transform(
+            delta.select("vec_id", array_to_vector("embedding").alias("features"))
+        ).collect()
+    }
+    assert {r.nid: r.cluster for r in appended} == want
+
+    inc = ivf_incremental_topk(base, delta, queries, k=k)
+    got = inc.collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, []).append(r.nid)
+    assert all(len(v) == k for v in per_q.values())
+    assert len(per_q) == queries.count()
+    # delta ids are reachable as neighbors somewhere in the results
+    assert any(nid % 10 == 7 for v in per_q.values() for nid in v)
+
+    # recall parity with a full rebuild on the identical data
+    def recall(ann):
+        exact = cosine_topk(emb, queries, k=k)
+        hit = ann.select("qid", "nid").join(
+            exact.select("qid", "nid"), on=["qid", "nid"], how="left_semi"
+        )
+        return hit.count() / (queries.count() * k)
+
+    r_inc = recall(inc)
+    r_full = recall(ivf_cosine_topk(emb, queries, k=k))
+    assert r_inc >= r_full - 0.25  # same ballpark; quantizer unfit on delta
+    assert r_inc >= 0.35
