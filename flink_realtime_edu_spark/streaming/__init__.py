@@ -15,6 +15,13 @@ Modules:
                  helpers.
 - ``stateful`` — transformWithStateInPandas custom keyed state (T6
                  first-visit repair; the reference's ValueState [R]).
+- ``cep``      — the three CEP automata (relaxed first-match, timeout
+                 side output on event-time timers, strict next).
+- ``rules``    — broadcast-state dynamic rules: per-batch rule
+                 refresh + exactly-once alerts via the txn sink.
+- ``dedup``/``scd2``/``late``/``quality`` — incremental dedup index,
+                 CDC→SCD2 maintenance, allowed-lateness repair,
+                 observe() DQ counters.
 """
 
 from flink_realtime_edu_spark.streaming.jobs import (

@@ -1,26 +1,34 @@
-"""Streaming CEP — the live face of operators/cep.py (Flink
+"""Streaming CEP — the live faces of operators/cep.py (Flink
 `CEP.pattern(stream, ...)`; SURVEY.md §2 exhaustiveness note).
 
-Relaxed-contiguity first-match as a keyed state machine on
-``applyInPandasWithState``: per key the state is (next step index,
-chain start, last matched time); each micro-batch advances the
-automaton over its rows in event-time order and emits ONE completion
-row per key — exactly the earliest-completion-chain semantics of
-``cep_first_match``, provided arrival order respects event-time
-order per key (the testable contract: an ordered replay makes
-stream ≡ batch; out-of-order arrivals would need a watermark-deep
-reordering buffer, which Flink CEP also requires for event-time
-patterns).
+Three keyed automata on ``applyInPandasWithState``, each pinned
+stream ≡ batch by tests/test_streaming.py + property tests:
 
-The ``within`` horizon is enforced at completion time, matching the
-batch operator (the greedy chain is fixed by the data; the horizon
-only decides whether the completed chain is reported — a key whose
-chain overruns the horizon emits nothing and stays done).
+- :func:`cep_first_match_stream` — relaxed-contiguity (followedBy)
+  earliest completion: state is (next step index, chain start, last
+  matched time); ONE completion row per key, exactly
+  ``cep_first_match``.
+- :func:`cep_with_timeouts_stream` — the same chain plus Flink's
+  TIMEOUT SIDE OUTPUT: event-time timers (re-armed per invocation,
+  ms-granular → deadline = floor(horizon_us/1000)+1 so a timer never
+  fires while a non-late completion is still admissible) emit the
+  timed-out partial when the watermark passes t1 + within — exactly
+  ``cep_timed_out``'s horizon cut.
+- :func:`cep_strict_matches_stream` — strict contiguity (next):
+  a ring buffer of the last k−1 events carries matches across
+  micro-batch boundaries; only the longest buffer suffix that is a
+  prefix of the pattern is kept (KMP failure function), so most keys
+  hold no state at all.
 
-Scale: state per key = three longs + a bool; matching work is
-O(batch rows); completions stream out in append mode. State is
-hash-partitioned by key across executors like every GroupState
-operator here.
+All three require arrival order to respect event-time order per key
+(the testable contract: an ordered replay makes stream ≡ batch;
+out-of-order arrivals would need a watermark-deep reordering buffer,
+which Flink CEP also requires for event-time patterns).
+
+Scale: state per key is a few scalars (or ≤ k−1 events for strict
+mode); matching work is O(batch rows); outputs stream in append
+mode; state is hash-partitioned by key across executors like every
+GroupState operator here.
 """
 
 from __future__ import annotations
