@@ -212,10 +212,19 @@ def resample_audio(media: DataFrame, factor: int) -> DataFrame:
         for pdf in batches:
             out = pdf.copy()
             for i in out.index[out["modality"] == "audio"]:
-                data = bytes(out.at[i, "payload"])
+                raw = out.at[i, "payload"]
+                if raw is None:
+                    continue  # NULL payload: pass through, not crash
+                data = bytes(raw)
                 if data[:4] != RIFF_MAGIC or data[8:12] != WAVE_TAG:
                     continue  # undecodable codec: pass through
-                samples, rate = decode_wav(data)
+                try:
+                    samples, rate = decode_wav(data)
+                except (NotImplementedError, ValueError):
+                    # RIFF magic but out-of-scope PCM (float/8/24-bit)
+                    # or structural damage: pass through — the stage's
+                    # contract is to transform what it can decode.
+                    continue
                 down = samples[::factor]
                 new_rate = max(1, rate // factor)
                 out.at[i, "payload"] = bytearray(encode_wav(down, new_rate))

@@ -290,6 +290,16 @@ def ivf_cosine_topk(
     Uses pyspark.ml KMeans (seeded, deterministic) for training; the
     query→probe assignment is a vectorized pandas UDF over the
     broadcast centroid matrix."""
+    assigned, centers = _ivf_fit_assign(corpus, id_col, vec_col, n_clusters, seed)
+    return _ivf_probe_search(
+        assigned, centers, queries, k, n_probe, id_col, vec_col
+    )
+
+
+def _ivf_fit_assign(corpus, id_col, vec_col, n_clusters, seed):
+    """Fit the coarse quantizer on `corpus` and assign it: the ONE
+    place the KMeans hyper-parameters and index layout (nid, cluster,
+    cv) live, shared by the rebuild and incremental paths."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -298,7 +308,6 @@ def ivf_cosine_topk(
     )
     model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
-
     assigned = (
         model.transform(train)
         .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cluster"))
@@ -307,9 +316,7 @@ def ivf_cosine_topk(
             on="nid",
         )
     )
-    return _ivf_probe_search(
-        assigned, centers, queries, k, n_probe, id_col, vec_col
-    )
+    return assigned, centers
 
 
 def ivf_append(
@@ -359,21 +366,8 @@ def ivf_incremental_topk(
     O(delta)). Search semantics identical to :func:`ivf_cosine_topk`;
     recall degrades only as far as the fixed quantizer misfits the
     new data, which the registry query's recall floor watches."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = base.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
-    )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    assigned_base = (
-        model.transform(train)
-        .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cluster"))
-        .join(
-            base.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")),
-            on="nid",
-        )
+    assigned_base, centers = _ivf_fit_assign(
+        base, id_col, vec_col, n_clusters, seed
     )
     assigned = assigned_base.unionByName(ivf_append(delta, centers, id_col, vec_col))
     return _ivf_probe_search(

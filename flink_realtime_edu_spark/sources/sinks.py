@@ -166,13 +166,15 @@ def write_clustered(
 
 _TXN_DATA = "data"
 _TXN_LOG = "_commitlog"
-# Published entries are EXACTLY `<10-digit seq>-<txn_id>.json`. Listing
-# parses this shape instead of globbing: `*-{txn_id}.json` would also
-# match a txn whose id merely ends with `-{txn_id}` (silent replay-skip
-# = data loss), and pathlib's glob matches dotfiles, so the `.tmp-*`
-# staging manifest would count as committed after a crash between
-# write_text and the publishing rename.
-_TXN_ENTRY_RE = re.compile(r"^(\d{10})-(.+)\.json$")
+# Published entries are EXACTLY `<10-digit seq>.json` — the SEQ ALONE
+# names the file so the create-if-absent link is a true per-seq CAS
+# (a name embedding the txn id would never collide across committers,
+# silently allowing duplicate seqs); the txn id lives inside the
+# manifest. Listing parses this strict shape instead of globbing:
+# pathlib's glob matches dotfiles, so the `.tmp-*` staging manifest
+# would count as committed after a crash between write_text and the
+# publishing link.
+_TXN_ENTRY_RE = re.compile(r"^(\d{10})\.json$")
 # Checkpoints (`<seq>.checkpoint.json`) deliberately fail the entry
 # regex so the two listings never cross-match.
 _TXN_CKPT_RE = re.compile(r"^(\d{10})\.checkpoint\.json$")
@@ -181,14 +183,17 @@ _TXN_CKPT_RE = re.compile(r"^(\d{10})\.checkpoint\.json$")
 def _txn_entries(log) -> list:
     """(seq, txn_id, Path) for published commit entries only, in
     commit (= seq) order; staging/checkpoint/foreign files are
-    ignored."""
+    ignored. Reads each manifest for its txn id — the live log stays
+    short because checkpoints absorb old entries."""
+    import json
+
     if not log.is_dir():
         return []
     out = []
     for p in sorted(log.iterdir()):
         m = _TXN_ENTRY_RE.match(p.name)
         if m:
-            out.append((int(m.group(1)), m.group(2), p))
+            out.append((int(m.group(1)), json.loads(p.read_text())["txn_id"], p))
     return out
 
 
@@ -230,7 +235,7 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
     1. data files land under ``data/txn=<txn_id>/`` — a dir no reader
        ever lists directly, so a crash mid-write leaves INVISIBLE
        orphans, never partial results;
-    2. a manifest ``<seq>-<txn_id>.json`` (the file list) is written
+    2. a manifest ``<seq>.json`` (txn id + file list) is written
        to a temp name and PUBLISHED with one atomic create-if-absent
        link into ``_commitlog/`` — the only step that changes
        visibility, and the seq-CAS that lets CONCURRENT committers of
@@ -304,7 +309,9 @@ def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool
         used = [s for s, _, _ in entries] + [s for s, _ in cps]
         seq = max(used) + 1 if used else 0
         tmp.write_text(json.dumps({"txn_id": txn_id, "seq": seq, "files": files}))
-        final = log / f"{seq:010d}-{txn_id}.json"
+        # The filename is the seq ALONE, so this link collides with
+        # ANY other committer claiming the same seq — a true CAS.
+        final = log / f"{seq:010d}.json"
         try:
             os.link(tmp, final)  # atomic fail-if-exists publish
         except FileExistsError:
@@ -420,7 +427,14 @@ def txn_compact(
     # Everything below is pinned to `head`: a commit published after
     # this listing is NOT absorbed (its entry stays in the log).
     snap = txn_read(spark, table_dir, as_of=head)
-    cp_dir = table / _TXN_DATA / f"__checkpoint-{head:010d}"
+    # Unique staging dir per compaction attempt: a racing compactor
+    # at the same head must NOT overwrite a dir another attempt may
+    # already have published (mode("overwrite") deletes first) — each
+    # attempt owns its dir; visibility comes only from the manifest.
+    import uuid
+
+    cp_name = f"__checkpoint-{head:010d}-{uuid.uuid4().hex[:12]}"
+    cp_dir = table / _TXN_DATA / cp_name
     out = snap.coalesce(n_files) if n_files else snap
     out.write.mode("overwrite").parquet(str(cp_dir))
     prev_ids, lo = ([], -1)
@@ -430,7 +444,7 @@ def txn_compact(
     ids = prev_ids + [t for s, t, _ in entries if lo < s <= head]
     entry = {
         "seq": head,
-        "data_dir": f"{_TXN_DATA}/__checkpoint-{head:010d}",
+        "data_dir": f"{_TXN_DATA}/{cp_name}",
         "txn_ids": ids,
         "n_txns": len(ids),
     }
@@ -439,7 +453,10 @@ def txn_compact(
     try:
         os.link(tmp, log / f"{head:010d}.checkpoint.json")
     except FileExistsError:
+        import shutil
+
         tmp.unlink()
+        shutil.rmtree(cp_dir, ignore_errors=True)  # loser's orphan dir
         return False  # a racing compaction already published head
     tmp.unlink()
     return True

@@ -389,7 +389,7 @@ def test_txn_log_is_robust_to_suffix_ids_and_staging_leftovers(spark, tmp_path):
     assert txn_write(spark.range(14, 16), table, "txn-crashed") is True
     assert txn_committed(table) == ["txn-a", "a", "txn-crashed"]
     entries = sorted(p.name for p in log.iterdir() if not p.name.startswith("."))
-    assert entries[-1].startswith("0000000002-")
+    assert entries[-1] == "0000000002.json"
     # Time travel ordering unaffected by the stale staging file.
     assert txn_read(spark, table, as_of=1).count() == 14
 
@@ -443,18 +443,21 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     def files_containing(path, col, v):
         return sum(1 for lo, hi in stats(path, col) if lo <= v <= hi)
 
-    # Point predicates on each column at a few probe values. The
-    # bound carries +2 slack: repartitionByRange samples boundaries
-    # with an RDD-id-derived seed, so file cut points jitter by a
-    # file with session history (observed 9/16 once in a full-suite
-    # run) — the claim is "a MINORITY of files", vs 14+ of 16 for
-    # the 1-D layout's trailing column below.
-    minority = n_files // 2 + 2
-    for v in (100, 500, 900):
-        assert files_containing(zpath, "a", v) <= minority
-        assert files_containing(zpath, "b", v) <= minority
+    # Point predicates on each column at a few probe values.
+    # Per-probe bound carries +2 slack (repartitionByRange samples
+    # boundaries with an RDD-id-derived seed, so cut points jitter by
+    # a file with session history; observed 9/16 once in a full-suite
+    # run), but the MEAN across probes must be a true minority —
+    # jitter moves one probe, not all of them — vs 14+ of 16 for the
+    # 1-D layout's trailing column below.
+    probes = (100, 500, 900)
+    for col in ("a", "b"):
+        hits = [files_containing(zpath, col, v) for v in probes]
+        assert all(h <= n_files // 2 + 2 for h in hits), (col, hits)
+        assert sum(hits) <= len(probes) * n_files // 2, (col, hits)
+    for v in probes:
         # the 1-D layout prunes its leading column...
-        assert files_containing(spath, "a", v) <= minority
+        assert files_containing(spath, "a", v) <= n_files // 2 + 2
     # ...but NOT the second column: nearly every 1-D file spans b.
     assert files_containing(spath, "b", 500) >= n_files - 2
     # and the data survives the round trip
@@ -558,7 +561,7 @@ def test_txn_read_refuses_partial_snapshots_after_interrupted_vacuum(
     log = tmp_path / "txn_gap" / "_commitlog"
     for p in list(log.iterdir()):
         if p.name.endswith(".json") and not p.name.endswith(".checkpoint.json"):
-            seq = int(p.name.split("-")[0])
+            seq = int(p.name.split(".")[0])
             if seq <= 5:
                 p.unlink()
     assert any(p.name == "0000000002.checkpoint.json" for p in log.iterdir())
@@ -600,7 +603,13 @@ def test_txn_concurrent_committers_serialize_without_loss(spark, tmp_path):
     assert results == [True] * n  # every writer published its txn
 
     assert sorted(txn_committed(table)) == sorted(f"writer-{i}" for i in range(n))
-    assert txn_commit_dirs_scanned(table) == n  # seqs 0..n-1, no holes
+    # contiguity is the actual CAS property: seqs must be EXACTLY
+    # 0..n-1 with no duplicates (len-based counts can't see a dup)
+    from flink_realtime_edu_spark.sources.sinks import _txn_entries
+
+    log = tmp_path / "txn_conc" / "_commitlog"
+    assert sorted(s for s, _, _ in _txn_entries(log)) == list(range(n))
+    assert txn_commit_dirs_scanned(table) == n
     got = sorted(r.id for r in txn_read(spark, table).collect())
     assert got == list(range(n * 100))
     # replays after the storm are still no-ops
