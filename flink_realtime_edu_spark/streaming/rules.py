@@ -77,7 +77,9 @@ def rules_alerts_stream(
     the commit-log sink (txn id = batch id → replays are no-ops).
 
     An EMPTY batch still commits (a zero-row txn), keeping the alert
-    table's commit history aligned with processed batches."""
+    table's commit history aligned with processed batches — except
+    batches processed before any rules store exists, which commit
+    nothing (there is no rule set to evaluate against)."""
     from flink_realtime_edu_spark.sources.sinks import txn_write
     from flink_realtime_edu_spark.streaming.sinks import read_upsert_table
 
