@@ -193,7 +193,15 @@ def _txn_entries(log) -> list:
     for p in sorted(log.iterdir()):
         m = _TXN_ENTRY_RE.match(p.name)
         if m:
-            out.append((int(m.group(1)), json.loads(p.read_text())["txn_id"], p))
+            try:
+                txn_id = json.loads(p.read_text())["txn_id"]
+            except FileNotFoundError:
+                # a concurrent vacuum reclaimed it between iterdir and
+                # read — exactly the deletion it would have performed;
+                # the reader's contiguity check turns any resulting
+                # gap into a loud error, never a partial snapshot
+                continue
+            out.append((int(m.group(1)), txn_id, p))
     return out
 
 
@@ -462,14 +470,24 @@ def txn_compact(
     return True
 
 
-def txn_vacuum(table_dir: str) -> int:
-    """Reclaim commits superseded by the latest checkpoint: their log
-    entries and data dirs are deleted (entries FIRST, so a crash
-    between the two leaves only invisible orphan dirs, never a live
-    entry pointing at missing data). Time travel to seqs below the
-    checkpoint stops working — callers own the retention decision,
-    exactly as with Delta VACUUM. Replay of a vacuumed txn_id remains
-    a no-op: the checkpoint manifest carries the absorbed ids and
+def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
+    """Reclaim commits superseded by checkpoints: their log entries
+    and data dirs are deleted (entries FIRST, so a crash between the
+    two leaves only invisible orphan dirs, never a live entry
+    pointing at missing data).
+
+    ``keep_generations`` is the RETENTION discipline (Delta VACUUM's
+    retention period, expressed in checkpoint generations instead of
+    hours): with the default 1, reclamation stops at the
+    SECOND-newest checkpoint, so a snapshot resolved against either
+    of the two newest generations keeps all its files — a concurrent
+    reader racing this vacuum only breaks if TWO full
+    compact+vacuum generations complete inside its single read.
+    ``keep_generations=0`` reclaims through the newest checkpoint
+    (maximal space, only safe with no concurrent readers of
+    pre-checkpoint snapshots). Time travel below the reclaim boundary
+    stops working and fails loudly. Replay of a vacuumed txn_id
+    remains a no-op: checkpoint manifests carry the absorbed ids and
     txn_write consults them. Returns the number of commits
     reclaimed."""
     import shutil
@@ -478,26 +496,26 @@ def txn_vacuum(table_dir: str) -> int:
     table = Path(table_dir)
     log = table / _TXN_LOG
     cps = _txn_checkpoints(log)
-    if not cps:
-        return 0
-    cp_seq, cp = cps[-1]
+    if len(cps) <= keep_generations:
+        return 0  # no checkpoint old enough to reclaim through
+    boundary_idx = len(cps) - 1 - keep_generations
+    cp_seq, _cp = cps[boundary_idx]
     doomed = [(s, t, p) for s, t, p in _txn_entries(log) if s <= cp_seq]
-    # Deletion order = crash-safety order: (1) superseded OLDER
-    # checkpoint manifests first — if entries vanished while an old
-    # checkpoint manifest survived, txn_read could resolve a pre-
-    # latest-checkpoint as_of against it and silently miss the
-    # entries between the two checkpoints; with the manifest gone
-    # the contiguity check raises instead. Then (2) log entries,
-    # then (3) data dirs — at every crash point reads are either
-    # correct or fail loudly, and leftover data dirs are invisible
-    # orphans.
-    for s, old in cps[:-1]:
+    # Deletion order = crash-safety order: (1) checkpoint manifests
+    # STRICTLY OLDER than the boundary first — if entries vanished
+    # while an older checkpoint manifest survived, txn_read could
+    # resolve a stale as_of against it and silently miss the entries
+    # between the two checkpoints; with the manifest gone the
+    # contiguity check raises instead. Then (2) log entries, then
+    # (3) data dirs — at every crash point reads are either correct
+    # or fail loudly, and leftover data dirs are invisible orphans.
+    for s, old in cps[:boundary_idx]:
         (log / f"{s:010d}.checkpoint.json").unlink(missing_ok=True)
     for _, _, p in doomed:
         p.unlink()
     for _, t, _ in doomed:
         shutil.rmtree(table / _TXN_DATA / f"txn={t}", ignore_errors=True)
-    for s, old in cps[:-1]:
+    for s, old in cps[:boundary_idx]:
         shutil.rmtree(table / old["data_dir"], ignore_errors=True)
     return len(doomed)
 

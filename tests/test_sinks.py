@@ -515,7 +515,11 @@ def test_txn_checkpoint_compaction_and_vacuum(spark, tmp_path):
     # pre-vacuum: all history still time-travels
     assert txn_read(spark, table, as_of=1).count() == 20
 
-    reclaimed = txn_vacuum(table)
+    # default retention keeps one checkpoint generation of slack for
+    # concurrent readers — with a single checkpoint nothing is old
+    # enough; keep_generations=0 is the no-live-readers fast path
+    assert txn_vacuum(table) == 0
+    reclaimed = txn_vacuum(table, keep_generations=0)
     assert reclaimed == 4
     # full ids survive in order; head reads unchanged; replay still no-op
     assert txn_committed(table) == ["t0", "t1", "t2", "t3", "t4"]
@@ -614,3 +618,73 @@ def test_txn_concurrent_committers_serialize_without_loss(spark, tmp_path):
     assert got == list(range(n * 100))
     # replays after the storm are still no-ops
     assert txn_write(spark.range(5), table, "writer-3") is False
+
+
+def test_txn_mixed_commit_compact_read_storm(spark, tmp_path):
+    """Snapshot isolation under a mixed storm: committers, a
+    compact+vacuum loop, and readers all race on one table. Readers
+    must only ever observe WHOLE transactions (row counts that are
+    multiples of the txn size — never a partially visible commit or a
+    half-compacted dir), nothing may crash, and the final state holds
+    exactly every committed row with all ids recorded in order."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_committed,
+        txn_compact,
+        txn_read,
+        txn_vacuum,
+        txn_write,
+    )
+
+    table = str(tmp_path / "txn_storm")
+    rows_per_txn, n_writers, txns_each = 100, 2, 4
+    stop = threading.Event()
+    errors = []
+
+    def committer(w: int) -> None:
+        try:
+            for j in range(txns_each):
+                base = (w * txns_each + j) * rows_per_txn
+                assert txn_write(
+                    spark.range(base, base + rows_per_txn), table, f"w{w}-t{j}"
+                )
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(("committer", w, e))
+
+    def maintainer() -> None:
+        try:
+            while not stop.is_set():
+                txn_compact(spark, table, n_files=1)
+                txn_vacuum(table)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("maintainer", 0, e))
+
+    def reader() -> None:
+        try:
+            while not stop.is_set():
+                df = txn_read(spark, table)
+                if df is not None:
+                    n = df.count()
+                    assert n % rows_per_txn == 0, f"partial snapshot: {n}"
+        except Exception as e:  # noqa: BLE001
+            errors.append(("reader", 0, e))
+
+    with ThreadPoolExecutor(max_workers=n_writers + 2) as pool:
+        futs = [pool.submit(committer, w) for w in range(n_writers)]
+        pool.submit(maintainer)
+        pool.submit(reader)
+        for f in futs:
+            f.result(timeout=300)
+        stop.set()
+    assert not errors, errors
+
+    total = n_writers * txns_each
+    assert sorted(txn_committed(table)) == sorted(
+        f"w{w}-t{j}" for w in range(n_writers) for j in range(txns_each)
+    )
+    got = sorted(r.id for r in txn_read(spark, table).collect())
+    assert got == list(range(total * rows_per_txn))
+    # replay after the storm + maintenance is still a no-op
+    assert txn_write(spark.range(5), table, "w0-t0") is False
