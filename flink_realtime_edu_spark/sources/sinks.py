@@ -178,6 +178,26 @@ _TXN_ENTRY_RE = re.compile(r"^(\d{10})\.json$")
 # Checkpoints (`<seq>.checkpoint.json`) deliberately fail the entry
 # regex so the two listings never cross-match.
 _TXN_CKPT_RE = re.compile(r"^(\d{10})\.checkpoint\.json$")
+# Pre-CAS layout (`<seq>-<txn_id>.json`, r5 first half). Detected so a
+# table written by the old code fails LOUDLY instead of silently
+# reading as empty (which would also defeat its replay protection).
+_TXN_LEGACY_RE = re.compile(r"^(\d{10})-(.+)\.json$")
+
+
+def _txn_read_manifest(p):
+    """Manifest JSON, with the two racing/broken cases separated:
+    vanished-under-us (a concurrent vacuum's reclaim — callers skip;
+    their contiguity checks turn any real gap into a loud error) vs
+    corrupt content (raises — a damaged log must never be silently
+    narrowed, that would also re-admit an already-committed txn_id)."""
+    import json
+
+    try:
+        return json.loads(p.read_text())
+    except FileNotFoundError:
+        return None
+    except (json.JSONDecodeError, KeyError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt commit-log manifest: {p}") from e
 
 
 def _txn_entries(log) -> list:
@@ -185,54 +205,66 @@ def _txn_entries(log) -> list:
     commit (= seq) order; staging/checkpoint/foreign files are
     ignored. Reads each manifest for its txn id — the live log stays
     short because checkpoints absorb old entries."""
-    import json
-
     if not log.is_dir():
         return []
     out = []
     for p in sorted(log.iterdir()):
+        if _TXN_LEGACY_RE.match(p.name):
+            raise ValueError(
+                f"commit log {log} uses the pre-CAS '<seq>-<txn_id>.json'"
+                " layout; migrate by renaming each entry to '<seq>.json'"
+                " (the txn id is already inside the manifest)"
+            )
         m = _TXN_ENTRY_RE.match(p.name)
         if m:
-            try:
-                txn_id = json.loads(p.read_text())["txn_id"]
-            except FileNotFoundError:
-                # a concurrent vacuum reclaimed it between iterdir and
-                # read — exactly the deletion it would have performed;
-                # the reader's contiguity check turns any resulting
-                # gap into a loud error, never a partial snapshot
-                continue
-            out.append((int(m.group(1)), txn_id, p))
+            manifest = _txn_read_manifest(p)
+            if manifest is None:
+                continue  # reclaimed by a concurrent vacuum
+            if "txn_id" not in manifest:
+                raise ValueError(f"corrupt commit-log manifest: {p}")
+            out.append((int(m.group(1)), manifest["txn_id"], p))
     return out
 
 
 def _txn_checkpoints(log) -> list:
-    """(seq, manifest dict) for published checkpoints, seq ascending."""
-    import json
-
+    """(seq, manifest dict) for published checkpoints, seq ascending;
+    tolerates a manifest vanishing under a concurrent vacuum exactly
+    like the entry listing."""
     if not log.is_dir():
         return []
     out = []
     for p in sorted(log.iterdir()):
         m = _TXN_CKPT_RE.match(p.name)
         if m:
-            out.append((int(m.group(1)), json.loads(p.read_text())))
+            manifest = _txn_read_manifest(p)
+            if manifest is None:
+                continue  # reclaimed by a concurrent vacuum
+            out.append((int(m.group(1)), manifest))
     return out
 
 
 def txn_committed(table_dir: str) -> list[str]:
     """ALL transaction ids in commit order — ids compacted into the
     latest checkpoint (whose original entries may have been vacuumed)
-    followed by ids of surviving log entries after it."""
+    followed by ids of surviving log entries after it. Verifies the
+    surviving entries are CONTIGUOUS above the checkpoint: a listing
+    racing two whole maintenance generations fails loudly instead of
+    returning a silently incomplete history."""
     from pathlib import Path
 
     log = Path(table_dir) / _TXN_LOG
     cps = _txn_checkpoints(log)
-    if cps:
-        cp_seq, cp = cps[-1]
-        return list(cp["txn_ids"]) + [
-            t for s, t, _ in _txn_entries(log) if s > cp_seq
-        ]
-    return [t for _, t, _ in _txn_entries(log)]
+    entries = _txn_entries(log)
+    lo = cps[-1][0] if cps else -1
+    tail = [(s, t) for s, t, _ in entries if s > lo]
+    seqs = [s for s, _ in tail]
+    if seqs != list(range(lo + 1, lo + 1 + len(seqs))):
+        raise ValueError(
+            f"commit log has a gap above seq {lo} (got seqs {seqs}): "
+            "listing raced concurrent maintenance — retry"
+        )
+    ids = list(cps[-1][1]["txn_ids"]) if cps else []
+    return ids + [t for _, t in tail]
 
 
 def txn_write(df: DataFrame, table_dir: str, txn_id: str, write_fn=None) -> bool:
@@ -488,14 +520,28 @@ def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
     pre-checkpoint snapshots). Time travel below the reclaim boundary
     stops working and fails loudly. Replay of a vacuumed txn_id
     remains a no-op: checkpoint manifests carry the absorbed ids and
-    txn_write consults them. Returns the number of commits
-    reclaimed."""
+    txn_write consults them. Also sweeps ORPHANED compaction staging
+    dirs (crashed txn_compact attempts whose manifest never
+    published) — which is why maintenance (compact/vacuum) is
+    SINGLE-MAINTAINER: a vacuum racing a live compact could reclaim
+    its in-progress staging dir. Commits and reads stay fully
+    concurrent. Returns the number of commits reclaimed."""
     import shutil
     from pathlib import Path
 
     table = Path(table_dir)
     log = table / _TXN_LOG
     cps = _txn_checkpoints(log)
+    # Orphan sweep runs even when nothing is reclaimable: any
+    # __checkpoint-* dir not referenced by a surviving manifest is a
+    # crashed attempt's leftover (invisible to every reader).
+    referenced = {cp["data_dir"] for _, cp in cps}
+    data = table / _TXN_DATA
+    if data.is_dir():
+        for d in data.iterdir():
+            rel = f"{_TXN_DATA}/{d.name}"
+            if d.name.startswith("__checkpoint-") and rel not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
     if len(cps) <= keep_generations:
         return 0  # no checkpoint old enough to reclaim through
     boundary_idx = len(cps) - 1 - keep_generations
@@ -512,7 +558,7 @@ def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
     for s, old in cps[:boundary_idx]:
         (log / f"{s:010d}.checkpoint.json").unlink(missing_ok=True)
     for _, _, p in doomed:
-        p.unlink()
+        p.unlink(missing_ok=True)  # idempotent vs an overlapping vacuum
     for _, t, _ in doomed:
         shutil.rmtree(table / _TXN_DATA / f"txn={t}", ignore_errors=True)
     for s, old in cps[:boundary_idx]:

@@ -675,9 +675,13 @@ def test_txn_mixed_commit_compact_read_storm(spark, tmp_path):
         futs = [pool.submit(committer, w) for w in range(n_writers)]
         pool.submit(maintainer)
         pool.submit(reader)
-        for f in futs:
-            f.result(timeout=300)
-        stop.set()
+        try:
+            for f in futs:
+                f.result(timeout=300)
+        finally:
+            # always release the maintainer/reader loops — a committer
+            # timeout must fail the test, not hang pool shutdown
+            stop.set()
     assert not errors, errors
 
     total = n_writers * txns_each
@@ -688,3 +692,37 @@ def test_txn_mixed_commit_compact_read_storm(spark, tmp_path):
     assert got == list(range(total * rows_per_txn))
     # replay after the storm + maintenance is still a no-op
     assert txn_write(spark.range(5), table, "w0-t0") is False
+
+
+def test_txn_log_fails_loudly_on_legacy_layout_and_corrupt_manifests(
+    spark, tmp_path
+):
+    """A damaged or pre-CAS-format commit log must never be silently
+    narrowed: the pre-CAS '<seq>-<txn_id>.json' layout raises a
+    migration error (silently reading it as empty would re-admit
+    committed txn ids), and a truncated manifest raises 'corrupt'
+    instead of being skipped (skipping would also defeat replay
+    protection for its txn)."""
+    import pytest as _pytest
+
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_committed,
+        txn_read,
+        txn_write,
+    )
+
+    legacy = str(tmp_path / "txn_legacy")
+    txn_write(spark.range(10), legacy, "t0")
+    log = tmp_path / "txn_legacy" / "_commitlog"
+    (log / "0000000000.json").rename(log / "0000000000-t0.json")
+    with _pytest.raises(ValueError, match="pre-CAS"):
+        txn_committed(legacy)
+    with _pytest.raises(ValueError, match="pre-CAS"):
+        txn_write(spark.range(5), legacy, "t0")  # no silent re-commit
+
+    broken = str(tmp_path / "txn_broken")
+    txn_write(spark.range(10), broken, "t0")
+    log2 = tmp_path / "txn_broken" / "_commitlog"
+    (log2 / "0000000000.json").write_text('{"txn_id": "t0", "seq"')
+    with _pytest.raises(ValueError, match="corrupt"):
+        txn_read(spark, broken)
