@@ -578,3 +578,48 @@ def test_cep_strict_state_fn_matches_sliding_window(evs, cuts):
             types, _ = state.get
             assert list(types) and all(t == "error" for t in types)
     assert emitted == want
+
+
+@FAST
+@given(
+    n=st.integers(min_value=0, max_value=700),
+    ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 11025, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(n, ch, rate, seed):
+    """encode_wav → decode_wav is the identity on any int16 sample
+    matrix — every frame count (odd byte lengths hit the RIFF pad
+    path, zero frames the empty-data path), channel count and rate."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+    got, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate
+    assert got.shape == (n, ch)
+    assert np.array_equal(got, samples)
+
+
+@FAST
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    c=st.integers(min_value=1, max_value=4),
+    vary=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_codec_roundtrip_property(h, w, c, vary, seed):
+    """encode_png → decode_png is the identity for every geometry and
+    channel count, with and without per-row filter-type cycling (the
+    five spec filters all appear once h ≥ 5)."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(img, vary_filters=vary))
+    assert out.shape == img.shape and (out == img).all()
