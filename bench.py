@@ -160,6 +160,29 @@ def run_streaming(sf_dir: str) -> dict[str, float]:
         rps, lat = progress_metrics(q)
         out["scd2_rows_per_s"] = round(rps, 1)
         out["scd2_batch_ms_avg"] = round(lat, 1)
+
+        # T7/CEP: the timeout-emitting keyed automaton (r5) — the
+        # heaviest stateful operator family (per-key state machine +
+        # event-time timers re-armed per invocation)
+        from flink_realtime_edu_spark.streaming.cep import (
+            cep_with_timeouts_stream,
+        )
+
+        q = (
+            cep_with_timeouts_stream(
+                load_events_stream(spark, src, max_files_per_trigger=1),
+                ["view", "click", "purchase"],
+                "24 hours",
+            )
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt_cep"))
+            .start()
+        )
+        run_to_completion(q)
+        rps, lat = progress_metrics(q)
+        out["cep_rows_per_s"] = round(rps, 1)
+        out["cep_batch_ms_avg"] = round(lat, 1)
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
