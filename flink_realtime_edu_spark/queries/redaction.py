@@ -54,14 +54,19 @@ WITH planted AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(aug, '{_EMAIL}'))) AS emails_found,
-       SUM(len(regexp_extract_all(aug, '{_PHONE}'))) AS phones_found,
-       SUM(len(regexp_extract_all(aug, '{_IPV4}'))) AS ips_found,
-       SUM(len(regexp_extract_all(aug, '{_SSN}'))) AS ssns_found,
-       SUM(len(regexp_extract_all(red, '{_EMAIL}'))
+       CAST(SUM(len(regexp_extract_all(aug, '{_EMAIL}'))) AS BIGINT)
+         AS emails_found,
+       CAST(SUM(len(regexp_extract_all(aug, '{_PHONE}'))) AS BIGINT)
+         AS phones_found,
+       CAST(SUM(len(regexp_extract_all(aug, '{_IPV4}'))) AS BIGINT)
+         AS ips_found,
+       CAST(SUM(len(regexp_extract_all(aug, '{_SSN}'))) AS BIGINT)
+         AS ssns_found,
+       CAST(SUM(len(regexp_extract_all(red, '{_EMAIL}'))
          + len(regexp_extract_all(red, '{_SSN}'))
          + len(regexp_extract_all(red, '{_PHONE}'))
-         + len(regexp_extract_all(red, '{_IPV4}'))) AS residual_pii,
+         + len(regexp_extract_all(red, '{_IPV4}'))) AS BIGINT)
+         AS residual_pii,
        MIN(md5(red)) AS min_redacted_md5,
        MAX(md5(red)) AS max_redacted_md5
 FROM scrubbed

@@ -5,7 +5,10 @@ Loads /root/repo/__spark_entry__.py exactly like the driver (spec
 import, fresh module), smoke-runs entry(), then compares each
 queries()[name] against its oracle_sql()[name] in DuckDB on the same
 parquet (row values, column-name-sorted, order-insensitive — the
-driver's compare). Default scope is the driver's check window (the
+driver's compare) AND asserts result-type equivalence per column
+(the driver's value hash is type-sensitive: DuckDB HUGEINT vs Spark
+BIGINT hash-mismatches even with identical values — the r5 failure
+class this gate previously missed). Default scope is the driver's check window (the
 first DRIVER_CHECK_WINDOW registry keys); pass --all for the full
 inventory or query names for a subset touched by a diff.
 
@@ -25,6 +28,14 @@ import importlib.util
 import sys
 
 REPO = "/root/repo"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from flink_realtime_edu_spark.oracle_types import (  # noqa: E402
+    describe_oracle,
+    type_mismatches,
+)
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -83,6 +94,9 @@ def main() -> int:
             map(repr, (tuple(r) for r in sdf.select(*sorted(sdf.columns)).collect()))
         )
         if name in o:
+            # DB-API description only carries generic type codes
+            # (NUMBER/STRING) — DESCRIBE gives the real SQL types.
+            tmm = type_mismatches(sdf.schema, describe_oracle(con, o[name]))
             cur = con.execute(o[name])
             cols = [d[0] for d in cur.description]
             drows = sorted(
@@ -94,10 +108,11 @@ def main() -> int:
                     ),
                 )
             )
-            ok = srows == drows
+            ok = srows == drows and not tmm
             if not ok:
                 bad.append(name)
-            print(f"{name}: oracle-equal={ok} rows={len(srows)}")
+            print(f"{name}: oracle-equal={ok} rows={len(srows)}"
+                  + (f" TYPE-MISMATCH {tmm}" if tmm else ""))
         else:
             print(f"{name}: rows-only rows={len(srows)}")
     print(f"checked={len(names)} mismatches={bad or 'NONE'}")

@@ -17,6 +17,7 @@ from decimal import Decimal
 
 import duckdb
 
+from flink_realtime_edu_spark.oracle_types import describe_oracle, type_mismatches
 from flink_realtime_edu_spark.sources import TABLES, table_path
 
 
@@ -52,6 +53,13 @@ def _normalize(rows, cols):
 def compare(spark_df, sql: str, sf_dir: str, limit_diff: int = 5) -> None:
     """Assert Spark result == DuckDB result (order-insensitive)."""
     con = duck_connection(sf_dir)
+    # DB-API description only carries generic type codes — DESCRIBE
+    # gives the real SQL types. Driver's value hash is type-sensitive
+    # (r5: HUGEINT vs BIGINT hash-fail with identical values), so
+    # assert type equivalence alongside the value compare.
+    duck_desc = describe_oracle(con, sql)
+    tmm = type_mismatches(spark_df.schema, duck_desc)
+    assert not tmm, f"result-type mismatch (driver hash would differ): {tmm}"
     cur = con.execute(sql)
     duck_cols = [d[0] for d in cur.description]
     duck_rows = cur.fetchall()
