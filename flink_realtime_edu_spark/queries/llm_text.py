@@ -339,7 +339,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tfidf", tfidf)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tfidf", "rnk")
+        # cast: row_number() is INT but the oracle's ROW_NUMBER() is
+        # BIGINT — the driver's value hash is type-sensitive.
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("bigint").alias("rnk"))
     )
 
 

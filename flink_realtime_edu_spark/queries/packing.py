@@ -110,7 +110,9 @@ def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (_sharded_cum_before, shards = doc_id ranges) so one huge
     source never serializes onto one reducer."""
     d = load(spark, sf_dir, "documents")
-    n_toks = F.greatest(F.size(F.split("text", " ")), F.lit(1))
+    # cast: size() is INT but the oracle's len(string_split()) is
+    # BIGINT — the driver's value hash is type-sensitive.
+    n_toks = F.greatest(F.size(F.split("text", " ")), F.lit(1)).cast("bigint")
     t = d.select("source", "doc_id", n_toks.alias("n_toks"))
     # `div`, not `/`: float division loses low bits past 2^53 — a
     # per-source token stream a 100 TB corpus can actually reach —

@@ -76,7 +76,11 @@ def training_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
-        F.greatest(F.size(F.split("text", " ")), F.lit(1)).alias("n_toks"),
+        # cast: size() is INT but the oracle's len() is BIGINT — the
+        # driver's value hash is type-sensitive.
+        F.greatest(F.size(F.split("text", " ")), F.lit(1))
+        .cast("bigint")
+        .alias("n_toks"),
         md5_hash60(F.concat(F.lit(f"{_EPOCH_SEED}:"), F.col("doc_id"))).alias(
             "shuffle_key"
         ),

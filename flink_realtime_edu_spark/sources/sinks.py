@@ -387,6 +387,14 @@ def txn_read(spark, table_dir: str, as_of: int | None = None) -> DataFrame:
     head = max(
         [s for s, _, _ in entries] + [s for s, _ in cps]
     )
+    if as_of is not None and as_of > head:
+        # A version beyond the head is a caller error (typo'd/stale
+        # seq) — returning the head snapshot would hand back plausible
+        # but WRONG data. Delta raises on a nonexistent version; so do
+        # we.
+        raise ValueError(
+            f"as_of={as_of} is beyond the table head (seq {head})"
+        )
     target = head if as_of is None else as_of
     usable = [(s, cp) for s, cp in cps if s <= target]
     dirs: list[str] = []
@@ -520,11 +528,13 @@ def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
     pre-checkpoint snapshots). Time travel below the reclaim boundary
     stops working and fails loudly. Replay of a vacuumed txn_id
     remains a no-op: checkpoint manifests carry the absorbed ids and
-    txn_write consults them. Also sweeps ORPHANED compaction staging
-    dirs (crashed txn_compact attempts whose manifest never
-    published) — which is why maintenance (compact/vacuum) is
-    SINGLE-MAINTAINER: a vacuum racing a live compact could reclaim
-    its in-progress staging dir. Commits and reads stay fully
+    txn_write consults them. Also sweeps ORPHANED dirs: compaction
+    staging dirs whose manifest never published (crashed txn_compact)
+    and txn=<id> dirs a PRIOR crashed vacuum deleted the entries for
+    but not the data (absorbed in a checkpoint, no live entry) —
+    which is why maintenance (compact/vacuum) is SINGLE-MAINTAINER:
+    a vacuum racing a live compact could reclaim its in-progress
+    staging dir. Commits and reads stay fully
     concurrent. Returns the number of commits reclaimed."""
     import shutil
     from pathlib import Path
@@ -534,7 +544,20 @@ def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
     cps = _txn_checkpoints(log)
     # Orphan sweep runs even when nothing is reclaimable: any
     # __checkpoint-* dir not referenced by a surviving manifest is a
-    # crashed attempt's leftover (invisible to every reader).
+    # crashed attempt's leftover (invisible to every reader). Also
+    # reclaim txn=<id> dirs from a PRIOR vacuum that crashed between
+    # its entry- and dir-deletion phases: their id is absorbed in a
+    # surviving checkpoint but has no live log entry, so no snapshot
+    # can ever list them again — without this they leak forever
+    # (doomed is recomputed from surviving entries, which are gone).
+    # Dirs with neither entry nor absorption are left alone: that is
+    # an in-flight or crashed txn_write, and commits run concurrently
+    # with vacuum.
+    live_entries = _txn_entries(log)
+    live_ids = {t for _, t, _ in live_entries}
+    absorbed = set()
+    for _, cp in cps:
+        absorbed.update(cp["txn_ids"])
     referenced = {cp["data_dir"] for _, cp in cps}
     data = table / _TXN_DATA
     if data.is_dir():
@@ -542,6 +565,10 @@ def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
             rel = f"{_TXN_DATA}/{d.name}"
             if d.name.startswith("__checkpoint-") and rel not in referenced:
                 shutil.rmtree(d, ignore_errors=True)
+            elif d.name.startswith("txn="):
+                tid = d.name[len("txn="):]
+                if tid in absorbed and tid not in live_ids:
+                    shutil.rmtree(d, ignore_errors=True)
     if len(cps) <= keep_generations:
         return 0  # no checkpoint old enough to reclaim through
     boundary_idx = len(cps) - 1 - keep_generations

@@ -21,14 +21,25 @@ stream ≡ batch by tests/test_streaming.py + property tests:
   hold no state at all.
 
 All three require arrival order to respect event-time order per key
-(the testable contract: an ordered replay makes stream ≡ batch;
-out-of-order arrivals would need a watermark-deep reordering buffer,
-which Flink CEP also requires for event-time patterns).
+ACROSS micro-batches (the testable contract: an ordered replay makes
+stream ≡ batch; out-of-order arrivals would need a watermark-deep
+reordering buffer, which Flink CEP also requires for event-time
+patterns). WITHIN a micro-batch no order is assumed: each state fn
+concatenates every Arrow chunk of its key and sorts once on
+(ts, tiebreak) — chunk-local sorting would silently consume events
+out of order for keys exceeding arrow.maxRecordsPerBatch rows per
+batch (pinned by a small-maxRecordsPerBatch stream≡batch test).
 
 Scale: state per key is a few scalars (or ≤ k−1 events for strict
 mode); matching work is O(batch rows); outputs stream in append
 mode; state is hash-partitioned by key across executors like every
-GroupState operator here.
+GroupState operator here. Retention: a key that completes (or times
+out) keeps its 4-scalar done-marker FOREVER — that is the price of
+first-match-EVER semantics (evicting it would let the key match
+again on later events), ~40 bytes per completed key; callers that
+want per-window re-matching should bucket the key by window instead.
+The sort-once concat holds a single key's single micro-batch in
+memory — bounded by per-key batch volume, not stream length.
 """
 
 from __future__ import annotations
@@ -74,30 +85,39 @@ def _make_cep_fn(steps: list[str], within_us: int):
             step_idx, t1_us, tprev_us, done = 0, None, None, False
         out = []
         if not done:
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values(["ts_us", "__tb"])
-                for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
-                    if etype != steps[step_idx]:
-                        continue
-                    if step_idx > 0 and ts_us <= tprev_us:
-                        continue
-                    if step_idx == 0:
-                        t1_us = int(ts_us)
-                    tprev_us = int(ts_us)
-                    step_idx += 1
-                    if step_idx == len(steps):
-                        done = True
-                        if tprev_us - t1_us <= within_us:
-                            out.append(
-                                (
-                                    key[0],
-                                    t1_us,
-                                    tprev_us,
-                                    round((tprev_us - t1_us) / 1e6, 6),
-                                )
+            # A key's micro-batch arrives as MULTIPLE Arrow chunks
+            # (arrow.maxRecordsPerBatch) in shuffle order — sorting
+            # each chunk alone is NOT a global sort and would let the
+            # automaton consume events out of event-time order for
+            # keys with >10k rows/batch. Concatenate, then sort ONCE
+            # (per-key-per-batch rows are bounded in practice).
+            chunks = list(pdf_iter)
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(["ts_us", "__tb"])
+                if chunks
+                else pd.DataFrame(columns=["ts_us", "event_type"])
+            )
+            for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+                if etype != steps[step_idx]:
+                    continue
+                if step_idx > 0 and ts_us <= tprev_us:
+                    continue
+                if step_idx == 0:
+                    t1_us = int(ts_us)
+                tprev_us = int(ts_us)
+                step_idx += 1
+                if step_idx == len(steps):
+                    done = True
+                    if tprev_us - t1_us <= within_us:
+                        out.append(
+                            (
+                                key[0],
+                                t1_us,
+                                tprev_us,
+                                round((tprev_us - t1_us) / 1e6, 6),
                             )
-                        break
-                if done:
+                        )
                     break
         else:
             for _ in pdf_iter:  # drain — completed keys ignore new events
@@ -184,24 +204,30 @@ def _make_cep_to_fn(steps: list[str], within_us: int):
                 )
             return
         if not done:
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values(["ts_us", "__tb"])
-                for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
-                    if etype != steps[step_idx]:
-                        continue
-                    if step_idx > 0 and (
-                        ts_us <= tprev_us or ts_us - t1_us > within_us
-                    ):
-                        continue  # beyond-horizon events cannot extend
-                    if step_idx == 0:
-                        t1_us = int(ts_us)
-                    tprev_us = int(ts_us)
-                    step_idx += 1
-                    if step_idx == k:
-                        done = True
-                        out.append((key[0], t1_us, tprev_us, k, False))
-                        break
-                if done:
+            # Global per-key sort across ALL Arrow chunks of the
+            # micro-batch (chunk-local sorts are not a global order —
+            # see _make_cep_fn).
+            chunks = list(pdf_iter)
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(["ts_us", "__tb"])
+                if chunks
+                else pd.DataFrame(columns=["ts_us", "event_type"])
+            )
+            for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+                if etype != steps[step_idx]:
+                    continue
+                if step_idx > 0 and (
+                    ts_us <= tprev_us or ts_us - t1_us > within_us
+                ):
+                    continue  # beyond-horizon events cannot extend
+                if step_idx == 0:
+                    t1_us = int(ts_us)
+                tprev_us = int(ts_us)
+                step_idx += 1
+                if step_idx == k:
+                    done = True
+                    out.append((key[0], t1_us, tprev_us, k, False))
                     break
         else:
             for _ in pdf_iter:
@@ -299,16 +325,23 @@ def _make_cep_strict_fn(steps: list[str], within_us: int | None):
         else:
             types, ts = [], []
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts_us", "__tb"])
-            for t_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
-                types.append(str(etype))
-                ts.append(int(t_us))
-                if len(types) > k:
-                    del types[0], ts[0]
-                if len(types) == k and types == steps:
-                    if within_us is None or ts[-1] - ts[0] <= within_us:
-                        out.append((key[0], ts[0], ts[-1]))
+        # Global per-key sort across ALL Arrow chunks of the
+        # micro-batch (chunk-local sorts are not a global order —
+        # see _make_cep_fn).
+        chunks = list(pdf_iter)
+        pdf = (
+            pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "__tb"])
+            if chunks
+            else pd.DataFrame(columns=["ts_us", "event_type"])
+        )
+        for t_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+            types.append(str(etype))
+            ts.append(int(t_us))
+            if len(types) > k:
+                del types[0], ts[0]
+            if len(types) == k and types == steps:
+                if within_us is None or ts[-1] - ts[0] <= within_us:
+                    out.append((key[0], ts[0], ts[-1]))
         # Carry only the longest suffix that is a PREFIX of steps (the
         # KMP failure-function insight): any other tail can never be
         # part of a future consecutive match, so most keys carry no

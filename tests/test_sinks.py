@@ -535,6 +535,71 @@ def test_txn_checkpoint_compaction_and_vacuum(spark, tmp_path):
         txn_read(spark, table, as_of=1)
 
 
+def test_txn_read_rejects_as_of_beyond_head(spark, tmp_path):
+    """Time travel to a version beyond the current head is a caller
+    error (stale/typo'd seq) and must raise like Delta does — not
+    silently clamp to the head snapshot and hand back plausible but
+    wrong data."""
+    import pytest as _pytest
+
+    from flink_realtime_edu_spark.sources.sinks import txn_read, txn_write
+
+    table = str(tmp_path / "txn_beyond")
+    txn_write(spark.range(10), table, "t0")
+    txn_write(spark.range(10, 20), table, "t1")
+    assert txn_read(spark, table, as_of=1).count() == 20
+    with _pytest.raises(ValueError, match="beyond the table head"):
+        txn_read(spark, table, as_of=2)
+
+
+def test_txn_vacuum_reclaims_orphans_of_crashed_vacuum(spark, tmp_path):
+    """A vacuum that crashed between its entry-deletion and
+    dir-deletion phases leaves txn=<id> data dirs with no live log
+    entry; a LATER vacuum cannot recompute them as doomed (the
+    entries are gone), so its orphan sweep must reclaim any txn dir
+    absorbed in a surviving checkpoint that has no live entry — while
+    leaving an in-flight commit's dir (no entry, not absorbed)
+    strictly alone."""
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_compact,
+        txn_read,
+        txn_vacuum,
+        txn_write,
+    )
+
+    table = str(tmp_path / "txn_orphan")
+    for i in range(3):
+        txn_write(spark.range(i * 10, (i + 1) * 10), table, f"t{i}")
+    assert txn_compact(spark, table, n_files=1)  # cp at seq 2 absorbs t0-t2
+    txn_write(spark.range(30, 40), table, "t3")
+
+    # Simulate the crashed vacuum: absorbed entries deleted, dirs kept.
+    log = tmp_path / "txn_orphan" / "_commitlog"
+    for p in list(log.iterdir()):
+        if p.name.endswith(".json") and not p.name.endswith(".checkpoint.json"):
+            if int(p.name.split(".")[0]) <= 2:
+                p.unlink()
+    data = tmp_path / "txn_orphan" / "data"
+    leaked = {f"txn=t{i}" for i in range(3)}
+    assert leaked <= {d.name for d in data.iterdir()}
+
+    # An unpublished (in-flight/crashed) commit dir must survive.
+    inflight = data / "txn=wip"
+    inflight.mkdir()
+    (inflight / "part-0.parquet").write_bytes(b"")
+
+    # keep_generations=1 with a single checkpoint reclaims nothing —
+    # but the orphan sweep still runs and must pick up the leak.
+    assert txn_vacuum(table) == 0
+    names = {d.name for d in data.iterdir()}
+    assert not (leaked & names), f"leaked dirs not reclaimed: {leaked & names}"
+    assert "txn=wip" in names
+    # Table state is unharmed.
+    assert sorted(r.id for r in txn_read(spark, table).collect()) == list(
+        range(40)
+    )
+
+
 def test_txn_read_refuses_partial_snapshots_after_interrupted_vacuum(
     spark, tmp_path
 ):

@@ -1381,6 +1381,47 @@ def test_cep_stream_equals_batch_on_ordered_replay(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_cep_stream_equals_batch_with_multichunk_keys(spark, sf_dir, tmp_path):
+    """A key whose micro-batch exceeds arrow.maxRecordsPerBatch rows
+    is delivered to the state fn as MULTIPLE pandas chunks in shuffle
+    order — the automaton must concatenate and sort the key's whole
+    batch once (chunk-local sorting is NOT a global event-time order
+    and silently diverges from batch). Pinned by shrinking
+    maxRecordsPerBatch (7) far below per-key batch volume (up to 88
+    events/user here) and replaying everything in ONE micro-batch."""
+    from flink_realtime_edu_spark.operators.cep import cep_first_match
+    from flink_realtime_edu_spark.streaming.cep import cep_first_match_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    steps, within = ["view", "click", "purchase"], "24 hours"
+    ev = load(spark, sf_dir, "events")
+    src = tmp_path / "cep_chunk_src"
+    src.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    for f in (tmp_path / "stage").glob("*.parquet"):
+        shutil.copy(f, src / "all.parquet")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        stream = cep_first_match_stream(
+            load_events_stream(spark, str(src)), steps, within
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cep_chunks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+            .start()
+        )
+        run_to_completion(q)
+    finally:
+        spark.conf.set(key, old)
+    got = _rows(spark.sql("SELECT * FROM cep_chunks"))
+    want = _rows(cep_first_match(ev, steps, within))
+    assert got == want and len(want) > 0
+
+
 def test_cep_timeout_stream_equals_batch(spark, sf_dir, tmp_path):
     """The timeout-emitting streaming CEP must reproduce BOTH batch
     sides exactly on an ordered replay: completions ≡ cep_first_match
