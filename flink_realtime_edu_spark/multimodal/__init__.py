@@ -17,14 +17,15 @@ metadata-only queries never read payload bytes.
 Processing (decode / resize / feature-extract / frame-sample) runs as
 Arrow-batched ``mapInPandas``: one Python process per partition, one
 pandas batch at a time, so payload bytes cross the JVM↔Python
-boundary exactly once per stage. PNG payloads decode for real via the
-pure-stdlib codec in :mod:`.png` (``decode_image`` dispatches on mime);
-other formats (JPEG/ffmpeg/...) have no codec in this container and
+boundary exactly once per stage. PNG and baseline grayscale JPEG
+payloads decode for real via the pure-stdlib codecs in :mod:`.png` /
+:mod:`.jpeg` (``decode_image`` dispatches on the payload magic);
+other formats (video/ffmpeg/...) have no codec in this container and
 raise NotImplementedError. `extract_features` uses a deterministic
 byte-histogram stand-in with the REAL batch shape, schema and
-partitioning; the PNG and WAV paths additionally feed true
+partitioning; the PNG, WAV and JPEG paths additionally feed true
 pixel/sample stats (``queries/media.py`` png_decode_stats /
-wav_decode_stats) with analytic oracles.
+wav_decode_stats / jpeg_decode_stats) with analytic oracles.
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from flink_realtime_edu_spark.multimodal.jpeg import JPEG_SOI, decode_jpeg
 from flink_realtime_edu_spark.multimodal.png import PNG_SIGNATURE, decode_png
 from flink_realtime_edu_spark.multimodal.wav import (
     RIFF_MAGIC,
@@ -100,19 +102,24 @@ def demo_media_frame(spark: SparkSession, n: int = 64, partitions: int = 4) -> D
 
 
 def decode_image(payload: bytes, mime: str) -> "np.ndarray":
-    """Decode an image payload to an (H, W, C) uint8 array.
+    """Decode an image payload to an (H, W, C) uint8 array (PNG) or
+    an (H, W) uint8 array (grayscale JPEG).
 
     PNG decodes for real via the pure-stdlib codec in
     :mod:`flink_realtime_edu_spark.multimodal.png` (8-bit,
-    non-interlaced, non-palette — its documented subset). Other
-    codecs (JPEG/WebP/...) need libraries absent from this container
-    and still raise NotImplementedError; the mapInPandas pipeline
-    around this call is the production integration point either way."""
+    non-interlaced, non-palette — its documented subset), baseline
+    grayscale JFIF via :mod:`.jpeg` (marker parse + Huffman + IDCT;
+    progressive/color raise inside the codec). Other codecs
+    (WebP/...) need libraries absent from this container and still
+    raise NotImplementedError; the mapInPandas pipeline around this
+    call is the production integration point either way."""
     data = bytes(payload)
     if data[:8] == PNG_SIGNATURE:
         return decode_png(data)
+    if data[:2] == JPEG_SOI:
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment (PNG only); "
+        f"no codec for {mime!r} in this environment (PNG/JPEG only); "
         "extract_features uses a deterministic byte-level stand-in"
     )
 

@@ -175,6 +175,113 @@ def cep_timed_out(
     )
 
 
+def cep_times(
+    events: DataFrame,
+    steps: list[tuple[str, int]],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Quantified relaxed-contiguity pattern — Flink's
+    ``Pattern.begin("click").times(3).followedBy("purchase")`` shape:
+    each ``(event_type, count)`` block must occur ``count`` times (in
+    event-time order, relaxed contiguity) before the next block
+    starts, the whole chain within ``within`` of its first event.
+
+    Semantics: the EARLIEST completion chain per key, exactly
+    :func:`cep_first_match` over the FLATTENED step list (each
+    occurrence strictly after the previous — for a same-type block
+    the earliest strictly-increasing chain of m events is the block's
+    m smallest DISTINCT timestamps, which is what dense_rank picks;
+    pinned by an equivalence test). Emits (key, start_ts, end_ts,
+    duration_s) like cep_first_match.
+
+    Plan: ONE keyed window pass per BLOCK (dense_rank + conditional
+    min-agg) instead of one join round per OCCURRENCE — a times(10)
+    block costs the same two shuffles as a times(2) block, where the
+    flattened cep_first_match would pay 9 join/agg rounds. Blocks
+    after the first add one keyed join each. No per-key Python, no
+    state machine; scales like any keyed window query."""
+    if not steps or sum(m for _, m in steps) < 2:
+        raise ValueError("a quantified CEP pattern needs >= 2 total events")
+    if any(m < 1 for _, m in steps):
+        raise ValueError("every quantifier count must be >= 1")
+    cur = None
+    base = 0  # timestamps emitted so far (t1..t{base})
+    for s, m in steps:
+        if cur is None:
+            ranked = (
+                events.filter(F.col(type_col) == s)
+                .select(key_col, ts_col)
+                .withColumn(
+                    "__dr",
+                    F.dense_rank().over(
+                        Window.partitionBy(key_col).orderBy(ts_col)
+                    ),
+                )
+                .filter(F.col("__dr") <= m)
+            )
+            cur = ranked.groupBy(key_col).agg(
+                *[
+                    F.min(
+                        F.when(F.col("__dr") == j, F.col(ts_col))
+                    ).alias(f"t{base + j}")
+                    for j in range(1, m + 1)
+                ]
+            )
+        else:
+            prev = f"t{base}"
+            ev_s = events.filter(F.col(type_col) == s).select(
+                F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")
+            )
+            # cur is one row per key (min-agg chains), so the window
+            # partitions on the key alone.
+            ranked = (
+                cur.join(
+                    ev_s,
+                    (cur[key_col] == ev_s["__k"])
+                    & (F.col("__ts") > F.col(prev)),
+                )
+                .drop("__k")
+                .withColumn(
+                    "__dr",
+                    F.dense_rank().over(
+                        Window.partitionBy(key_col).orderBy("__ts")
+                    ),
+                )
+                .filter(F.col("__dr") <= m)
+            )
+            prev_cols = [f"t{j}" for j in range(1, base + 1)]
+            cur = ranked.groupBy(key_col, *prev_cols).agg(
+                *[
+                    F.min(F.when(F.col("__dr") == j, F.col("__ts"))).alias(
+                        f"t{base + j}"
+                    )
+                    for j in range(1, m + 1)
+                ]
+            )
+        base += m
+        # A key lacking the block's full count stalls out here (the
+        # chain cannot complete, and later blocks would propagate the
+        # null anyway) — dropping it early keeps the join inputs small.
+        cur = cur.filter(F.col(f"t{base}").isNotNull())
+    last = f"t{base}"
+    return (
+        cur.filter(F.col(last) <= F.col("t1") + F.expr(f"INTERVAL {within}"))
+        .select(
+            key_col,
+            F.col("t1").alias("start_ts"),
+            F.col(last).alias("end_ts"),
+            (
+                F.unix_micros(F.col(last)) - F.unix_micros("t1")
+            ).cast("double").alias("duration_us"),
+        )
+        .withColumn("duration_s", F.round(F.col("duration_us") / 1e6, 6))
+        .drop("duration_us")
+    )
+
+
 def cep_strict_matches(
     events: DataFrame,
     steps: list[str],

@@ -96,69 +96,73 @@ def register(
 # FIRST 50 keys of queries(), so the prefix below is curated to cover
 # EVERY batch-expressible SURVEY.md §2 row with at least one
 # representative (tests/test_registry_order.py pins this), and it
-# ROTATES each round (VERDICT r3 item 3). r5 window = the 7 queries
-# Final r5 rotation: NEW this round + EVERY query that has not yet
-# appeared in an official CORRECTNESS window (VERDICT r4 item 6 —
-# "union of r1–r5 windows = full registry"). The §2-covering core
-# queries rotated out here all hold official passes from the r1–r4
-# windows (pass* in the judge's legend), so nothing loses its
-# strongest-available check; scripts/driver_sim.py --all + pytest
-# still re-verify the whole registry every session.
-# kmeans_cluster_profile is rows-only by design and is included so
-# its weaker rows-only check also lands in an official record once.
-# pricing_summary stays first (entry() runs it).
+# ROTATES each round (VERDICT r3 item 3).
+#
+# r6 rotation (VERDICT r5 items 1, 3, 4): first the PINS — the two
+# r5 HASH-FAILs re-sampled post-fix, approx_unique_visitors (its
+# tolerance oracle has never been in an official window), the new
+# times(n) CEP query, the three queries whose result types were
+# aligned this round, and pivot_daily_activity (the pivot() surface,
+# officially green r4 — re-pinned to close VERDICT r5 item 4) — then
+# STALENESS-FIRST refresh: every remaining query whose last official
+# sample was r3 (or r2 for the rows-only spark_native_hashes), then
+# the oldest r4 entries with the widest §2 spread. Union coverage
+# over r1–r6 official windows stays complete (the structural test);
+# this window maximizes the freshness of the oldest verdicts.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
-    "bpe_encode_stats",           # X7 X1 F1 J1 A1 (new in r5)
-    "bpe_sequence_packing",       # X7 X1 W4 F2 (new in r5)
-    "bpe_token_budget_sample",    # X7 F8 A2 (new in r5)
-    "late_corrected_windows",     # T4 T1 W4 A1 F8 (new in r5)
-    "png_decode_stats",           # X8 X2 A2 F3 (new in r5)
-    "late_ship_priority_counts",  # J1 A1 (never r1–r4; TPC-H family)
-    "small_qty_parts_revenue",    # J1 A5 (never r1–r4)
-    "big_volume_customers",       # J1 A1 O2 (never r1–r4)
-    "ivf_ann_incremental_topk",   # X6 (new in r5 — IVF append path)
-    "nation_revenue_share",       # J1 A1 (never r1–r4)
-    "wealthy_inactive_customers",  # J6 P2 (never r1–r4)
-    "volume_shipping_pairs",      # J1 A1 F2 (never r1–r4)
-    "market_share_by_year",       # J1 A1 F4 (never r1–r4)
-    "customer_order_distribution",  # J2 A1 (never r1–r4)
-    "cep_funnel_timeouts",        # T7 T4 J2 A9 (new in r5 — CEP timeout side output)
-    "promo_revenue_share",        # J1 F4 A5 (never r1–r4)
-    "wav_decode_stats",           # X8 X2 A2 F3 (new in r5 — real audio decode)
-    "part_supplier_diversity",    # J5 A3 (never r1–r4)
-    "late_priority_mix",          # P2 F4 A1 (never r1–r4)
-    "price_moments_by_flag",      # A2 F3 (never r1–r4)
-    "kmeans_cluster_profile",     # X6 (rows-only by design; first official record)
-    "text_normalization_checksum",  # X7 F1 F8 A1 (never driver-sampled r1–r4)
-    "token_budget_sample",        # X7 F8 A2 (never r1–r4)
-    "video_frame_sample_plan",    # X8 F5 P1 (never r1–r4)
-    "near_dup_simhash",           # X5 (never r1–r4)
-    "doc_fingerprint_stats",      # X4 X7 F8 (never r1–r4)
-    "minhash_signatures_sample",  # X5 (never r1–r4)
-    "near_dup_incremental",       # X5 X4 J1 (never r1–r4)
-    "ivf_ann_topk",               # X6 (never r1–r4)
-    "pq_ann_topk",                # X6 (never r1–r4)
-    "ann_lsh_topk",               # X6 (never r1–r4)
-    "label_homophily_check",      # X6 J1 (never r1–r4)
-    "kmeans_quality_summary",     # X6 (never r1–r4)
-    "grouping_sets_traffic",      # A6 (never r1–r4)
-    "right_join_supplier_nations",  # J2 (never r1–r4)
-    "pii_redaction_stats",        # X7 F1 (never r1–r4)
-    "disjunctive_predicate_revenue",  # J1 P2 A5 (never r1–r4)
-    "excess_share_suppliers",     # J5 A1 A2 (never r1–r4)
-    "min_cost_supplier_per_part",  # J1 A2 U3 (never r1–r4)
-    "unshipped_order_revenue",    # J1 O2 A1 (never r1–r4)
-    "local_supplier_volume",      # J1 J3 A1 (never r1–r4)
-    "forecast_revenue_change",    # P2 A5 A1 (never r1–r4)
-    "cep_funnel_first_match",     # T7 J4 W3 A9 (new in r5 — generic CEP)
-    "state_transition_matrix",    # W3 S2 A1 (never r1–r4)
-    "cep_strict_error_runs",      # T7 W3 W1 (new in r5 — generic CEP)
-    "training_shuffle_manifest",  # X7 F8 W1 (never r1–r4)
-    "stratified_split_by_source",  # X7 F8 A1 F4 (never r1–r4)
-    "incremental_dedup_delta",    # X4 F8 J6 A9 (never r1–r4)
-    "bpe_merge_learning",         # X7 X1 F1 A1 (never r1–r4)
+    "late_priority_mix",          # J1 A2 F4 — r5 HASH-FAIL, oracle fixed r6
+    "pii_redaction_stats",        # X7 F1 — r5 HASH-FAIL, oracle fixed r6
+    "approx_unique_visitors",     # A4 — tolerance oracle's first official sample
+    "cep_times_quantifier",       # T7 W1 J4 — NEW r6: times(n) quantifier
+    "jpeg_decode_stats",          # X8 X2 A2 F3 — NEW r6: real JPEG decode
+    "tfidf_top_terms",            # X7 — rnk int→bigint aligned r6
+    "sequence_packing_chunks",    # X7 W4 F2 — n_toks int→bigint aligned r6
+    "training_shuffle_manifest",  # X7 F8 W1 — n_toks int→bigint aligned r6
+    "pivot_daily_activity",       # A6 A1 — pivot() surface (green r4; re-pin)
+    # --- last officially sampled r3 (staleness refresh) ---
+    "abandoned_clicks_daily",     # T7 J6 T4
+    "anti_join_no_big_order",     # J6
+    "array_funcs_documents",      # F5
+    "benchmark_contamination",    # X7 X4 J5 F8
+    "corpus_curation_pipeline",   # X7 X4 P4
+    "cosine_topk_bruteforce",     # X6
+    "datetime_funcs_orders",      # F2
+    "distinct_users_by_type",     # A3 U3
+    "event_gaps",                 # W3 F2
+    "exact_dedup_docs",           # X4 F8 A9
+    "hash_funcs_documents",       # F8
+    "interval_join_click_purchase",  # J4 T7
+    "json_props_stats",           # P3 F7 F6
+    "label_centroids",            # X6 F5 A1
+    "leakage_safe_split",         # X7 X4 F8 J6
+    "left_join_recent_spend",     # J2 P4
+    "math_conditional_orders",    # F3 F4
+    "nations_with_customers_and_suppliers",  # U2 J5
+    "near_dup_clusters",          # X5 X4
+    "near_dup_embeddings",        # X5 X6 F5
+    "near_dup_jaccard",           # X5
+    "near_dup_minhash",           # X5
+    "new_vs_returning_daily",     # T6 T1 W3
+    "pandas_udf_token_stats",     # X2 X7
+    "rollup_revenue",             # A6
+    "running_customer_spend",     # W4 O1
+    "semi_join_recent_customers",  # J5
+    "star_join_revenue",          # J1 J3 A1
+    "string_funcs_part",          # F1
+    "temporal_join_purchase_state",  # J4 S2 T8
+    "top_parts_per_nation",       # W1 J3
+    "union_activity_feed",        # U1
+    "user_state_intervals",       # S2 W3
+    "value_percentiles",          # A8
+    "spark_native_hashes",        # F8 rows-only by design (last r2)
+    # --- oldest r4 entries, widest §2 spread ---
+    "asof_join_purchase_last_click",  # J8
+    "cdc_scd2_intervals",         # S2 T8
+    "session_window_stats",       # T3
+    "daily_unique_visitors",      # T5
+    "customer_balance_quartiles",  # W2
 )
 
 

@@ -16,6 +16,7 @@ from flink_realtime_edu_spark.operators.cep import (
     cep_first_match,
     cep_strict_matches,
     cep_timed_out,
+    cep_times,
 )
 from flink_realtime_edu_spark.queries import register
 from flink_realtime_edu_spark.sources import load
@@ -113,6 +114,77 @@ SELECT user_id, t1 AS start_ts, {horizon} AS horizon_ts,
 FROM (SELECT *, {matched} AS matched FROM s{k})
 WHERE matched < {k}
 """
+
+
+def _times_oracle(blocks: list[tuple[str, int]], within_sql: str) -> str:
+    """Replay cep_times: per block, dense_rank over the key's events
+    of that type (after the previous block's last timestamp), then a
+    conditional-min pivot of ranks 1..m — the earliest
+    strictly-increasing chain, block-natively."""
+    parts = []
+    base = 0
+    for i, (s, m) in enumerate(blocks, start=1):
+        mins = ",\n         ".join(
+            f"MIN(CASE WHEN dr = {j} THEN u END) AS t{base + j}"
+            for j in range(1, m + 1)
+        )
+        prev_cols = ", ".join(f"t{j}" for j in range(1, base + 1))
+        keep = ("user_id, " + prev_cols) if prev_cols else "user_id"
+        if i == 1:
+            parts.append(
+                f"""WITH b1 AS (
+  SELECT user_id, ts AS u,
+         DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS dr
+  FROM events WHERE event_type = '{s}'
+), s1 AS (
+  SELECT user_id, {mins}
+  FROM b1 WHERE dr <= {m} GROUP BY user_id
+  HAVING MIN(CASE WHEN dr = {m} THEN u END) IS NOT NULL
+)"""
+            )
+        else:
+            parts.append(
+                f""", b{i} AS (
+  SELECT p.*, e.ts AS u,
+         DENSE_RANK() OVER (PARTITION BY p.user_id ORDER BY e.ts) AS dr
+  FROM s{i - 1} p JOIN events e
+    ON e.user_id = p.user_id AND e.ts > p.t{base}
+  WHERE e.event_type = '{s}'
+), s{i} AS (
+  SELECT {keep}, {mins}
+  FROM b{i} WHERE dr <= {m} GROUP BY {keep}
+  HAVING MIN(CASE WHEN dr = {m} THEN u END) IS NOT NULL
+)"""
+            )
+        base += m
+    return "".join(parts) + f"""
+SELECT user_id, t1 AS start_ts, t{base} AS end_ts,
+       ROUND((epoch_us(t{base}) - epoch_us(t1)) / 1e6, 6) AS duration_s
+FROM s{len(blocks)} WHERE t{base} <= t1 + INTERVAL {within_sql}
+"""
+
+
+_TIMES_BLOCKS = [("click", 3), ("purchase", 1)]
+_TIMES_WITHIN = "96 hours"
+
+
+@register(
+    "cep_times_quantifier",
+    survey_rows=("T7", "W1", "J4"),
+    oracle=_times_oracle(_TIMES_BLOCKS, "96 HOUR"),
+)
+def cep_times_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified CEP (Flink ``times(n)``): users whose earliest
+    chain of THREE clicks followed by a purchase completes within
+    96 h — the 'engaged-then-converted' funnel with a repetition
+    quantifier, the last Flink Pattern-API surface without a query.
+    Block-native plan: the times(3) block is ONE dense_rank window
+    pass + conditional min-pivot (two shuffles however large n gets),
+    not three join rounds; equivalence with the flattened
+    click,click,click,purchase chain is pinned by a property test.
+    Oracle replays the same block structure as generated CTEs."""
+    ev = load(spark, sf_dir, "events")
+    return cep_times(ev, _TIMES_BLOCKS, _TIMES_WITHIN)
 
 
 @register(

@@ -240,6 +240,119 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_decode_stats",
+    survey_rows=("X8", "X2", "A2", "F3"),
+    oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         1 + (doc_id % 4) AS bw,
+         1 + (doc_id % 5) AS bh
+  FROM documents WHERE doc_id < 50
+), px AS (
+  SELECT media_id, bw, bh,
+         SUM(64 * ((media_id * 31 + by.b * 7 + bx.b * 13) % 256)) AS pixel_sum
+  FROM ids,
+       unnest(generate_series(0, bh - 1)) by(b),
+       unnest(generate_series(0, bw - 1)) bx(b)
+  GROUP BY 1, 2, 3
+)
+SELECT media_id,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(bh * 8 AS INT) AS height,
+       CAST(bw * bh * 64 AS BIGINT) AS n_px,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       ROUND(pixel_sum / (bw * bh * 64.0), 6) AS pixel_mean
+FROM px
+""",
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode through the X8 pipeline — the JPEG
+    sibling of png_decode_stats: 50 synthetic block-mosaic images
+    (each 8x8 block constant at (id*31 + by*7 + bx*13) % 256,
+    geometry keyed by doc_id) are baseline-JFIF ENCODED then decoded
+    back by the pure-stdlib codec (multimodal/jpeg.py) inside one
+    Arrow-batched mapInPandas stage, and the DECODED pixels are
+    aggregated. Constant blocks make the lossy round-trip EXACT (only
+    the DC coefficient survives the forward DCT, and the default
+    table's q00 = 8 divides it evenly — see the codec docstring), so
+    the DuckDB oracle states the decoded statistics analytically while
+    the decode still runs the full marker/Huffman/dequant/IDCT
+    machinery; any defect in either direction breaks the value match.
+
+    Scale shape identical to the PNG path: per-asset decode is
+    partition-local, payloads cross the JVM↔Python boundary once,
+    one small output row per asset."""
+    import sys
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark import cloudpickle
+
+    import flink_realtime_edu_spark.multimodal as _mm
+    import flink_realtime_edu_spark.multimodal.jpeg as _jpeg
+    import flink_realtime_edu_spark.multimodal.png as _png
+    import flink_realtime_edu_spark.multimodal.wav as _wav
+    from flink_realtime_edu_spark.multimodal import decode_image
+    from flink_realtime_edu_spark.multimodal.jpeg import encode_jpeg
+
+    cloudpickle.register_pickle_by_value(_jpeg)
+    cloudpickle.register_pickle_by_value(_png)
+    cloudpickle.register_pickle_by_value(_wav)
+    cloudpickle.register_pickle_by_value(_mm)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("media_id"),
+        (1 + F.col("doc_id") % 4).cast("int").alias("bw"),
+        (1 + F.col("doc_id") % 5).cast("int").alias("bh"),
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, bw, bh in zip(pdf["media_id"], pdf["bw"], pdf["bh"]):
+                by, bx = np.meshgrid(
+                    np.arange(int(bh)), np.arange(int(bw)), indexing="ij"
+                )
+                blocks = (
+                    (int(mid) * 31 + by * 7 + bx * 13) % 256
+                ).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                decoded = decode_image(encode_jpeg(img), "image/jpeg")
+                n_px = int(decoded.size)
+                psum = int(decoded.astype(np.int64).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        int(decoded.shape[1]),
+                        int(decoded.shape[0]),
+                        n_px,
+                        psum,
+                        round(psum / float(n_px), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "pixel_sum",
+                    "pixel_mean",
+                ],
+            )
+
+    return ids.mapInPandas(
+        stats,
+        schema="media_id long, width int, height int, n_px bigint, "
+        "pixel_sum bigint, pixel_mean double",
+    )
+
+
+@register(
     "wav_decode_stats",
     survey_rows=("X8", "X2", "A2", "F3"),
     oracle="""

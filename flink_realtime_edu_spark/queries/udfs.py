@@ -127,43 +127,6 @@ def grouping_sets_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
-# --------------------------------------------------------------------------
-# A6-adjacent — pivot (wide conditional aggregation)
-# --------------------------------------------------------------------------
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-_PIVOT_ORACLE = "SELECT CAST(date_trunc('day', ts) AS DATE) AS day,\n" + ",\n".join(
-    f"  CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
-    for t in _EVENT_TYPES
-) + "\nFROM events GROUP BY 1"
-
-
-@register(
-    "pivot_event_type_daily",
-    survey_rows=("A6", "A1"),
-    oracle=_PIVOT_ORACLE,
-    doc="pivot(): daily event counts widened to one column per event type",
-)
-def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily traffic matrix via ``groupBy(day).pivot(event_type)`` —
-    the relational pivot the reference family builds DWS wide tables
-    with (SURVEY.md exhaustiveness note: pivot was the one named
-    Spark surface without a registered query). The pivot VALUES are
-    passed explicitly, which matters at 100 TB: without them Spark
-    runs an extra distinct-values job over the full fact table before
-    it can even plan. With them the whole query is one scan + one
-    shuffle — Catalyst compiles pivot to the same conditional
-    partial/final hash aggregate the DuckDB FILTER oracle states.
-    Absent (day, type) cells are 0 (na.fill), matching COUNT FILTER."""
-    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    wide = (
-        ev.groupBy("day")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    return wide.na.fill(0, list(_EVENT_TYPES))
-
-
 _CUBE_SQL = """
 SELECT c_mktsegment, n_name, COUNT(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -158,19 +158,62 @@ def test_png_codec_rejects_bad_input():
         decode_png(cut_in_crc)
 
 
-def test_decode_image_dispatches_png(spark):
-    """decode_image now really decodes PNG payloads; other mimes keep
-    the honest NotImplementedError."""
+def test_decode_image_dispatches_png_and_jpeg(spark):
+    """decode_image really decodes PNG and baseline grayscale JPEG
+    payloads (dispatch on the payload magic); other formats keep the
+    honest NotImplementedError."""
     import numpy as np
     import pytest
 
     from flink_realtime_edu_spark.multimodal import decode_image
+    from flink_realtime_edu_spark.multimodal.jpeg import encode_jpeg
     from flink_realtime_edu_spark.multimodal.png import encode_png
 
     img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     assert (decode_image(encode_png(img), "image/png") == img).all()
+    gray = np.full((8, 8), 77, dtype=np.uint8)
+    assert (decode_image(encode_jpeg(gray), "image/jpeg") == gray).all()
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg", "image/jpeg")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
+
+
+def test_jpeg_codec_rejects_bad_and_out_of_scope_input():
+    """Scope limits must fail loudly: progressive SOF2, restart
+    intervals, color scans and 16-bit quant tables are documented
+    NotImplementedError; structural damage is ValueError — never a
+    struct.error or silent garbage leaking out of a mapInPandas
+    task."""
+    import numpy as np
+    import pytest
+
+    from flink_realtime_edu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    good = encode_jpeg(np.full((8, 8), 10, dtype=np.uint8))
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive is out of scope
+    sof_at = good.index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(prog))
+    # truncated entropy stream must be the documented ValueError (a
+    # noisy image at unit quant guarantees the cut lands mid-entropy)
+    rng = np.random.default_rng(3)
+    big = encode_jpeg(
+        rng.integers(0, 256, (16, 16), dtype=np.uint8),
+        quant=np.ones((8, 8), dtype=np.int64),
+    )
+    with pytest.raises(ValueError, match="truncated|marker|Huffman"):
+        decode_jpeg(big[:-40] + b"\xff\xd9")
+    # encoder scope: color arrays and bad quant tables
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="quant"):
+        encode_jpeg(
+            np.zeros((8, 8), dtype=np.uint8),
+            quant=np.zeros((8, 8), dtype=np.int64),
+        )
 
 
 def test_wav_codec_roundtrip_mono_stereo_and_rejects_bad_input():

@@ -883,6 +883,75 @@ def test_cep_timed_out_partial_matches(spark):
     assert set(out) & matched == set()
 
 
+def test_cep_times_quantifier_semantics_and_flattened_equivalence(
+    spark, sf_dir
+):
+    """times(n) semantics on a hand-built sequence (three clicks then
+    a purchase; too-few-clicks and out-of-order keys never fire; the
+    horizon cuts late completions), plus the load-bearing property:
+    the block-native plan (one dense_rank window per block) is
+    row-identical to cep_first_match over the FLATTENED step list on
+    real data."""
+    from flink_realtime_edu_spark.operators.cep import (
+        cep_first_match,
+        cep_times,
+    )
+
+    rows = [
+        # user 1: clicks @0,1h,2h then purchase @3h → chain 0..3h
+        (0, "2024-01-01 00:00:00", 1, "click"),
+        (1, "2024-01-01 01:00:00", 1, "click"),
+        (2, "2024-01-01 02:00:00", 1, "click"),
+        (3, "2024-01-01 03:00:00", 1, "purchase"),
+        # user 2: only two clicks → never fires
+        (4, "2024-01-01 00:00:00", 2, "click"),
+        (5, "2024-01-01 01:00:00", 2, "click"),
+        (6, "2024-01-01 02:00:00", 2, "purchase"),
+        # user 3: purchase BEFORE the third click → no completion
+        (7, "2024-01-01 00:00:00", 3, "click"),
+        (8, "2024-01-01 01:00:00", 3, "click"),
+        (9, "2024-01-01 02:00:00", 3, "purchase"),
+        (10, "2024-01-01 03:00:00", 3, "click"),
+        # user 4: completes but only at 30h — horizon-sensitive
+        (11, "2024-01-01 00:00:00", 4, "click"),
+        (12, "2024-01-01 01:00:00", 4, "click"),
+        (13, "2024-01-01 02:00:00", 4, "click"),
+        (14, "2024-01-02 06:00:00", 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    blocks = [("click", 3), ("purchase", 1)]
+
+    got = {
+        r.user_id: (r.start_ts.isoformat(), r.end_ts.isoformat(), r.duration_s)
+        for r in cep_times(ev, blocks, "24 hours").collect()
+    }
+    assert got == {
+        1: ("2024-01-01T00:00:00", "2024-01-01T03:00:00", 10800.0)
+    }
+    got48 = {r.user_id for r in cep_times(ev, blocks, "48 hours").collect()}
+    assert got48 == {1, 4}
+
+    # Equivalence with the flattened chain on real data (sf0.001).
+    real = load(spark, sf_dir, "events")
+    a = sorted(map(tuple, cep_times(real, blocks, "96 hours").collect()))
+    b = sorted(
+        map(
+            tuple,
+            cep_first_match(
+                real, ["click", "click", "click", "purchase"], "96 hours"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError, match=">= 2 total events"):
+        cep_times(ev, [("click", 1)], "1 hour")
+    with pytest.raises(ValueError, match="count must be >= 1"):
+        cep_times(ev, [("click", 0), ("purchase", 2)], "1 hour")
+
+
 def test_ivf_append_assigns_and_search_finds_delta_vectors(spark, sf_dir):
     """Incremental IVF: appended vectors land in valid cluster lists
     (argmin-L2 of the SAME metric the fitted quantizer uses), search

@@ -623,3 +623,49 @@ def test_png_codec_roundtrip_property(h, w, c, vary, seed):
     img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
     out = decode_png(encode_png(img, vary_filters=vary))
     assert out.shape == img.shape and (out == img).all()
+
+
+@FAST
+@given(
+    bh=st.integers(min_value=1, max_value=5),
+    bw=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_constant_blocks_roundtrip_exactly(bh, bw, seed):
+    """The analytic-oracle property jpeg_decode_stats leans on: an
+    image of CONSTANT 8x8 blocks survives the LOSSY baseline pipeline
+    bit-exactly (only the DC coefficient is nonzero and the default
+    table's q00 = 8 divides it evenly) — for every mosaic geometry
+    and block coloring."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(bh, bw)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape and np.array_equal(out, img)
+
+
+@FAST
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_arbitrary_roundtrip_within_quant_tolerance(h, w, seed):
+    """Arbitrary (non-block-aligned — the MCU edge-padding path)
+    uint8 images round-trip through the full Huffman/DCT pipeline
+    within ±1 at a unit quant table: the only loss left is the
+    coefficient rounding, so a larger error means a real defect in
+    either direction. Also pins shape restoration after padding."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=np.ones((8, 8), dtype=np.int64)))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1

@@ -1422,6 +1422,46 @@ def test_cep_stream_equals_batch_with_multichunk_keys(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_cep_times_stream_equals_batch(spark, sf_dir, tmp_path):
+    """A quantified times(n) pattern streams through the SAME keyed
+    automaton as any relaxed pattern — the quantifier flattens to a
+    repeated step list (the batch operator's equivalence property) —
+    and must reproduce the block-native batch cep_times exactly on an
+    ordered replay crossing micro-batch boundaries."""
+    from flink_realtime_edu_spark.operators.cep import cep_times
+    from flink_realtime_edu_spark.streaming.cep import cep_first_match_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    blocks, within = [("click", 2), ("purchase", 1)], "48 hours"
+    flat = [s for s, m in blocks for _ in range(m)]
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    src = tmp_path / "cep_times_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+    stream = cep_first_match_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        flat,
+        within,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cep_times_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_times"))
+        .start()
+    )
+    run_to_completion(q)
+    got = _rows(spark.sql("SELECT * FROM cep_times_stream"))
+    want = _rows(cep_times(ev, blocks, within))
+    assert got == want and len(want) > 0
+
+
 def test_cep_timeout_stream_equals_batch(spark, sf_dir, tmp_path):
     """The timeout-emitting streaming CEP must reproduce BOTH batch
     sides exactly on an ordered replay: completions ≡ cep_first_match
