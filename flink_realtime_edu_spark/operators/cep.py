@@ -202,7 +202,19 @@ def cep_times(
     block costs the same two shuffles as a times(2) block, where the
     flattened cep_first_match would pay 9 join/agg rounds. Blocks
     after the first add one keyed join each. No per-key Python, no
-    state machine; scales like any keyed window query."""
+    state machine; scales like any keyed window query.
+
+    Why there is no ``times(m, n)`` range or ``optional()`` here:
+    under EARLIEST-COMPLETION first-match semantics (this module's
+    declared restriction) they degenerate — consuming more than the
+    minimum occurrences of a block can only push every later step's
+    earliest admissible event later, so the earliest chain for
+    times(m, n) is exactly times(m), and an optional block is exactly
+    times(0) = absent. Range/optional quantifiers only become
+    distinguishable under ALL-matches enumeration (Flink's
+    skip-till-any-match), which none of the family's funnel queries
+    use; see cep_strict_matches for the mode that does enumerate
+    every position."""
     if not steps or sum(m for _, m in steps) < 2:
         raise ValueError("a quantified CEP pattern needs >= 2 total events")
     if any(m < 1 for _, m in steps):

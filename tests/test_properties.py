@@ -625,6 +625,48 @@ def test_png_codec_roundtrip_property(h, w, c, vary, seed):
     assert out.shape == img.shape and (out == img).all()
 
 
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    n_users=st.integers(min_value=1, max_value=6),
+    m=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_times_equals_flattened_on_random_streams(spark, n, n_users, m, seed):
+    """The load-bearing cep_times property on ADVERSARIAL streams
+    (duplicate timestamps, missing steps, arbitrary interleavings):
+    the block-native dense_rank plan is row-identical to
+    cep_first_match over the flattened step list — including the
+    equal-timestamp edge where both sides must treat the strictly-
+    increasing chain as the block's m smallest DISTINCT timestamps."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_first_match, cep_times
+
+    rng = random.Random(seed)
+    types = ["click", "purchase", "view"]
+    rows = [
+        (
+            i,
+            # coarse second grid + small range => plenty of exact ties
+            f"2024-01-01 00:00:{rng.randrange(50):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type"
+    )
+    blocks = [("click", m), ("purchase", 1)]
+    flat = ["click"] * m + ["purchase"]
+    a = sorted(map(tuple, cep_times(ev, blocks, "30 seconds").collect()))
+    b = sorted(map(tuple, cep_first_match(ev, flat, "30 seconds").collect()))
+    assert a == b
+
+
 @FAST
 @given(
     bh=st.integers(min_value=1, max_value=5),
