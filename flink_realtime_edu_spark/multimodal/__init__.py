@@ -79,6 +79,32 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def register_codecs_by_value(*extra_modules) -> None:
+    """Register this package and EVERY codec module it imports for
+    cloudpickle by-value serialization, plus any ``extra_modules``
+    (typically the caller's own query module).
+
+    Executors in the driver harness have no importable copy of the
+    repo (driver cwd ≠ repo), so any function a mapInPandas stage
+    closes over must ship by value. The list lives HERE, next to the
+    imports at the top of this module, because it must track them
+    exactly: when a new codec module is imported above, a query that
+    registered only the modules it knew about would pickle the new
+    symbol by reference and fail to unpickle on executors (this
+    exact drift broke png_decode_stats when the JPEG codec joined
+    the dispatch)."""
+    import sys as _sys
+
+    from pyspark import cloudpickle
+
+    from flink_realtime_edu_spark.multimodal import jpeg as _jpeg
+    from flink_realtime_edu_spark.multimodal import png as _png
+    from flink_realtime_edu_spark.multimodal import wav as _wav
+
+    for mod in (_jpeg, _png, _wav, _sys.modules[__name__], *extra_modules):
+        cloudpickle.register_pickle_by_value(mod)
+
+
 def demo_media_frame(spark: SparkSession, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake corpus: payload bytes derived from sha256 of
     the id (stable across runs/partitionings) with plausible metadata."""

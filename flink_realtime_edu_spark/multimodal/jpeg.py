@@ -294,16 +294,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = -1
+    comp_q_tbl = 0
     comp_dc_tbl = comp_ac_tbl = 0
     scan: bytes | None = None
     while pos < len(data):
+        if pos + 2 > len(data):
+            raise ValueError("JPEG marker stream truncated")
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(data):
+            raise ValueError("JPEG marker stream truncated")
         (seglen,) = struct.unpack_from(">H", data, pos)
+        if pos + seglen > len(data):
+            raise ValueError("JPEG segment truncated")
         payload = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -312,6 +319,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 prec, tid = payload[p] >> 4, payload[p] & 0x0F
                 if prec:
                     raise NotImplementedError("16-bit quant tables")
+                if p + 65 > len(payload):
+                    raise ValueError("JPEG DQT segment truncated")
                 tbl = np.zeros((8, 8), dtype=np.int64)
                 for k, (r, c) in enumerate(_ZIGZAG):
                     tbl[r, c] = payload[p + 1 + k]
@@ -321,12 +330,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(payload):
                 cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                if p + 17 > len(payload):
+                    raise ValueError("JPEG DHT segment truncated")
                 bits = [0] + list(payload[p + 1 : p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(payload):
+                    raise ValueError("JPEG DHT segment truncated")
                 vals = list(payload[p + 17 : p + 17 + n])
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 9:
+                raise ValueError("JPEG SOF0 segment truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -337,6 +352,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             # per-component bytes: id, sampling (H<<4|V), quant id
             if payload[7] != 0x11:
                 raise NotImplementedError("subsampled components")
+            comp_q_tbl = payload[8]  # Tq: the component's table SELECTOR
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
                 f"SOF{marker - 0xC0}: only baseline sequential (SOF0)"
@@ -344,13 +360,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if len(payload) < 3:
+                raise ValueError("JPEG SOS segment truncated")
             tbls = payload[2]
             comp_dc_tbl, comp_ac_tbl = tbls >> 4, tbls & 0x0F
             scan = data[pos : len(data) - 2]  # up to EOI
             break
     if scan is None or h < 0:
         raise ValueError("JPEG stream missing SOF/SOS")
-    q = quant.get(0)
+    q = quant.get(comp_q_tbl)
     dc = huff.get((0, comp_dc_tbl))
     ac = huff.get((1, comp_ac_tbl))
     if q is None or dc is None or ac is None:

@@ -176,19 +176,18 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark import cloudpickle  # the vendored copy Spark serializes with
 
-    import flink_realtime_edu_spark.multimodal as _mm
-    import flink_realtime_edu_spark.multimodal.png as _png
-    from flink_realtime_edu_spark.multimodal import decode_image
+    from flink_realtime_edu_spark.multimodal import (
+        decode_image,
+        register_codecs_by_value,
+    )
     from flink_realtime_edu_spark.multimodal.png import encode_png
 
     # Executors need no importable copy of the package (driver cwd ≠
-    # repo in the driver harness) — ship the codec by value, the
-    # operators/similarity.py discipline.
-    cloudpickle.register_pickle_by_value(_png)
-    cloudpickle.register_pickle_by_value(_mm)
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # repo in the driver harness) — ship ALL codec modules by value
+    # (single-sourced next to the package imports, so a new codec in
+    # the dispatch cannot silently break this query again).
+    register_codecs_by_value(sys.modules[__name__])
 
     d = load(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") < 60).select(
@@ -287,20 +286,14 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark import cloudpickle
 
-    import flink_realtime_edu_spark.multimodal as _mm
-    import flink_realtime_edu_spark.multimodal.jpeg as _jpeg
-    import flink_realtime_edu_spark.multimodal.png as _png
-    import flink_realtime_edu_spark.multimodal.wav as _wav
-    from flink_realtime_edu_spark.multimodal import decode_image
+    from flink_realtime_edu_spark.multimodal import (
+        decode_image,
+        register_codecs_by_value,
+    )
     from flink_realtime_edu_spark.multimodal.jpeg import encode_jpeg
 
-    cloudpickle.register_pickle_by_value(_jpeg)
-    cloudpickle.register_pickle_by_value(_png)
-    cloudpickle.register_pickle_by_value(_wav)
-    cloudpickle.register_pickle_by_value(_mm)
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    register_codecs_by_value(sys.modules[__name__])
 
     d = load(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") < 50).select(
@@ -400,18 +393,14 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark import cloudpickle
 
-    import flink_realtime_edu_spark.multimodal as _mm
-    import flink_realtime_edu_spark.multimodal.png as _png
-    import flink_realtime_edu_spark.multimodal.wav as _wav
-    from flink_realtime_edu_spark.multimodal import decode_audio
+    from flink_realtime_edu_spark.multimodal import (
+        decode_audio,
+        register_codecs_by_value,
+    )
     from flink_realtime_edu_spark.multimodal.wav import encode_wav
 
-    cloudpickle.register_pickle_by_value(_wav)
-    cloudpickle.register_pickle_by_value(_png)
-    cloudpickle.register_pickle_by_value(_mm)
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    register_codecs_by_value(sys.modules[__name__])
 
     d = load(spark, sf_dir, "documents")
     ids = d.filter(F.col("doc_id") < 40).select(

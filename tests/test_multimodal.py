@@ -214,6 +214,48 @@ def test_jpeg_codec_rejects_bad_and_out_of_scope_input():
             np.zeros((8, 8), dtype=np.uint8),
             quant=np.zeros((8, 8), dtype=np.int64),
         )
+    # truncation INSIDE the marker header stream must be the
+    # documented ValueError, not IndexError/struct.error
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(b"\xff\xd8\xff")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8\xff\xdb")
+    dqt_at = good.index(b"\xff\xdb")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[: dqt_at + 10])
+
+
+def test_jpeg_decoder_honors_sof_quant_table_selector():
+    """A valid file whose component selects quant table id 1 (Tq=1)
+    must decode with THAT table — a decoder hardcoding slot 0 would
+    silently dequantize with the wrong table and return garbage
+    pixels with no error."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.kron(
+        np.arange(4, dtype=np.uint8).reshape(2, 2) * 60 + 17,
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    good = encode_jpeg(img)
+    # rewrite the DQT table id 0 -> 1 and the SOF component Tq 0 -> 1
+    moved = bytearray(good)
+    dqt_at = good.index(b"\xff\xdb")
+    assert moved[dqt_at + 4] == 0x00  # Pq<<4 | Tq of the table def
+    moved[dqt_at + 4] = 0x01
+    sof_at = good.index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) id(1) samp(1) tq(1)
+    assert moved[sof_at + 12] == 0x00
+    moved[sof_at + 12] = 0x01
+    assert np.array_equal(decode_jpeg(bytes(moved)), img)
+    # and a file whose selected table is MISSING must fail loudly
+    only_sof = bytearray(good)
+    only_sof[sof_at + 12] = 0x01  # Tq=1 but only table 0 defined
+    import pytest
+
+    with pytest.raises(ValueError, match="missing quant"):
+        decode_jpeg(bytes(only_sof))
 
 
 def test_wav_codec_roundtrip_mono_stereo_and_rejects_bad_input():
