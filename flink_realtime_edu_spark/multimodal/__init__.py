@@ -17,15 +17,17 @@ metadata-only queries never read payload bytes.
 Processing (decode / resize / feature-extract / frame-sample) runs as
 Arrow-batched ``mapInPandas``: one Python process per partition, one
 pandas batch at a time, so payload bytes cross the JVM↔Python
-boundary exactly once per stage. PNG and baseline grayscale JPEG
-payloads decode for real via the pure-stdlib codecs in :mod:`.png` /
-:mod:`.jpeg` (``decode_image`` dispatches on the payload magic);
-other formats (video/ffmpeg/...) have no codec in this container and
-raise NotImplementedError. `extract_features` uses a deterministic
+boundary exactly once per stage. PNG, baseline grayscale JPEG and
+MJPEG-in-AVI video payloads decode for real via the pure-stdlib
+codecs in :mod:`.png` / :mod:`.jpeg` / :mod:`.avi` (``decode_image``
+/ ``decode_video`` dispatch on the payload magic); other formats
+(mp4/h264/webp/...) have no codec in this container and raise
+NotImplementedError. `extract_features` uses a deterministic
 byte-histogram stand-in with the REAL batch shape, schema and
-partitioning; the PNG, WAV and JPEG paths additionally feed true
-pixel/sample stats (``queries/media.py`` png_decode_stats /
-wav_decode_stats / jpeg_decode_stats) with analytic oracles.
+partitioning; the PNG, WAV, JPEG and AVI paths additionally feed
+true pixel/sample stats (``queries/media.py`` png_decode_stats /
+wav_decode_stats / jpeg_decode_stats / video_decode_stats) with
+analytic oracles.
 """
 
 from __future__ import annotations
@@ -48,6 +50,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from flink_realtime_edu_spark.multimodal.avi import (
+    AVI_TAG,
+    decode_avi_mjpeg,
+)
 from flink_realtime_edu_spark.multimodal.jpeg import JPEG_SOI, decode_jpeg
 from flink_realtime_edu_spark.multimodal.png import PNG_SIGNATURE, decode_png
 from flink_realtime_edu_spark.multimodal.wav import (
@@ -97,11 +103,12 @@ def register_codecs_by_value(*extra_modules) -> None:
 
     from pyspark import cloudpickle
 
+    from flink_realtime_edu_spark.multimodal import avi as _avi
     from flink_realtime_edu_spark.multimodal import jpeg as _jpeg
     from flink_realtime_edu_spark.multimodal import png as _png
     from flink_realtime_edu_spark.multimodal import wav as _wav
 
-    for mod in (_jpeg, _png, _wav, _sys.modules[__name__], *extra_modules):
+    for mod in (_avi, _jpeg, _png, _wav, _sys.modules[__name__], *extra_modules):
         cloudpickle.register_pickle_by_value(mod)
 
 
@@ -147,6 +154,24 @@ def decode_image(payload: bytes, mime: str) -> "np.ndarray":
     raise NotImplementedError(
         f"no codec for {mime!r} in this environment (PNG/JPEG only); "
         "extract_features uses a deterministic byte-level stand-in"
+    )
+
+
+def decode_video(
+    payload: bytes, mime: str, every_nth: int = 1
+) -> tuple[list["np.ndarray"], int]:
+    """Decode a video payload to (list of (H, W) uint8 frames, fps),
+    keeping every ``every_nth``-th frame. MJPEG-in-AVI decodes for
+    real via the pure-stdlib RIFF walker + baseline-JPEG codec
+    (:mod:`.avi` / :mod:`.jpeg`); other containers/codecs
+    (mp4/h264/...) need libraries absent from this container and
+    raise NotImplementedError. Skipped frames are never
+    entropy-decoded — sampling happens at the container walk."""
+    data = bytes(payload)
+    if data[:4] == RIFF_MAGIC and data[8:12] == AVI_TAG:
+        return decode_avi_mjpeg(data, every_nth=every_nth)
+    raise NotImplementedError(
+        f"no video codec for {mime!r} in this environment (MJPEG/AVI only)"
     )
 
 

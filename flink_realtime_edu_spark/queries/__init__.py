@@ -117,6 +117,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "approx_unique_visitors",     # A4 — tolerance oracle's first official sample
     "cep_times_quantifier",       # T7 W1 J4 — NEW r6: times(n) quantifier
     "jpeg_decode_stats",          # X8 X2 A2 F3 — NEW r6: real JPEG decode
+    "video_decode_stats",         # X8 X2 A2 F3 — NEW r6: real MJPEG/AVI decode
     "tfidf_top_terms",            # X7 — rnk int→bigint aligned r6
     "sequence_packing_chunks",    # X7 W4 F2 — n_toks int→bigint aligned r6
     "training_shuffle_manifest",  # X7 F8 W1 — n_toks int→bigint aligned r6
@@ -162,7 +163,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "cdc_scd2_intervals",         # S2 T8
     "session_window_stats",       # T3
     "daily_unique_visitors",      # T5
-    "customer_balance_quartiles",  # W2
 )
 
 

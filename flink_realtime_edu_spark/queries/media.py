@@ -346,6 +346,135 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_decode_stats",
+    survey_rows=("X8", "X2", "A2", "F3"),
+    oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         1 + (doc_id % 3) AS bw,
+         1 + (doc_id % 2) AS bh,
+         3 + (doc_id % 5) AS n_frames
+  FROM documents WHERE doc_id < 20
+), sampled AS (
+  SELECT media_id, bw, bh, n_frames, f.f AS f
+  FROM ids, unnest(generate_series(0, n_frames - 1, 2)) f(f)
+), px AS (
+  SELECT media_id, bw, bh, n_frames,
+         CAST(COUNT(DISTINCT f) AS BIGINT) AS frames_decoded,
+         SUM(64 * ((media_id * 31 + f * 17 + by.b * 7 + bx.b * 13) % 256))
+           AS pixel_sum
+  FROM sampled,
+       unnest(generate_series(0, bh - 1)) by(b),
+       unnest(generate_series(0, bw - 1)) bx(b)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT media_id,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(bh * 8 AS INT) AS height,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       frames_decoded,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       ROUND(pixel_sum / (frames_decoded * bw * bh * 64.0), 6) AS pixel_mean
+FROM px
+""",
+)
+def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode through the X8 pipeline — the last honest
+    codec stub closed: 20 synthetic MJPEG-in-AVI videos (per-frame
+    8x8-block mosaics colored (id*31 + f*17 + by*7 + bx*13) % 256;
+    geometry and frame count keyed by doc_id) are container-ENCODED
+    then decoded back by the pure-stdlib RIFF walker + baseline-JPEG
+    codec (multimodal/avi.py) inside one Arrow-batched mapInPandas
+    stage, SAMPLING every 2nd frame — skipped frames are chunk-walked
+    but never entropy-decoded, the shape that makes a 1% frame grid
+    over a 100 TB corpus cost ~1% of the decode. Constant blocks make
+    the lossy per-frame round-trip exact (the jpeg.py DC-only
+    property), so the DuckDB oracle states the sampled-frame pixel
+    statistics analytically; any container-walk, frame-indexing or
+    JPEG defect breaks the value match."""
+    import sys
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_realtime_edu_spark.multimodal import (
+        decode_video,
+        register_codecs_by_value,
+    )
+    from flink_realtime_edu_spark.multimodal.avi import encode_avi_mjpeg
+    from flink_realtime_edu_spark.multimodal.jpeg import encode_jpeg
+
+    register_codecs_by_value(sys.modules[__name__])
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("media_id"),
+        (1 + F.col("doc_id") % 3).cast("int").alias("bw"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("bh"),
+        (3 + F.col("doc_id") % 5).cast("int").alias("n"),
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, bw, bh, n in zip(
+                pdf["media_id"], pdf["bw"], pdf["bh"], pdf["n"]
+            ):
+                mid, bw, bh, n = int(mid), int(bw), int(bh), int(n)
+                by, bx = np.meshgrid(
+                    np.arange(bh), np.arange(bw), indexing="ij"
+                )
+                frames = [
+                    encode_jpeg(
+                        np.kron(
+                            ((mid * 31 + f * 17 + by * 7 + bx * 13) % 256)
+                            .astype(np.uint8),
+                            np.ones((8, 8), dtype=np.uint8),
+                        )
+                    )
+                    for f in range(n)
+                ]
+                payload = encode_avi_mjpeg(frames, bw * 8, bh * 8, fps=10)
+                decoded, _fps = decode_video(
+                    payload, "video/x-msvideo", every_nth=2
+                )
+                psum = int(
+                    sum(fr.astype(np.int64).sum() for fr in decoded)
+                )
+                n_px = sum(fr.size for fr in decoded)
+                rows.append(
+                    (
+                        mid,
+                        bw * 8,
+                        bh * 8,
+                        n,
+                        len(decoded),
+                        psum,
+                        round(psum / float(n_px), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "frames_decoded",
+                    "pixel_sum",
+                    "pixel_mean",
+                ],
+            )
+
+    return ids.mapInPandas(
+        stats,
+        schema="media_id long, width int, height int, n_frames bigint, "
+        "frames_decoded bigint, pixel_sum bigint, pixel_mean double",
+    )
+
+
+@register(
     "wav_decode_stats",
     survey_rows=("X8", "X2", "A2", "F3"),
     oracle="""

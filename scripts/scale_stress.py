@@ -589,11 +589,12 @@ def main() -> None:
         "cep_strict_error_runs",
         "cep_funnel_timeouts",
         "png_decode_stats",
-        # r6: quantified CEP (block-native dense_rank plan) + JPEG
-        # decode (fixed 50-asset set — constant work by construction,
-        # the ratio pins per-asset decode cost staying flat)
+        # r6: quantified CEP (block-native dense_rank plan) + JPEG/AVI
+        # decode (fixed asset sets — constant work by construction,
+        # the ratios pin per-asset decode cost staying flat)
         "cep_times_quantifier",
         "jpeg_decode_stats",
+        "video_decode_stats",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)

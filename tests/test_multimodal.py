@@ -258,6 +258,56 @@ def test_jpeg_decoder_honors_sof_quant_table_selector():
         decode_jpeg(bytes(only_sof))
 
 
+def test_avi_mjpeg_roundtrip_sampling_and_rejects():
+    """MJPEG-in-AVI: constant-block frames round-trip bit-exactly
+    through container + per-frame JPEG; frame sampling keeps exactly
+    the every-nth grid (and never entropy-decodes the rest); scope
+    and damage fail loudly with the documented exception types."""
+    import numpy as np
+    import pytest
+
+    from flink_realtime_edu_spark.multimodal import decode_video
+    from flink_realtime_edu_spark.multimodal.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from flink_realtime_edu_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    frames_px = [
+        np.kron(
+            rng.integers(0, 256, (2, 3)).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        for _ in range(7)
+    ]
+    avi = encode_avi_mjpeg([encode_jpeg(p) for p in frames_px], 24, 16, fps=12)
+    dec, fps = decode_avi_mjpeg(avi)
+    assert fps == 12 and len(dec) == 7
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames_px))
+    dec3, _ = decode_avi_mjpeg(avi, every_nth=3)
+    assert [np.array_equal(a, frames_px[i]) for a, i in zip(dec3, [0, 3, 6])]
+    # dispatch goes through decode_video; non-AVI keeps the stub
+    dv, _ = decode_video(avi, "video/x-msvideo", every_nth=2)
+    assert len(dv) == 4
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x20ftypisom", "video/mp4")
+    # damage / scope errors
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_mjpeg(avi[:100])
+    with pytest.raises(ValueError, match="zero-frame"):
+        encode_avi_mjpeg([], 8, 8)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        encode_avi_mjpeg([b"\x89PNG not jpeg"], 8, 8)
+    # a non-MJPG video stream must say so, not decode garbage
+    h264 = bytearray(avi)
+    h264[avi.index(b"vids") + 4 : avi.index(b"vids") + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="only MJPG"):
+        decode_avi_mjpeg(bytes(h264))
+
+
 def test_wav_codec_roundtrip_mono_stereo_and_rejects_bad_input():
     import struct
 

@@ -692,6 +692,46 @@ def test_jpeg_constant_blocks_roundtrip_exactly(bh, bw, seed):
 
 @FAST
 @given(
+    n=st.integers(min_value=1, max_value=9),
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=4),
+    every=st.integers(min_value=1, max_value=4),
+    fps=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_mjpeg_roundtrip_property(n, bw, bh, every, fps, seed):
+    """Container walk + per-frame JPEG is exact on constant-block
+    frames for every frame count, mosaic geometry, sampling stride
+    and fps — and sampling keeps exactly the 0, every, 2*every, ...
+    frame grid."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from flink_realtime_edu_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    frames_px = [
+        np.kron(
+            rng.integers(0, 256, (bh, bw)).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        for _ in range(n)
+    ]
+    avi = encode_avi_mjpeg(
+        [encode_jpeg(p) for p in frames_px], bw * 8, bh * 8, fps=fps
+    )
+    dec, got_fps = decode_avi_mjpeg(avi, every_nth=every)
+    want = frames_px[::every]
+    assert got_fps == fps
+    assert len(dec) == len(want)
+    assert all(np.array_equal(a, b) for a, b in zip(dec, want))
+
+
+@FAST
+@given(
     h=st.integers(min_value=1, max_value=40),
     w=st.integers(min_value=1, max_value=40),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
