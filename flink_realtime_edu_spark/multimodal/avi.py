@@ -31,9 +31,10 @@ from collections.abc import Iterator
 import numpy as np
 
 from flink_realtime_edu_spark.multimodal.jpeg import JPEG_SOI, decode_jpeg
+from flink_realtime_edu_spark.multimodal.wav import RIFF_MAGIC
 
-RIFF_MAGIC = b"RIFF"
 AVI_TAG = b"AVI "
+MAX_FPS = 1_000_000  # us/frame must be >= 1 in the avih header
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -56,8 +57,8 @@ def encode_avi_mjpeg(
     one size)."""
     if not frames:
         raise ValueError("cannot encode a zero-frame video")
-    if fps < 1:
-        raise ValueError(f"fps must be >= 1, got {fps}")
+    if not 1 <= fps <= MAX_FPS:
+        raise ValueError(f"fps must be in [1, {MAX_FPS}], got {fps}")
     for i, f in enumerate(frames):
         if bytes(f[:2]) != JPEG_SOI:
             raise ValueError(f"frame {i} is not a JPEG stream")
@@ -67,7 +68,10 @@ def encode_avi_mjpeg(
     # initial, streams, bufsize, w, h, reserved[4]
     avih = struct.pack(
         "<IIIIIIIIII4I",
-        1_000_000 // fps, max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+        # dwMaxBytesPerSec is advisory; clamp so a huge frame*fps
+        # product cannot overflow '<I' into a struct.error leak
+        round(1_000_000 / fps), min(max_bytes * fps, 0xFFFFFFFF),
+        0, 0x10, n, 0, 1, max_bytes,
         width, height, 0, 0, 0, 0,
     )
     # strh: fccType 'vids', handler 'MJPG', flags, prio, lang, init,
@@ -115,6 +119,18 @@ def _walk_chunks(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, 
         pos = body + ln + (ln % 2)
 
 
+def _movi_frames(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (tag, body_start, body_len) for video frame chunks
+    ('##dc'/'##db') inside a movi body, descending into 'rec '
+    interleave-grouping LISTs (spec-legal; players group chunks that
+    should be read together)."""
+    for tag, body, ln in _walk_chunks(data, pos, end):
+        if tag == b"rec ":
+            yield from _movi_frames(data, body, body + ln)
+        elif tag[2:4] in (b"dc", b"db"):
+            yield tag, body, ln
+
+
 def decode_avi_mjpeg(
     payload: bytes, every_nth: int = 1
 ) -> tuple[list["np.ndarray"], int]:
@@ -133,8 +149,10 @@ def decode_avi_mjpeg(
     fps = 0
     frames: list[np.ndarray] = []
     idx = 0
+    video_stream: int | None = None
     for tag, body, ln in _walk_chunks(data, 12, end):
         if tag == b"hdrl":
+            stream_no = -1
             for t2, b2, l2 in _walk_chunks(data, body, body + ln):
                 if t2 == b"avih":
                     if l2 < 4:
@@ -142,6 +160,7 @@ def decode_avi_mjpeg(
                     (us_per_frame,) = struct.unpack_from("<I", data, b2)
                     fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
                 elif t2 == b"strl":
+                    stream_no += 1
                     for t3, b3, l3 in _walk_chunks(data, b2, b2 + l2):
                         if t3 == b"strh" and l3 >= 8:
                             fcc_type = data[b3 : b3 + 4]
@@ -150,19 +169,42 @@ def decode_avi_mjpeg(
                                 raise NotImplementedError(
                                     "AVI audio streams are not implemented"
                                 )
-                            if fcc_type == b"vids" and handler not in (
-                                b"MJPG", b"mjpg",
-                            ):
-                                raise NotImplementedError(
-                                    f"video codec {handler!r}: only MJPG"
-                                )
+                            if fcc_type == b"vids":
+                                if handler not in (b"MJPG", b"mjpg"):
+                                    raise NotImplementedError(
+                                        f"video codec {handler!r}: only MJPG"
+                                    )
+                                if video_stream is not None:
+                                    raise NotImplementedError(
+                                        "multiple video streams are not"
+                                        " implemented"
+                                    )
+                                video_stream = stream_no
+                                # dwRate/dwScale (offsets 24/20) is the
+                                # exact rational frame rate; prefer it
+                                # over the truncation-lossy avih
+                                # us/frame so encode→decode fps
+                                # round-trips for every integer fps
+                                if l3 >= 28:
+                                    scale, rate = struct.unpack_from(
+                                        "<II", data, b3 + 20
+                                    )
+                                    if scale and rate:
+                                        fps = round(rate / scale)
         elif tag == b"movi":
-            for t2, b2, l2 in _walk_chunks(data, body, body + ln):
-                # ##dc / ##db = compressed / uncompressed video data
-                if t2[2:4] in (b"dc", b"db"):
-                    if idx % every_nth == 0:
-                        frames.append(decode_jpeg(data[b2 : b2 + l2]))
-                    idx += 1
+            # ##dc / ##db = compressed / uncompressed video data
+            for t2, b2, l2 in _movi_frames(data, body, body + ln):
+                if not t2[:2].isdigit():
+                    raise ValueError(f"malformed movi chunk tag {t2!r}")
+                if int(t2[:2]) != video_stream:
+                    raise NotImplementedError(
+                        f"frame chunk {t2!r} belongs to an undeclared"
+                        " stream: only the single declared MJPG video"
+                        " stream is implemented"
+                    )
+                if idx % every_nth == 0:
+                    frames.append(decode_jpeg(data[b2 : b2 + l2]))
+                idx += 1
     if idx == 0:
         raise ValueError("AVI stream contains no video frames")
     return frames, fps

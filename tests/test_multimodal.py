@@ -286,7 +286,8 @@ def test_avi_mjpeg_roundtrip_sampling_and_rejects():
     assert fps == 12 and len(dec) == 7
     assert all(np.array_equal(a, b) for a, b in zip(dec, frames_px))
     dec3, _ = decode_avi_mjpeg(avi, every_nth=3)
-    assert [np.array_equal(a, frames_px[i]) for a, i in zip(dec3, [0, 3, 6])]
+    assert len(dec3) == 3
+    assert all(np.array_equal(a, frames_px[i]) for a, i in zip(dec3, [0, 3, 6]))
     # dispatch goes through decode_video; non-AVI keeps the stub
     dv, _ = decode_video(avi, "video/x-msvideo", every_nth=2)
     assert len(dv) == 4
@@ -306,6 +307,80 @@ def test_avi_mjpeg_roundtrip_sampling_and_rejects():
     h264[avi.index(b"vids") + 4 : avi.index(b"vids") + 8] = b"H264"
     with pytest.raises(NotImplementedError, match="only MJPG"):
         decode_avi_mjpeg(bytes(h264))
+
+
+def test_avi_rec_lists_streams_and_fps_edge_cases():
+    """Spec-edge AVI structure: 'rec ' interleave LISTs are descended
+    (not silently skipped), frame chunks from an undeclared second
+    stream raise instead of merging, fps round-trips exactly via
+    strh rate/scale for large rates, and huge-frame byte-rate math
+    clamps instead of leaking struct.error."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_realtime_edu_spark.multimodal.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from flink_realtime_edu_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    frames_px = [
+        np.kron(
+            rng.integers(0, 256, (1, 2)).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        for _ in range(4)
+    ]
+    jpegs = [encode_jpeg(p) for p in frames_px]
+    avi = encode_avi_mjpeg(jpegs, 16, 8, fps=12)
+
+    # rebuild the movi body with frames 1..2 wrapped in a 'rec ' LIST
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    movi_at = avi.index(b"LIST", avi.index(b"movi") - 8)
+    (old_len,) = struct.unpack_from("<I", avi, movi_at + 4)
+    rec = chunk(b"LIST", b"rec " + chunk(b"00dc", jpegs[1]) + chunk(b"00dc", jpegs[2]))
+    new_body = b"movi" + chunk(b"00dc", jpegs[0]) + rec + chunk(b"00dc", jpegs[3])
+    rebuilt = (
+        avi[:movi_at]
+        + chunk(b"LIST", new_body)
+        + avi[movi_at + 8 + old_len + old_len % 2 :]
+    )
+    rebuilt = rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    dec, fps = decode_avi_mjpeg(rebuilt)
+    assert fps == 12 and len(dec) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames_px))
+    # every_nth grid spans the rec boundary in stream order
+    dec2, _ = decode_avi_mjpeg(rebuilt, every_nth=2)
+    assert len(dec2) == 2
+    assert all(np.array_equal(a, frames_px[i]) for a, i in zip(dec2, [0, 2]))
+
+    # a frame chunk from a second, undeclared stream is loud
+    bad = bytearray(avi)
+    second = avi.index(b"00dc", avi.index(b"00dc") + 1)
+    bad[second : second + 2] = b"01"
+    with pytest.raises(NotImplementedError, match="undeclared"):
+        decode_avi_mjpeg(bytes(bad))
+
+    # exact fps round-trip where truncated us/frame would drift
+    # (1e6//1400 = 714 -> round(1e6/714) = 1401 without rate/scale)
+    hi = encode_avi_mjpeg(jpegs[:1], 16, 8, fps=1400)
+    assert decode_avi_mjpeg(hi)[1] == 1400
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_mjpeg(jpegs[:1], 16, 8, fps=2_000_000)
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_mjpeg(jpegs[:1], 16, 8, fps=0)
+
+    # dwMaxBytesPerSec clamps; the header stays parseable
+    big = jpegs[0] + b"\x00" * (80 << 20)  # pad past 2^32/60 bytes
+    clamped = encode_avi_mjpeg([big], 16, 8, fps=60)
+    (max_bps,) = struct.unpack_from("<I", clamped, clamped.index(b"avih") + 8 + 4)
+    assert max_bps == 0xFFFFFFFF
 
 
 def test_wav_codec_roundtrip_mono_stereo_and_rejects_bad_input():
