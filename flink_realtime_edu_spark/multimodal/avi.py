@@ -30,7 +30,11 @@ from collections.abc import Iterator
 
 import numpy as np
 
-from flink_realtime_edu_spark.multimodal.jpeg import JPEG_SOI, decode_jpeg
+from flink_realtime_edu_spark.multimodal.jpeg import (
+    JPEG_SOI,
+    decode_jpeg,
+    jpeg_dimensions,
+)
 from flink_realtime_edu_spark.multimodal.wav import RIFF_MAGIC
 
 AVI_TAG = b"AVI "
@@ -62,6 +66,16 @@ def encode_avi_mjpeg(
     for i, f in enumerate(frames):
         if bytes(f[:2]) != JPEG_SOI:
             raise ValueError(f"frame {i} is not a JPEG stream")
+        # MJPEG streams are fixed-geometry: a frame whose SOF says a
+        # different size would make the container headers lie to
+        # external players (our own decoder ignores header dims, so
+        # the mismatch would otherwise be silent) — ADVICE r6.
+        fh, fw = jpeg_dimensions(bytes(f))
+        if (fh, fw) != (height, width):
+            raise ValueError(
+                f"frame {i} is {fw}x{fh} but the container declares"
+                f" {width}x{height}: MJPEG frames must share one geometry"
+            )
     n = len(frames)
     max_bytes = max(len(f) for f in frames)
     # avih: us/frame, max bytes/s, pad, flags(HASINDEX), frames,
@@ -207,4 +221,12 @@ def decode_avi_mjpeg(
                 idx += 1
     if idx == 0:
         raise ValueError("AVI stream contains no video frames")
+    if fps <= 0:
+        # Neither avih us/frame nor strh rate/scale yielded a usable
+        # frame rate — callers computing frame timing would divide by
+        # zero or mis-time silently (ADVICE r6: loud-failure contract).
+        raise ValueError(
+            "AVI header carries no usable frame rate (avih us/frame"
+            " zero/missing and strh rate/scale absent)"
+        )
     return frames, fps

@@ -282,6 +282,36 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     return bytes(out)
 
 
+def jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """Cheap (height, width) probe: walk marker segments up to the
+    first SOFn frame header without touching entropy data — used by
+    the AVI encoder to validate that every MJPEG frame's actual
+    geometry matches the container's declared size (ADVICE r6)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+            continue  # stand-alone markers carry no length field
+        if pos + 2 > len(data):
+            raise ValueError("JPEG marker stream truncated")
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seglen < 7:
+                raise ValueError("JPEG SOF segment truncated")
+            _, h, w = struct.unpack_from(">BHH", data, pos + 2)
+            return h, w
+        pos += seglen
+    raise ValueError("JPEG stream missing SOF frame header")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline grayscale JFIF back to an (H, W) uint8 array.
 
@@ -303,9 +333,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (spec-legal 0xFF padding)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01:  # TEM — stand-alone, no length field
+            continue
+        if 0xD0 <= marker <= 0xD7:
+            # RSTn outside entropy data (and we reject DRI above, so
+            # none should appear at all): a named error beats the
+            # confusing offset error of mis-reading a length field.
+            raise ValueError(
+                f"unexpected restart marker RST{marker - 0xD0} in the"
+                " JPEG header stream"
+            )
         if pos + 2 > len(data):
             raise ValueError("JPEG marker stream truncated")
         (seglen,) = struct.unpack_from(">H", data, pos)

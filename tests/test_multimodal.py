@@ -383,6 +383,61 @@ def test_avi_rec_lists_streams_and_fps_edge_cases():
     assert max_bps == 0xFFFFFFFF
 
 
+def test_codec_header_edge_cases_advice_r6():
+    """ADVICE r6 findings: (1) an AVI whose headers carry no usable
+    frame rate raises instead of returning fps=0; (2) stand-alone
+    JPEG markers (TEM, fill bytes) in the header stream are skipped,
+    stray RSTn raises a NAMED error; (3) encode_avi_mjpeg rejects
+    frames whose SOF0 geometry differs from the declared size."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_realtime_edu_spark.multimodal.avi import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from flink_realtime_edu_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dimensions,
+    )
+
+    px = np.kron(
+        np.arange(2, dtype=np.uint8).reshape(1, 2) * 100 + 20,
+        np.ones((8, 8), dtype=np.uint8),
+    )
+    jpg = encode_jpeg(px)  # 16 wide, 8 high
+    assert jpeg_dimensions(jpg) == (8, 16)
+
+    # (3) geometry mismatch between frame SOF0 and declared size
+    with pytest.raises(ValueError, match="must share one geometry"):
+        encode_avi_mjpeg([jpg], 8, 8)
+
+    # (1) zero us/frame AND zeroed strh rate/scale -> loud error
+    avi = bytearray(encode_avi_mjpeg([jpg], 16, 8, fps=10))
+    avih_body = avi.index(b"avih") + 8
+    struct.pack_into("<I", avi, avih_body, 0)  # us/frame = 0
+    strh_body = avi.index(b"strh") + 8
+    struct.pack_into("<II", avi, strh_body + 20, 0, 0)  # scale, rate
+    with pytest.raises(ValueError, match="no usable frame rate"):
+        decode_avi_mjpeg(bytes(avi))
+    # rate/scale alone still recovers fps (avih stays zeroed)
+    struct.pack_into("<II", avi, strh_body + 20, 1, 10)
+    dec, fps = decode_avi_mjpeg(bytes(avi))
+    assert fps == 10 and np.array_equal(dec[0], px)
+
+    # (2) TEM + fill byte after SOI decode cleanly; stray RSTn is named
+    padded = jpg[:2] + b"\xff\x01" + b"\xff\xff" + jpg[2:]
+    assert np.array_equal(decode_jpeg(padded), px)
+    assert jpeg_dimensions(padded) == (8, 16)
+    with pytest.raises(ValueError, match="restart marker RST3"):
+        decode_jpeg(jpg[:2] + b"\xff\xd3" + jpg[2:])
+    with pytest.raises(ValueError, match="missing SOF"):
+        jpeg_dimensions(b"\xff\xd8\xff\xd9")
+
+
 def test_wav_codec_roundtrip_mono_stereo_and_rejects_bad_input():
     import struct
 
