@@ -35,7 +35,18 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_spark(names, sf_dir: str, repeats: int) -> dict[str, float]:
+def run_spark(
+    names, sf_dir: str, repeats: int
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """(median timings, per-query [min, max] spread).
+
+    Median-of-N after a full warmup pass (VERDICT r6 item 1): the
+    driver invokes bench.py exactly once, so the robustness against
+    the box's documented ±20-25% jitter must live INSIDE this
+    function — one anomalous repeat (page-cache eviction, GC pause,
+    block-manager churn) must not become the official number."""
+    import statistics
+
     from flink_realtime_edu_spark.queries import load_registry
     from flink_realtime_edu_spark.session import get_spark
 
@@ -50,18 +61,19 @@ def run_spark(names, sf_dir: str, repeats: int) -> dict[str, float]:
         ).save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        best = None
+        runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             registry[name].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
     spark.stop()
-    return timings
+    return timings, spread
 
 
 def run_duckdb(names, sf_dir: str, repeats: int) -> dict[str, float]:
@@ -119,11 +131,26 @@ def run_streaming(sf_dir: str) -> dict[str, float]:
         src = str(work / "events_src")
         load(spark, sf_dir, "events").repartition(8).write.parquet(src)
 
-        def progress_metrics(query) -> tuple[float, float]:
+        def progress_metrics(query) -> tuple[float, float, dict[str, int]]:
+            """(rows/s, mean batch ms, final state-store footprint).
+
+            The state dict scrapes the LAST progress event carrying
+            stateOperators — numRowsTotal / memory are the numbers a
+            production monitor alarms on for unbounded state growth
+            (VERDICT r6 item 5: observe it, don't just assert it)."""
             rows = 0
             trigger_ms = 0.0
             batches = 0
+            state: dict[str, int] = {}
             for p in query.recentProgress:
+                for so in p.get("stateOperators") or []:
+                    if so.get("numRowsTotal") is not None:
+                        state = {
+                            "state_rows": int(so["numRowsTotal"]),
+                            "state_mem_bytes": int(
+                                so.get("memoryUsedBytes") or 0
+                            ),
+                        }
                 n = p.get("numInputRows") or 0
                 if n == 0:
                     continue
@@ -131,8 +158,8 @@ def run_streaming(sf_dir: str) -> dict[str, float]:
                 trigger_ms += p["durationMs"]["triggerExecution"]
                 batches += 1
             if trigger_ms == 0:
-                return 0.0, 0.0
-            return rows / (trigger_ms / 1000.0), trigger_ms / batches
+                return 0.0, 0.0, state
+            return rows / (trigger_ms / 1000.0), trigger_ms / batches, state
 
         # T1: tumbling hourly agg -> noop sink, update mode
         q = (
@@ -143,9 +170,11 @@ def run_streaming(sf_dir: str) -> dict[str, float]:
             .start()
         )
         run_to_completion(q)
-        rps, lat = progress_metrics(q)
+        rps, lat, state = progress_metrics(q)
         out["tumbling_rows_per_s"] = round(rps, 1)
         out["tumbling_batch_ms_avg"] = round(lat, 1)
+        for k, v in state.items():
+            out[f"tumbling_{k}"] = v
 
         # S2: SCD2 dim maintainer (bucketed changelog + recompute)
         q = (
@@ -157,9 +186,16 @@ def run_streaming(sf_dir: str) -> dict[str, float]:
             .start()
         )
         run_to_completion(q)
-        rps, lat = progress_metrics(q)
+        rps, lat, _ = progress_metrics(q)
         out["scd2_rows_per_s"] = round(rps, 1)
         out["scd2_batch_ms_avg"] = round(lat, 1)
+        # SCD2 keeps its state in the bucketed on-disk store, not the
+        # streaming state store — report the store footprint instead.
+        out["scd2_store_bytes"] = sum(
+            f.stat().st_size
+            for f in (work / "scd2_store").rglob("*")
+            if f.is_file()
+        )
 
         # T7/CEP: the timeout-emitting keyed automaton (r5) — the
         # heaviest stateful operator family (per-key state machine +
@@ -180,9 +216,11 @@ def run_streaming(sf_dir: str) -> dict[str, float]:
             .start()
         )
         run_to_completion(q)
-        rps, lat = progress_metrics(q)
+        rps, lat, state = progress_metrics(q)
         out["cep_rows_per_s"] = round(rps, 1)
         out["cep_batch_ms_avg"] = round(lat, 1)
+        for k, v in state.items():
+            out[f"cep_{k}"] = v
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
@@ -194,7 +232,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--all", action="store_true", help="bench the full inventory")
     ap.add_argument("--duckdb", action="store_true", help="also time oracle SQL in DuckDB")
-    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=3,
+        help="timed runs per query after warmup; the MEDIAN is reported",
+    )
     ap.add_argument(
         "--no-streaming",
         action="store_true",
@@ -207,12 +250,14 @@ def main() -> None:
     registry = load_registry()
     names = sorted(n for n, s in registry.items() if args.all or s.bench)
 
-    spark_times = run_spark(names, args.sf_dir, args.repeats)
+    spark_times, spread = run_spark(names, args.sf_dir, args.repeats)
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(spark_times.values()), 3),
         "unit": "sec",
         "queries": spark_times,
+        "query_spread": spread,
+        "repeats": args.repeats,
         "sf": _sf_of(args.sf_dir),
         "sf_dir": args.sf_dir,
         "n_queries": len(spark_times),
