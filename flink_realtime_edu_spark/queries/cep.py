@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_realtime_edu_spark.operators.cep import (
+    cep_all_matches,
     cep_first_match,
     cep_strict_matches,
     cep_timed_out,
@@ -164,8 +165,101 @@ FROM s{len(blocks)} WHERE t{base} <= t1 + INTERVAL {within_sql}
 """
 
 
+def _all_matches_oracle(
+    blocks: list[tuple[str, int, int]], within_sql: str, cap: int
+) -> str:
+    """Replay cep_all_matches slot-for-slot as chained CTEs: one
+    extension CTE per slot (within-pruned at the join exactly like
+    the operator), stop∪extend merge CTEs where a slot is optional,
+    then distinct-chain dedup + per-key lexicographic rank. CTEs are
+    MATERIALIZED — DuckDB inlines plain CTEs per reference, and the
+    stop/extend forks reference each CTE twice (the r5 BPE lesson)."""
+    horizon = f"p.t1 + INTERVAL {within_sql}"
+    parts = [
+        """WITH ev AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type, ts FROM events
+)""",
+        f""", c1 AS MATERIALIZED (
+  SELECT user_id, ts AS t1, ts AS last, [epoch_us(ts)] AS chain
+  FROM ev WHERE event_type = '{blocks[0][0]}'
+)""",
+    ]
+    n_cte = 1
+
+    def extend(src: str, etype: str) -> str:
+        nonlocal n_cte
+        n_cte += 1
+        parts.append(
+            f""", c{n_cte} AS MATERIALIZED (
+  SELECT p.user_id, p.t1, e.ts AS last,
+         list_append(p.chain, epoch_us(e.ts)) AS chain
+  FROM {src} p JOIN ev e
+    ON e.user_id = p.user_id AND e.event_type = '{etype}'
+   AND e.ts > p.last AND e.ts <= {horizon}
+)"""
+        )
+        return f"c{n_cte}"
+
+    cur = "c1"
+    for b, (etype, mn, mx) in enumerate(blocks):
+        stopped: list[str] = []
+        for slot in range(1, mx + 1):
+            if b == 0 and slot == 1:
+                continue  # the c1 seed
+            if slot > mn:
+                stopped.append(cur)
+            cur = extend(cur, etype)
+        if stopped:
+            n_cte += 1
+            union = "\n  UNION ALL ".join(
+                f"SELECT * FROM {s}" for s in [cur, *stopped]
+            )
+            parts.append(f", c{n_cte} AS MATERIALIZED (\n  {union}\n)")
+            cur = f"c{n_cte}"
+    return "".join(parts) + f"""
+, dedup AS (SELECT DISTINCT user_id, t1, last, chain FROM {cur})
+SELECT user_id, t1 AS start_ts, last AS end_ts,
+       CAST(len(chain) AS INT) AS n_events,
+       array_to_string(chain, '|') AS chain_str,
+       CAST(rn AS INT) AS match_no
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY chain) AS rn
+  FROM dedup
+) WHERE rn <= {cap}
+"""
+
+
 _TIMES_BLOCKS = [("click", 3), ("purchase", 1)]
 _TIMES_WITHIN = "96 hours"
+_ALL_BLOCKS: list[tuple[str, int, int]] = [
+    ("click", 1, 2),   # times(1, 2) — a RANGE quantifier
+    ("view", 0, 1),    # optional()
+    ("purchase", 1, 1),
+]
+_ALL_WITHIN = "6 hours"
+_ALL_CAP = 5
+
+
+@register(
+    "cep_all_matches_ranges",
+    survey_rows=("T7", "J4", "W1", "F5"),
+    oracle=_all_matches_oracle(_ALL_BLOCKS, "6 HOUR", _ALL_CAP),
+)
+def cep_all_matches_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-matches CEP enumeration (Flink skip-till-any-match) with a
+    RANGE quantifier and an OPTIONAL block — the mode that makes
+    times(m, n)/optional non-degenerate (VERDICT r6 item 3): every
+    distinct click[×1..2] → view? → purchase event-set chain within
+    6 h, capped at the first 5 chains per user in chain-lexicographic
+    order. Plan: one within-pruned keyed equi-join per slot plus
+    stop∪extend unions for the optional slots; the oracle replays the
+    identical slot walk as generated materialized CTEs, so the VALUE
+    check covers the full enumeration (chain_str pins every chosen
+    event)."""
+    ev = load(spark, sf_dir, "events")
+    return cep_all_matches(
+        ev, _ALL_BLOCKS, _ALL_WITHIN, max_matches_per_key=_ALL_CAP
+    )
 
 
 @register(

@@ -1015,3 +1015,47 @@ def test_ivf_append_assigns_and_search_finds_delta_vectors(spark, sf_dir):
     r_full = recall(ivf_cosine_topk(emb, queries, k=k))
     assert r_inc >= r_full - 0.25  # same ballpark; quantizer unfit on delta
     assert r_inc >= 0.35
+
+
+def test_cep_all_matches_dedup_cap_and_validation(spark):
+    """cep_all_matches edge semantics: (a) ambiguous block assignment
+    for ADJACENT same-type blocks dedups to distinct event SETS;
+    (b) the per-key cap keeps the lexicographically-first chains;
+    (c) quantifier/cap validation raises."""
+    import pytest
+
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rows = [
+        (0, "2024-01-01 00:00:01", 1, "A"),
+        (1, "2024-01-01 00:00:02", 1, "A"),
+        # duplicate (key, type, ts) triple — must collapse
+        (2, "2024-01-01 00:00:02", 1, "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type"
+    )
+    # (A,1,2)(A,0,1): chains {1s}, {2s}, {1s,2s} — the two-event chain
+    # arises from TWO block assignments (2+0 and 1+1) but is ONE match
+    out = cep_all_matches(
+        ev, [("A", 1, 2), ("A", 0, 1)], "1 hour"
+    ).orderBy("match_no").collect()
+    one_user = [(r.n_events, r.match_no) for r in out]
+    assert one_user == [(1, 1), (2, 2), (1, 3)]
+    assert [r.chain_str.count("|") + 1 for r in out] == [1, 2, 1]
+
+    capped = cep_all_matches(
+        ev, [("A", 1, 2), ("A", 0, 1)], "1 hour", max_matches_per_key=2
+    ).orderBy("match_no").collect()
+    assert [(r.n_events, r.match_no) for r in capped] == [(1, 1), (2, 2)]
+
+    with pytest.raises(ValueError, match="first block"):
+        cep_all_matches(ev, [("A", 0, 1), ("A", 1, 1)], "1 hour")
+    with pytest.raises(ValueError, match="max"):
+        cep_all_matches(ev, [("A", 2, 1)], "1 hour")
+    with pytest.raises(ValueError, match="total possible"):
+        cep_all_matches(ev, [("A", 1, 1)], "1 hour")
+    with pytest.raises(ValueError, match="max_matches_per_key"):
+        cep_all_matches(ev, [("A", 1, 2)], "1 hour", max_matches_per_key=0)

@@ -667,6 +667,86 @@ def test_cep_times_equals_flattened_on_random_streams(spark, n, n_users, m, seed
     assert a == b
 
 
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    n_users=st.integers(min_value=1, max_value=4),
+    mx1=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_all_matches_equals_bruteforce_enumeration(
+    spark, n, n_users, mx1, seed
+):
+    """cep_all_matches (skip-till-any-match with range + optional
+    quantifiers) against a brute-force recursive enumeration of every
+    distinct event-set chain on adversarial random streams (duplicate
+    timestamps, missing steps): identical chain sets, identical
+    lexicographic ranking, identical per-key cap."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type"
+    )
+    blocks = [("click", 1, mx1), ("view", 0, 1), ("purchase", 1, 1)]
+    within_us, cap = 30 * 1_000_000, 3
+
+    def brute(evs: set[tuple[int, str]]) -> list[tuple[str, int]]:
+        chains: set[tuple[int, ...]] = set()
+
+        def rec(bi, taken, last, t1, chain):
+            if bi == len(blocks):
+                chains.add(tuple(chain))
+                return
+            etype, mn, mx = blocks[bi]
+            if taken >= mn:
+                rec(bi + 1, 0, last, t1, chain)
+            if taken < mx:
+                for ts, t in evs:
+                    if t != etype or (last is not None and ts <= last):
+                        continue
+                    if t1 is not None and ts - t1 > within_us:
+                        continue
+                    rec(bi, taken + 1, ts, ts if t1 is None else t1, chain + [ts])
+
+        rec(0, 0, None, None, [])
+        return [
+            ("|".join(map(str, c)), i + 1)
+            for i, c in enumerate(sorted(chains)[:cap])
+        ]
+
+    epoch_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+    expect = []
+    for uid in range(n_users):
+        evs = {
+            ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            for _, s, u, t in rows
+            if u == uid
+        }
+        expect += [(uid, cs, m) for cs, m in brute(evs)]
+    got = sorted(
+        (r.user_id, r.chain_str, r.match_no)
+        for r in cep_all_matches(
+            ev, blocks, "30 seconds", max_matches_per_key=cap
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
 @FAST
 @given(
     bh=st.integers(min_value=1, max_value=5),
