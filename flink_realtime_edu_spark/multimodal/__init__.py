@@ -135,14 +135,15 @@ def demo_media_frame(spark: SparkSession, n: int = 64, partitions: int = 4) -> D
 
 
 def decode_image(payload: bytes, mime: str) -> "np.ndarray":
-    """Decode an image payload to an (H, W, C) uint8 array (PNG) or
-    an (H, W) uint8 array (grayscale JPEG).
+    """Decode an image payload to an (H, W, C) uint8 array (PNG,
+    color JPEG) or an (H, W) uint8 array (grayscale JPEG).
 
     PNG decodes for real via the pure-stdlib codec in
     :mod:`flink_realtime_edu_spark.multimodal.png` (8-bit,
     non-interlaced, non-palette — its documented subset), baseline
-    grayscale JFIF via :mod:`.jpeg` (marker parse + Huffman + IDCT;
-    progressive/color raise inside the codec). Other codecs
+    JFIF — grayscale or interleaved YCbCr 4:2:0 / 4:4:4 color — via
+    :mod:`.jpeg` (marker parse + Huffman + IDCT + color transform;
+    progressive/other layouts raise inside the codec). Other codecs
     (WebP/...) need libraries absent from this container and still
     raise NotImplementedError; the mapInPandas pipeline around this
     call is the production integration point either way."""

@@ -206,9 +206,14 @@ def test_jpeg_codec_rejects_bad_and_out_of_scope_input():
     )
     with pytest.raises(ValueError, match="truncated|marker|Huffman"):
         decode_jpeg(big[:-40] + b"\xff\xd9")
-    # encoder scope: color arrays and bad quant tables
+    # encoder scope: non-RGB channel counts, unknown subsampling,
+    # bad quant tables ((H, W, 3) now encodes for real — color JPEG)
+    with pytest.raises(NotImplementedError, match="RGB"):
+        encode_jpeg(np.zeros((8, 8, 4), dtype=np.uint8))
     with pytest.raises(NotImplementedError, match="grayscale"):
-        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+        encode_jpeg(np.zeros((8, 8, 3, 1), dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:2:2")
     with pytest.raises(ValueError, match="quant"):
         encode_jpeg(
             np.zeros((8, 8), dtype=np.uint8),
@@ -381,6 +386,46 @@ def test_avi_rec_lists_streams_and_fps_edge_cases():
     clamped = encode_avi_mjpeg([big], 16, 8, fps=60)
     (max_bps,) = struct.unpack_from("<I", clamped, clamped.index(b"avih") + 8 + 4)
     assert max_bps == 0xFFFFFFFF
+
+
+def test_jpeg_color_roundtrip_and_structure():
+    """Color JPEG (4:2:0 and 4:4:4): constant-macroblock images
+    round-trip EXACTLY to ycbcr_to_rgb(rgb_to_ycbcr(img)) — the
+    analytic property the query oracle leans on; the emitted stream
+    carries the standard 3-component structure (two DQTs, four DHTs,
+    per-component selectors); dimension probe and dispatch agree;
+    chroma sampling actually subsamples (4:2:0 stream is smaller)."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal import decode_image
+    from flink_realtime_edu_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dimensions,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(7)
+    mb = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    img = np.kron(mb, np.ones((16, 16, 1), dtype=np.uint8))
+    expect = ycbcr_to_rgb(rgb_to_ycbcr(img))
+    enc420 = encode_jpeg(img)
+    enc444 = encode_jpeg(img, subsampling="4:4:4")
+    for enc in (enc420, enc444):
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape and np.array_equal(dec, expect)
+        assert jpeg_dimensions(enc) == img.shape[:2]
+        assert enc.count(b"\xff\xdb") == 2 and enc.count(b"\xff\xc4") == 4
+    # color transform is near-lossless: within ±1 of the source
+    assert np.abs(expect.astype(int) - img.astype(int)).max() <= 1
+    # 4:2:0 carries 6 blocks per 16x16 vs 4:4:4's 12 — smaller stream
+    assert len(enc420) < len(enc444)
+    # dispatch returns the 3-channel array
+    assert decode_image(enc420, "image/jpeg").ndim == 3
+    # non-16-multiple color images pad and crop back
+    odd = rng.integers(0, 256, (19, 22, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd)).shape == odd.shape
 
 
 def test_codec_header_edge_cases_advice_r6():

@@ -812,6 +812,69 @@ def test_avi_mjpeg_roundtrip_property(n, bw, bh, every, fps, seed):
 
 @FAST
 @given(
+    h=st.integers(min_value=1, max_value=3),
+    w=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_color_constant_macroblocks_roundtrip_exactly(h, w, seed):
+    """Color JPEG exactness property (both samplings): for an image
+    of constant 16x16 RGB macroblocks, decode(encode(img)) equals
+    ycbcr_to_rgb(rgb_to_ycbcr(img)) bit-for-bit — DC-only blocks per
+    channel with q00 = 8 on both tables, constant chroma averaging to
+    itself; per-component DC predictors and the interleave order get
+    exercised by every macroblock boundary."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(seed)
+    mb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    img = np.kron(mb, np.ones((16, 16, 1), dtype=np.uint8))
+    expect = ycbcr_to_rgb(rgb_to_ycbcr(img))
+    for sub in ("4:2:0", "4:4:4"):
+        out = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        assert out.shape == img.shape and (out == expect).all()
+
+
+@FAST
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_color_arbitrary_roundtrip_within_tolerance(h, w, seed):
+    """Arbitrary (non-MCU-aligned) color images at unit quant tables:
+    4:4:4 loses only color-transform + coefficient rounding (±4);
+    4:2:0 with 2x2-constant chroma cells loses nothing more either —
+    padding/cropping and chroma upsampling are pinned by shape."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    one = np.ones((8, 8), dtype=np.int64)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(img, quant=one, chroma_quant=one, subsampling="4:4:4")
+    )
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    cells = np.kron(
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8),
+        np.ones((2, 2, 1), dtype=np.uint8),
+    )
+    out2 = decode_jpeg(encode_jpeg(cells, quant=one, chroma_quant=one))
+    assert out2.shape == cells.shape
+    assert np.abs(out2.astype(int) - cells.astype(int)).max() <= 4
+
+
+@FAST
+@given(
     h=st.integers(min_value=1, max_value=40),
     w=st.integers(min_value=1, max_value=40),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
