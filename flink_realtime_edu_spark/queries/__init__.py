@@ -98,71 +98,69 @@ def register(
 # representative (tests/test_registry_order.py pins this), and it
 # ROTATES each round (VERDICT r3 item 3).
 #
-# r6 rotation (VERDICT r5 items 1, 3, 4): first the PINS — the two
-# r5 HASH-FAILs re-sampled post-fix, approx_unique_visitors (its
-# tolerance oracle has never been in an official window), the new
-# times(n) CEP query, the three queries whose result types were
-# aligned this round, and pivot_daily_activity (the pivot() surface,
-# officially green r4 — re-pinned to close VERDICT r5 item 4) — then
-# STALENESS-FIRST refresh: every remaining query whose last official
-# sample was r3 (or r2 for the rows-only spark_native_hashes), then
-# the oldest r4 entries with the widest §2 spread. Union coverage
-# over r1–r6 official windows stays complete (the structural test);
-# this window maximizes the freshness of the oldest verdicts.
+# r7 rotation (VERDICT r6 items 3, 4, 6): first the PINS — the two
+# NEW r7 queries (all-matches CEP enumeration, color JPEG decode)
+# plus re-pins of every query whose SOURCE changed this round (the
+# jpeg.py decoder was generalized for color, so the grayscale-path
+# jpeg/video/png decode queries and the CEP module's times query get
+# a fresh official sample on the changed code) — then STALENESS-FIRST
+# refresh: ALL 43 queries whose last official sample was r4 (after
+# this window, max staleness across the registry is 2 rounds — the
+# r6 verdict's done-bar). Union coverage over r1–r7 official windows
+# stays complete (the structural test).
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
-    "late_priority_mix",          # J1 A2 F4 — r5 HASH-FAIL, oracle fixed r6
-    "pii_redaction_stats",        # X7 F1 — r5 HASH-FAIL, oracle fixed r6
-    "approx_unique_visitors",     # A4 — tolerance oracle's first official sample
-    "cep_times_quantifier",       # T7 W1 J4 — NEW r6: times(n) quantifier
-    "jpeg_decode_stats",          # X8 X2 A2 F3 — NEW r6: real JPEG decode
-    "video_decode_stats",         # X8 X2 A2 F3 — NEW r6: real MJPEG/AVI decode
-    "tfidf_top_terms",            # X7 — rnk int→bigint aligned r6
-    "sequence_packing_chunks",    # X7 W4 F2 — n_toks int→bigint aligned r6
-    "training_shuffle_manifest",  # X7 F8 W1 — n_toks int→bigint aligned r6
-    "pivot_daily_activity",       # A6 A1 — pivot() surface (green r4; re-pin)
-    # --- last officially sampled r3 (staleness refresh) ---
-    "abandoned_clicks_daily",     # T7 J6 T4
-    "anti_join_no_big_order",     # J6
-    "array_funcs_documents",      # F5
-    "benchmark_contamination",    # X7 X4 J5 F8
-    "corpus_curation_pipeline",   # X7 X4 P4
-    "cosine_topk_bruteforce",     # X6
-    "datetime_funcs_orders",      # F2
-    "distinct_users_by_type",     # A3 U3
-    "event_gaps",                 # W3 F2
-    "exact_dedup_docs",           # X4 F8 A9
-    "hash_funcs_documents",       # F8
-    "interval_join_click_purchase",  # J4 T7
-    "json_props_stats",           # P3 F7 F6
-    "label_centroids",            # X6 F5 A1
-    "leakage_safe_split",         # X7 X4 F8 J6
-    "left_join_recent_spend",     # J2 P4
-    "math_conditional_orders",    # F3 F4
-    "nations_with_customers_and_suppliers",  # U2 J5
-    "near_dup_clusters",          # X5 X4
-    "near_dup_embeddings",        # X5 X6 F5
-    "near_dup_jaccard",           # X5
-    "near_dup_minhash",           # X5
-    "new_vs_returning_daily",     # T6 T1 W3
-    "pandas_udf_token_stats",     # X2 X7
-    "rollup_revenue",             # A6
-    "running_customer_spend",     # W4 O1
-    "semi_join_recent_customers",  # J5
-    "star_join_revenue",          # J1 J3 A1
-    "string_funcs_part",          # F1
-    "temporal_join_purchase_state",  # J4 S2 T8
-    "top_parts_per_nation",       # W1 J3
-    "union_activity_feed",        # U1
-    "user_state_intervals",       # S2 W3
-    "value_percentiles",          # A8
-    "spark_native_hashes",        # F8 rows-only by design (last r2)
-    # --- oldest r4 entries, widest §2 spread ---
-    "asof_join_purchase_last_click",  # J8
-    "cdc_scd2_intervals",         # S2 T8
-    "session_window_stats",       # T3
-    "daily_unique_visitors",      # T5
+    "cep_all_matches_ranges",     # T7 J4 W1 F5 — NEW r7: all-matches CEP
+    "jpeg_color_decode_stats",    # X8 X2 A2 F3 — NEW r7: color JPEG
+    "jpeg_decode_stats",          # X8 — decoder generalized r7; re-pin
+    "video_decode_stats",         # X8 — per-frame decode path touched r7
+    "png_decode_stats",           # X8 — codec-family sibling (last r5)
+    "cep_times_quantifier",       # T7 W1 J4 — CEP module touched r7
+    # --- last officially sampled r4 (staleness refresh, all 43) ---
+    "full_join_nation_counts",    # J2
+    "cross_join_region_status",   # J7
+    "theta_join_acctbal",         # J7
+    "collect_event_types",        # A7
+    "latest_event_per_user",      # A9
+    "weighted_avg_udaf",          # A10
+    "skewed_event_type_stats",    # A1 skew
+    "unpivot_daily_activity",     # A6
+    "approx_value_percentiles",   # A8 A4
+    "customer_balance_quartiles", # W2
+    "topk_orders",                # O2
+    "trailing_24h_user_value",    # W4
+    "nations_without_suppliers",  # J6 U2
+    "distinct_segments_per_nation",  # A3
+    "map_funcs_props",            # F6
+    "dirty_data_split",           # S7 P4
+    "tumbling_hourly_stats",      # T1
+    "sliding_window_traffic",     # T2
+    "funnel_click_view_purchase", # T7 W3
+    "token_topk",                 # X1 X7
+    "text_stats_by_source",       # X7
+    "doc_quality_scores",         # X7
+    "grouped_zscore_chars",       # X3
+    "multimodal_feature_stats",   # X8 X2
+    "cohort_retention",           # F2 A1
+    "doc_chunking_windows",       # X7 W4
+    "nation_profit_trend",        # J1 A1
+    "fingerprint_overlap_docs",   # X5
+    "waiting_supplier_counts",    # J5 A2
+    "cube_customer_segments",     # A6
+    "doc_repetition_stats",       # X7
+    "embedding_quantization_snr", # X6 F5
+    "error_burst_stats",          # T7 W3
+    "returned_item_top_customers",  # J1 A1 O2
+    "revenue_trend_daily",        # F2 W4
+    "top_revenue_supplier",       # J1 A1 O1
+    "vocab_coverage_topk",        # X7 X1
+    "lang_guess_confusion",       # X7
+    "bpe_token_counts",           # X1 X7
+    "cms_token_frequencies",      # A4 X7
+    "mixture_sample_by_source",   # X7 F8
+    "doc_unigram_surprisal",      # X7
+    "curated_packing_manifest",   # X7 W4
 )
 
 
