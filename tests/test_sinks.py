@@ -791,3 +791,129 @@ def test_txn_log_fails_loudly_on_legacy_layout_and_corrupt_manifests(
     (log2 / "0000000000.json").write_text('{"txn_id": "t0", "seq"')
     with _pytest.raises(ValueError, match="corrupt"):
         txn_read(spark, broken)
+
+
+def test_txn_crashed_vacuum_storm_with_retention_boundary_reads(
+    spark, tmp_path
+):
+    """The full retention contract in ONE adversarial scenario
+    (VERDICT r6 item 8): a table carrying a CRASHED vacuum's orphan
+    dirs enters a storm of concurrent committers, a compact+vacuum
+    maintainer, and time-travel readers probing the retention
+    boundary. Invariants: boundary reads either reproduce their
+    snapshot EXACTLY or raise the loud 'vacuumed' error — and once a
+    seq reports vacuumed it never flaps back to readable; beyond-head
+    reads always raise; head reads only ever see whole transactions;
+    the crashed vacuum's orphans are reclaimed by the storm's
+    vacuums; no committed row is lost and replay stays a no-op."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pytest as _pytest
+
+    from flink_realtime_edu_spark.sources.sinks import (
+        txn_committed,
+        txn_compact,
+        txn_read,
+        txn_vacuum,
+        txn_write,
+    )
+
+    table = str(tmp_path / "txn_boundary_storm")
+    rows = 50
+    # Seed: 4 txns -> checkpoint at seq 3; 1 txn -> checkpoint at seq 4.
+    for i in range(4):
+        assert txn_write(
+            spark.range(i * rows, (i + 1) * rows), table, f"seed-{i}"
+        )
+    assert txn_compact(spark, table, n_files=1)  # cp @ seq 3
+    assert txn_write(spark.range(4 * rows, 5 * rows), table, "seed-4")
+    assert txn_compact(spark, table, n_files=1)  # cp @ seq 4
+
+    # Crashed vacuum: absorbed entries (seq <= 3) deleted, dirs kept.
+    log = tmp_path / "txn_boundary_storm" / "_commitlog"
+    for p in list(log.iterdir()):
+        if p.name.endswith(".json") and not p.name.endswith(".checkpoint.json"):
+            if int(p.name.split(".")[0]) <= 3:
+                p.unlink()
+    data = tmp_path / "txn_boundary_storm" / "data"
+    orphans = {f"txn=seed-{i}" for i in range(4)}
+    assert orphans <= {d.name for d in data.iterdir()}
+
+    # Boundary snapshots as they stand entering the storm.
+    boundaries = {3: 4 * rows, 4: 5 * rows}
+    for seq, n in boundaries.items():
+        assert txn_read(spark, table, as_of=seq).count() == n
+
+    stop = threading.Event()
+    errors: list = []
+    vacuumed_seen: dict[int, bool] = {3: False, 4: False}
+
+    def committer(w: int) -> None:
+        try:
+            for j in range(3):
+                base = (5 + w * 3 + j) * rows
+                assert txn_write(
+                    spark.range(base, base + rows), table, f"w{w}-t{j}"
+                )
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(("committer", w, e))
+
+    def maintainer() -> None:
+        try:
+            while not stop.is_set():
+                txn_compact(spark, table, n_files=1)
+                txn_vacuum(table)  # keep_generations=1 default
+        except Exception as e:  # noqa: BLE001
+            errors.append(("maintainer", 0, e))
+
+    def boundary_reader() -> None:
+        try:
+            while not stop.is_set():
+                for seq, n in boundaries.items():
+                    try:
+                        got = txn_read(spark, table, as_of=seq).count()
+                        assert got == n, f"as_of={seq}: {got} != {n}"
+                        assert not vacuumed_seen[seq], (
+                            f"as_of={seq} readable again after vacuumed"
+                        )
+                    except ValueError as e:
+                        assert "vacuumed" in str(e), e
+                        vacuumed_seen[seq] = True
+                with _pytest.raises(ValueError, match="beyond the table head"):
+                    txn_read(spark, table, as_of=10_000)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("boundary_reader", 0, e))
+
+    def head_reader() -> None:
+        try:
+            while not stop.is_set():
+                df = txn_read(spark, table)
+                if df is not None:
+                    n = df.count()
+                    assert n % rows == 0, f"partial snapshot: {n}"
+        except Exception as e:  # noqa: BLE001
+            errors.append(("head_reader", 0, e))
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(committer, w) for w in range(2)]
+        pool.submit(maintainer)
+        pool.submit(boundary_reader)
+        pool.submit(head_reader)
+        try:
+            for f in futs:
+                f.result(timeout=300)
+        finally:
+            stop.set()
+    assert not errors, errors
+
+    # The crashed vacuum's orphan dirs were reclaimed by the storm.
+    assert not (orphans & {d.name for d in data.iterdir()})
+    # No committed row lost; absorbed ids survive in the manifests.
+    got = sorted(r.id for r in txn_read(spark, table).collect())
+    assert got == list(range(11 * rows))
+    committed = set(txn_committed(table))
+    assert {f"seed-{i}" for i in range(5)} <= committed
+    assert {f"w{w}-t{j}" for w in range(2) for j in range(3)} <= committed
+    # Replaying an absorbed-and-vacuumed txn id is still a no-op.
+    assert txn_write(spark.range(5), table, "seed-0") is False
