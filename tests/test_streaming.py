@@ -1665,3 +1665,86 @@ def test_cep_strict_stream_equals_batch_across_batch_boundaries(
         cep_strict_matches(ev, steps, order_cols=["event_id"])
     )
     assert got == want and len(want) > 0
+
+
+def test_cep_done_marker_ttl_evicts_and_rematches(spark, tmp_path):
+    """done_ttl contract (VERDICT r6 item 5): with a TTL, a completed
+    key's done marker is EVICTED once the watermark passes
+    end_ts + ttl, so a later chain matches again (first match per TTL
+    window); a repeat completing while the marker is still live stays
+    suppressed; and the default (no TTL) keeps first-match-ever."""
+    from flink_realtime_edu_spark.streaming.cep import cep_first_match_stream
+
+    steps, within = ["view", "click", "purchase"], "24 hours"
+    rows = {
+        # chunk 0: user 1 and user 2 complete their first chains
+        0: [
+            (0, "2024-01-01 00:00:00", 1, "view"),
+            (1, "2024-01-01 00:10:00", 1, "click"),
+            (2, "2024-01-01 00:20:00", 1, "purchase"),
+            (3, "2024-01-01 00:00:30", 2, "view"),
+            (4, "2024-01-01 00:01:00", 2, "click"),
+            (5, "2024-01-01 00:02:00", 2, "purchase"),
+        ],
+        # chunk 1: user 2 repeats INSIDE the ttl (watermark is still
+        # chunk 0's max, 00:20 < 02:02) -> suppressed; a bystander at
+        # 09:00 drives the watermark past both users' ttl horizons
+        1: [
+            (6, "2024-01-01 01:00:00", 2, "view"),
+            (7, "2024-01-01 01:01:00", 2, "click"),
+            (8, "2024-01-01 01:02:00", 2, "purchase"),
+            (9, "2024-01-01 09:00:00", 99, "view"),
+        ],
+        # chunk 2: user 1's second chain arrives after eviction
+        2: [
+            (10, "2024-01-01 10:00:00", 1, "view"),
+            (11, "2024-01-01 10:10:00", 1, "click"),
+            (12, "2024-01-01 10:20:00", 1, "purchase"),
+        ],
+    }
+    src = tmp_path / "cep_ttl_src"
+    src.mkdir()
+    for i, chunk in rows.items():
+        df = spark.createDataFrame(
+            [(e, t, u, ty, 1.0, "{}") for e, t, u, ty in chunk],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    def run(name: str, **kwargs):
+        q = (
+            cep_first_match_stream(
+                load_events_stream(spark, str(src), max_files_per_trigger=1),
+                steps, within, **kwargs,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        run_to_completion(q)
+        return sorted(
+            (r.user_id, r.start_ts.isoformat(), r.end_ts.isoformat())
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    with_ttl = run("cep_ttl", done_ttl="2 hours")
+    assert with_ttl == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:20:00"),
+        (1, "2024-01-01T10:00:00", "2024-01-01T10:20:00"),  # re-match
+        (2, "2024-01-01T00:00:30", "2024-01-01T00:02:00"),  # repeat inside
+    ]
+    without = run("cep_nottl")
+    assert without == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:20:00"),
+        (2, "2024-01-01T00:00:30", "2024-01-01T00:02:00"),
+    ]
