@@ -535,9 +535,13 @@ def main() -> None:
     ap.add_argument("--native", action="store_true",
                     help="build/use the NATIVE sf1 dataset (unique rows, "
                          "planted dup rate) instead of 10x replication")
+    ap.add_argument("--native-sf", type=float, default=1.0,
+                    help="native dataset scale in sf units (1.0 = sf1; "
+                         "3.0 adds the VERDICT r6 third scale point)")
     args = ap.parse_args()
+    sf_label = f"{args.native_sf:g}"
     if args.native and args.out == str(REPO / ".scratch" / "sf1d"):
-        args.out = str(REPO / ".scratch" / "sf1native")
+        args.out = str(REPO / ".scratch" / f"sf{sf_label}native")
 
     if args.skew:
         from flink_realtime_edu_spark.session import get_spark
@@ -553,7 +557,10 @@ def main() -> None:
 
     spark = get_spark(app_name="fres-scale-stress")
     if not args.skip_build:
-        (build_native if args.native else build)(spark, args.out)
+        if args.native:
+            build_native(spark, args.out, sf=int(1000 * args.native_sf))
+        else:
+            build(spark, args.out)
     # Headline set + the heavier late-r1 pipeline operators: the point
     # of the sweep is how the WORK scales, so include the ops with
     # real data-volume-proportional cost.
@@ -595,6 +602,10 @@ def main() -> None:
         "cep_times_quantifier",
         "jpeg_decode_stats",
         "video_decode_stats",
+        # r7: all-matches CEP enumeration (within-pruned slot joins —
+        # the ratio pins horizon-bounded fanout) + color JPEG decode
+        "cep_all_matches_ranges",
+        "jpeg_color_decode_stats",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
@@ -603,7 +614,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "scale_stress_native_sf1" if args.native
+                "metric": f"scale_stress_native_sf{sf_label}" if args.native
                 else "scale_stress_10x",
                 "base_sf_dir": BASE_SF,
                 "derived_dir": args.out,
