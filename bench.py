@@ -35,16 +35,80 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def box_probe() -> float:
+    """Wall-seconds for a FIXED single-thread CPU workload (sha256
+    chain — no allocation growth, no I/O). The box exhibits bimodal
+    host-level contention (nonzero steal time in /proc/stat inside
+    this Firecracker VM): sustained windows where EVERY query slows
+    uniformly ~1.5x. This probe pins the box's speed at measurement
+    time so a slow official reading is attributable to machine state
+    with in-band evidence rather than after-the-fact argument."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"x" * 4096
+    for _ in range(20000):
+        h = hashlib.sha256(h).digest() * 128
+    return round(time.perf_counter() - t0, 4)
+
+
+def box_probe_parallel() -> float:
+    """Effective parallel speedup (ideal = 32) for a GIL-releasing
+    fixed workload (sha256 over 4 MiB buffers, 32 threads). The
+    bimodal slow phase hits the 32-way Spark JVM while leaving
+    single-thread latency untouched, so THIS is the probe that
+    tracks it; sha256 at this buffer size is partly memory-bandwidth
+    bound, so fast-state readings sit near ~18, not 32."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"x" * (4 << 20)
+
+    def work(_):
+        for _ in range(40):
+            hashlib.sha256(buf).digest()
+
+    t0 = time.perf_counter()
+    work(0)
+    single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(32) as ex:
+        list(ex.map(work, range(32)))
+    wall = time.perf_counter() - t0
+    return round(32 * single / wall, 1) if wall > 0 else 0.0
+
+
+def read_steal() -> tuple[float, float]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — delta over
+    the bench window gives the fraction of CPU stolen by the host."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [float(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0.0, sum(vals)
+    except OSError:
+        return 0.0, 0.0
+
+
 def run_spark(
     names, sf_dir: str, repeats: int
-) -> tuple[dict[str, float], dict[str, list[float]]]:
-    """(median timings, per-query [min, max] spread).
+) -> tuple[dict[str, float], dict[str, list[float]], list[float]]:
+    """(median timings, per-query [min, max] spread, spark calib
+    readings — one before the timed passes and one after each pass).
 
     Median-of-N after a full warmup pass (VERDICT r6 item 1): the
     driver invokes bench.py exactly once, so the robustness against
     the box's documented ±20-25% jitter must live INSIDE this
     function — one anomalous repeat (page-cache eviction, GC pause,
-    block-manager churn) must not become the official number."""
+    block-manager churn) must not become the official number.
+
+    Repeats are INTERLEAVED as full passes over the query list (pass
+    1 of every query, then pass 2, ...) rather than back-to-back per
+    query: a query's N samples land minutes apart, so a transient
+    slow window on the box inflates at most one sample per query and
+    the median survives it. (A slow window spanning the WHOLE bench
+    cannot be defeated by any in-process protocol — that case is
+    attributed instead, via box_probe()/read_steal() in main().)"""
     import statistics
 
     from flink_realtime_edu_spark.queries import load_registry
@@ -60,20 +124,41 @@ def run_spark(
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name in names:
-        runs = []
-        for _ in range(repeats):
+    def spark_calib() -> float:
+        """Fixed same-stack yardstick: an in-JVM shuffle-free sum over
+        spark.range(50M), timed. The Python/steal probes miss the
+        dominant variance source here (time-varying host contention
+        that hits the 32-thread JVM while leaving short single-thread
+        probes near-flat); this one feels exactly what the queries
+        feel. Documented fast-state reading ~0.10-0.15 s — a 1.5-2x
+        calib marks a window where every wall time below is inflated
+        by the same factor."""
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id)").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    spark_calib()  # JIT warmup for the yardstick itself
+    calib = [spark_calib()]
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(repeats):
+        for name in names:
             t0 = time.perf_counter()
             registry[name].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+            runs[name].append(time.perf_counter() - t0)
+        calib.append(spark_calib())
+    timings = {
+        name: round(statistics.median(r), 3) for name, r in runs.items()
+    }
+    spread = {
+        name: [round(min(r), 3), round(max(r), 3)]
+        for name, r in runs.items()
+    }
     spark.stop()
-    return timings, spread
+    return timings, spread, calib
 
 
 def run_duckdb(names, sf_dir: str, repeats: int) -> dict[str, float]:
@@ -250,7 +335,22 @@ def main() -> None:
     registry = load_registry()
     names = sorted(n for n, s in registry.items() if args.all or s.bench)
 
-    spark_times, spread = run_spark(names, args.sf_dir, args.repeats)
+    calib_pre = box_probe()
+    par_pre = box_probe_parallel()
+    steal0, total0 = read_steal()
+    t_bench0 = time.perf_counter()
+    spark_times, spread, spark_calib = run_spark(
+        names, args.sf_dir, args.repeats
+    )
+    bench_wall = time.perf_counter() - t_bench0
+    steal1, total1 = read_steal()
+    calib_post = box_probe()
+    par_post = box_probe_parallel()
+    steal_frac = (
+        round((steal1 - steal0) / (total1 - total0), 4)
+        if total1 > total0
+        else 0.0
+    )
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(spark_times.values()), 3),
@@ -261,6 +361,15 @@ def main() -> None:
         "sf": _sf_of(args.sf_dir),
         "sf_dir": args.sf_dir,
         "n_queries": len(spark_times),
+        # Box-state attribution (BASELINE.md round-7 protocol): the
+        # fixed-work probe's fast-state reading is ~0.10 s; ≥0.14 s
+        # or steal_frac ≥ 0.05 marks a host-contended window where
+        # every wall time inflates uniformly (observed ~1.5x).
+        "box_calib_s": [calib_pre, calib_post],
+        "box_parallel_speedup": [par_pre, par_post],
+        "spark_calib_s": spark_calib,
+        "box_steal_frac": steal_frac,
+        "bench_wall_s": round(bench_wall, 1),
     }
     if args.duckdb:
         duck = run_duckdb(names, args.sf_dir, args.repeats)
