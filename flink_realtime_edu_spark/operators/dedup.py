@@ -786,3 +786,101 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    stride: int = 1,
+    hash_grams: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_id, span_start, span_len): maximal character spans covered
+    by k-grams that occur ≥ 2 times in the corpus — the distributed
+    re-expression of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    char is duplicated iff some k-char window containing it appears at
+    another position in the corpus; maximal runs of duplicated chars
+    are the spans a training pipeline clips.
+
+    Suffix arrays don't distribute; sliding k-gram windows do, with a
+    provable relationship: with stride=1, every duplicated substring
+    of length ≥ k is fully covered by flagged windows, and every
+    flagged window is genuinely duplicated (exact-match keys — no LSH
+    approximation in this operator). stride s > 1 trades cost for the
+    guarantee degrading to substrings of length ≥ k + s - 1.
+
+    Shape at 100 TB: gram generation is a JVM-side explode (rows ≈
+    total corpus chars / stride, each a (id, pos, key) triple — the
+    text column itself is projected away before the shuffle); the dup
+    set is ONE hash-partitioned groupBy on the gram key that emits
+    positions only for keys with ≥ 2 occurrences (collect_list per
+    key, NOT a second corpus-wide semi-join — the grouped positions
+    ARE the output, so one shuffle replaces materialize + join).
+    Span-merge is a per-document window pass (doc-sized state).
+
+    ``hash_grams=True`` shuffles 8-byte xxhash64 keys (the scale
+    default, ~k× less shuffle volume); ``False`` shuffles the raw
+    k-char gram — bit-identical to a SQL oracle with no collision
+    caveat (the two are pinned equivalent by tests). ``max_df`` drops
+    grams occurring more than that many times BEFORE positions are
+    grouped — boilerplate that floods one reduce task at corpus scale
+    (same hot-key guard as fingerprint_overlap_pairs; None = exact
+    Lee-et-al semantics)."""
+    from pyspark.sql import Window
+
+    txt = F.col(text_col)
+    pos = F.explode(
+        F.sequence(F.lit(1), F.length(txt) - F.lit(k - 1), F.lit(stride))
+    ).alias("p")
+    gram = F.substring(txt, F.col("p"), k)
+    grams = (
+        docs.filter(F.length(txt) >= k)
+        .select(F.col(id_col), txt, pos)
+        .select(
+            id_col,
+            "p",
+            (F.xxhash64(gram) if hash_grams else gram).alias("g"),
+        )
+    )
+    occurrences = F.count(F.lit(1))
+    grouped = grams.groupBy("g").agg(
+        occurrences.alias("df"),
+        F.collect_list(F.struct(F.col(id_col), F.col("p"))).alias("occ"),
+    )
+    dup = grouped.filter(F.col("df") >= 2)
+    if max_df is not None:
+        dup = dup.filter(F.col("df") <= max_df)
+    hits = dup.select(F.explode("occ").alias("o")).select(
+        F.col(f"o.{id_col}").alias(id_col), F.col("o.p").alias("p")
+    )
+    # Gaps-and-islands: windows at p cover chars [p, p+k-1]; merge
+    # while the next window starts within (or adjacent to) the
+    # previous cover. First row's NULL lag falls to otherwise(1).
+    w = Window.partitionBy(id_col).orderBy("p")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("p") - F.lag("p").over(w) <= k, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "span_seq",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "span_seq")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") - F.min("p") + F.lit(k)).alias("span_len"),
+        )
+        .drop("span_seq")
+    )
+    return spans

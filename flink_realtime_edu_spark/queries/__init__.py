@@ -102,8 +102,11 @@ def register(
 # NEW r7 queries (all-matches CEP enumeration, color JPEG decode)
 # plus re-pins of every query whose SOURCE changed this round (the
 # jpeg.py decoder was generalized for color, so the grayscale-path
-# jpeg/video/png decode queries and the CEP module's times query get
-# a fresh official sample on the changed code) — then STALENESS-FIRST
+# jpeg/video decode queries and the CEP module's times query get
+# a fresh official sample on the changed code; the NEW substring-span
+# dedup query takes the slot of the untouched png re-pin, whose last
+# official sample (r5) stays within the ≤2-round staleness bar) —
+# then STALENESS-FIRST
 # refresh: ALL 43 queries whose last official sample was r4 (after
 # this window, max staleness across the registry is 2 rounds — the
 # r6 verdict's done-bar). Union coverage over r1–r7 official windows
@@ -115,7 +118,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "jpeg_color_decode_stats",    # X8 X2 A2 F3 — NEW r7: color JPEG
     "jpeg_decode_stats",          # X8 — decoder generalized r7; re-pin
     "video_decode_stats",         # X8 — per-frame decode path touched r7
-    "png_decode_stats",           # X8 — codec-family sibling (last r5)
+    "dup_span_stats",             # X4 X7 W3 — NEW r7: substring-span dedup
     "cep_times_quantifier",       # T7 W1 J4 — CEP module touched r7
     # --- last officially sampled r4 (staleness refresh, all 43) ---
     "full_join_nation_counts",    # J2

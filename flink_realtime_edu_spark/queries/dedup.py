@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.operators.graph import connected_components
 from flink_realtime_edu_spark.operators.dedup import (
+    duplicated_spans,
     fingerprint_overlap_pairs,
     jaccard_pairs_exact,
     minhash_near_duplicates,
@@ -618,4 +619,66 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.7)
     return verified.select(
         F.col("id_a").alias("id_delta"), F.col("id_b").alias("id_other"), "jaccard"
+    )
+
+
+@register(
+    "dup_span_stats",
+    survey_rows=("X4", "X7", "W3"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, p, substr(text, p, 40) AS g
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - 39)) AS t(p)
+  WHERE length(text) >= 40
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)
+),
+brks AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS span_seq
+  FROM brks
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + 40 AS span_len
+  FROM islands GROUP BY doc_id, span_seq
+)
+SELECT d.source AS source,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS docs_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(s.span_len) AS BIGINT) AS dup_chars,
+       CAST(MAX(s.span_len) AS BIGINT) AS max_span_len
+FROM spans s JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup report: maximal duplicated character
+    spans (k = 40, stride 1 — exact cover of every duplicated
+    substring of ≥ 40 chars) aggregated per source. The Spark side
+    runs the xxhash64-keyed scale path of
+    operators.dedup.duplicated_spans; the oracle replays the raw-gram
+    variant in SQL — the two are pinned identical on this corpus by
+    tests/test_spans.py (hash-vs-raw twin, the SipHash/md5-twin
+    discipline of the other near-dup oracles)."""
+    d = load(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, k=40, stride=1, hash_grams=True)
+    return (
+        spans.join(d.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_hit"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").cast("long").alias("dup_chars"),
+            F.max("span_len").cast("long").alias("max_span_len"),
+        )
     )

@@ -1,0 +1,148 @@
+"""duplicated_spans (substring-level dedup) — operator semantics.
+
+The Spark operator has no Python core to property-test in isolation
+(gram explode, dup grouping, and span merge are all DataFrame ops),
+so the pinning strategy is: a pure-Python brute-force reference
+(`ref_spans` — literal Lee-et-al semantics: a char is duplicated iff
+some k-window containing it occurs ≥ 2 times in the corpus; spans are
+maximal runs of duplicated chars) checked against the operator on
+adversarial hand cases AND a seeded random corpus, plus the
+hash-vs-raw gram-key twin on the driver's own tables (the md5-twin
+discipline of the other near-dup oracles — proves xxhash64 keying
+does not perturb the oracle-checked result on this corpus).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from flink_realtime_edu_spark.operators.dedup import duplicated_spans
+
+
+def ref_spans(corpus: dict[int, str], k: int, stride: int = 1):
+    """Brute-force reference: {doc_id: [(start_1based, length), ...]}."""
+    counts: Counter[str] = Counter()
+    positions: dict[int, list[int]] = {}
+    for did, text in corpus.items():
+        pos = list(range(0, max(len(text) - k + 1, 0), stride))
+        positions[did] = pos
+        for p in pos:
+            counts[text[p : p + k]] += 1
+    out: dict[int, list[tuple[int, int]]] = {}
+    for did, text in corpus.items():
+        covered = set()
+        for p in positions[did]:
+            if counts[text[p : p + k]] >= 2:
+                covered.update(range(p, p + k))
+        spans = []
+        for c in sorted(covered):
+            if spans and c == spans[-1][1]:
+                spans[-1][1] = c + 1
+            else:
+                spans.append([c, c + 1])
+        if spans:
+            out[did] = [(s + 1, e - s) for s, e in spans]  # 1-based
+    return out
+
+
+def run_operator(spark, corpus, k, stride=1, hash_grams=True, max_df=None):
+    df = spark.createDataFrame(
+        [(did, t) for did, t in corpus.items()], "doc_id long, text string"
+    )
+    rows = duplicated_spans(
+        df, k=k, stride=stride, hash_grams=hash_grams, max_df=max_df
+    ).collect()
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len"]))
+    return {d: sorted(v) for d, v in got.items()}
+
+
+CASES = {
+    # cross-doc duplicate: the shared 12-char block, nothing else
+    "cross_doc": ({1: "aaaBBBBBBBBBBBBccc", 2: "xyzBBBBBBBBBBBBqrs"}, 8),
+    # within-doc repeat counts (suffix-array semantics: ≥2 positions
+    # total, both in the same document)
+    "within_doc": ({1: "PPPPPPPPPP-middle-PPPPPPPPPP", 2: "unrelated text."}, 8),
+    # two dup regions separated by a unique gap → two spans, not one
+    "two_spans": (
+        {1: "AAAAAAAAAA-unique-gap-here-BBBBBBBBBB", 2: "AAAAAAAAAA|BBBBBBBBBB"},
+        6,
+    ),
+    # doc shorter than k contributes no grams at all
+    "short_doc": ({1: "tiny", 2: "this text is long enough", 3: "this text is long enough"}, 10),
+    # full-doc duplicate → one span covering everything
+    "exact_pair": ({1: "identical documents here", 2: "identical documents here"}, 10),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_operator_matches_bruteforce(spark, case):
+    corpus, k = CASES[case]
+    assert run_operator(spark, corpus, k) == {
+        d: sorted(v) for d, v in ref_spans(corpus, k).items()
+    }
+
+
+def test_random_corpus_matches_bruteforce(spark):
+    """Seeded random word-salad over a tiny vocabulary (forces heavy
+    gram collisions), plus planted exact copies — one Spark round
+    checks hundreds of span/merge edge alignments."""
+    rng = random.Random(714)
+    vocab = ["ab", "ba", "aa", "bb", "cc"]
+    corpus = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(40)
+    }
+    corpus[100] = corpus[7] + " tail"  # planted near-copy
+    corpus[101] = corpus[7]
+    for k, stride in [(6, 1), (9, 1), (9, 3)]:
+        assert run_operator(spark, corpus, k, stride) == {
+            d: sorted(v) for d, v in ref_spans(corpus, k, stride).items()
+        }, (k, stride)
+
+
+def test_stride_weakens_but_never_invents(spark):
+    """stride > 1 may MISS duplicated chars (guarantee degrades to
+    spans ≥ k + stride - 1) but every reported span must still lie
+    inside a stride-1 span — strided flagged windows are a subset."""
+    corpus, k = CASES["two_spans"]
+    full = run_operator(spark, corpus, k, stride=1)
+    strided = run_operator(spark, corpus, k, stride=4)
+    for did, spans in strided.items():
+        for start, length in spans:
+            assert any(
+                fs <= start and start + length <= fs + fl
+                for fs, fl in full.get(did, [])
+            )
+
+
+def test_hash_and_raw_gram_keys_agree_on_driver_tables(spark):
+    """xxhash64 keying (the scale path the registered query runs) and
+    raw-gram keying (what the DuckDB oracle replays) produce the
+    identical span set on the driver's own corpora — the collision
+    caveat is pinned away on exactly the data the gate compares."""
+    from flink_realtime_edu_spark.sources import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = load(spark, sf, "documents")
+        a = duplicated_spans(d, k=40, hash_grams=True)
+        b = duplicated_spans(d, k=40, hash_grams=False)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, sf
+
+
+def test_max_df_drops_boilerplate(spark):
+    """A gram occurring in every doc disappears under max_df — the
+    hot-key guard — while rarer duplicated grams survive."""
+    boiler = "COMMON-HEADER-LINE "
+    corpus = {i: boiler + f"unique body {i} with no repeats at all" for i in range(8)}
+    corpus[50] = "shared-tail-block-one"
+    corpus[51] = "shared-tail-block-one"
+    k = 10
+    capped = run_operator(spark, corpus, k, max_df=4)
+    assert all(did in (50, 51) for did in capped)
+    uncapped = run_operator(spark, corpus, k)
+    assert set(uncapped) >= {50, 51} and len(uncapped) > len(capped)
