@@ -100,7 +100,9 @@ def sniff_events_ts_shape(path: str, default: str = TS_SHAPE_NANOS_LONG) -> str:
         md = pq.read_metadata(files[0]).schema
         for i in range(len(md)):
             col = md.column(i)
-            if col.path_in_schema == "ts" and col.physical_type == "INT96":
+            # ColumnSchema exposes the dotted column path as `.path`
+            # (`path_in_schema` only exists on ColumnChunkMetaData).
+            if col.path == "ts" and col.physical_type == "INT96":
                 return TS_SHAPE_LTZ_MICROS
     return TS_SHAPE_NANOS_LONG
 

@@ -606,6 +606,10 @@ def main() -> None:
         # the ratio pins horizon-bounded fanout) + color JPEG decode
         "cep_all_matches_ranges",
         "jpeg_color_decode_stats",
+        # late-r7: substring-span dedup — gram volume ≈ corpus chars,
+        # the most data-proportional operator in the registry; the
+        # ratio pins the one-shuffle grouped-positions design
+        "dup_span_stats",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)

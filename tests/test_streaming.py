@@ -658,13 +658,43 @@ def test_ts_shape_drift_guard(spark, sf_dir, tmp_path):
     # the third shape, sniffed via the pyarrow tz flag (ADVICE r3:
     # classifying it NTZ was only value-correct under the UTC pin).
     ev.write.parquet(table_path(ltz_dir, "events"))
+    # Fourth shape: legacy INT96 (pre-4.x Spark TimestampType output)
+    # — physical INT96 surfaces in arrow as tz-naive nanos, so the
+    # sniffer must disambiguate via the parquet PHYSICAL type (the
+    # ColumnSchema.path walk; r7 fixed an AttributeError that made
+    # this branch unreachable on every ns-unit file).
+    int96_dir = str(tmp_path / "int96_sf")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        ev.write.parquet(table_path(int96_dir, "events"))
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
     assert sniff_events_ts_shape(table_path(nanos_dir, "events")) == TS_SHAPE_NANOS_LONG
     assert sniff_events_ts_shape(table_path(ntz_dir, "events")) == TS_SHAPE_NTZ_MICROS
     assert sniff_events_ts_shape(table_path(ltz_dir, "events")) == TS_SHAPE_LTZ_MICROS
+    assert (
+        sniff_events_ts_shape(table_path(int96_dir, "events"))
+        == TS_SHAPE_LTZ_MICROS
+    )
+    # ns-unit INT64 tz-naive (a pandas/pyarrow writer's default) also
+    # walks the physical-type loop and must fall through, not crash.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_file = tmp_path / "ns_naive.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([0], pa.timestamp("ns"))}), ns_file
+    )
+    assert sniff_events_ts_shape(str(ns_file)) == TS_SHAPE_NANOS_LONG
 
     want = _rows(ev)
     results = {}
-    for tag, d in (("nanos", nanos_dir), ("ntz", ntz_dir), ("ltz", ltz_dir)):
+    for tag, d in (
+        ("nanos", nanos_dir),
+        ("ntz", ntz_dir),
+        ("ltz", ltz_dir),
+        ("int96", int96_dir),
+    ):
         results[f"batch_{tag}"] = _rows(load(spark, d, "events"))
         q = (
             load_events_stream(spark, table_path(d, "events"))
