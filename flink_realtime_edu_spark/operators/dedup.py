@@ -801,6 +801,7 @@ def duplicated_spans(
     stride: int = 1,
     hash_grams: bool = True,
     max_df: int | None = None,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, span_start, span_len): maximal character spans covered
     by k-grams that occur ≥ 2 times in the corpus — the distributed
@@ -833,7 +834,15 @@ def duplicated_spans(
     grams occurring more than that many times BEFORE positions are
     grouped — boilerplate that floods one reduce task at corpus scale
     (same hot-key guard as fingerprint_overlap_pairs; None = exact
-    Lee-et-al semantics)."""
+    Lee-et-al semantics).
+
+    ``keep_first=True`` exempts each gram's globally-first occurrence
+    (min (doc_id, p) — deterministic, order-free) from flagging, so
+    one canonical copy of every duplicated region survives clipping —
+    the remove-all-but-one policy of Lee et al.'s ExactSubstr dedup.
+    Costs nothing extra: the kept occurrence is dropped by an
+    array_sort + slice on the already-grouped positions, still inside
+    the single shuffle."""
     from pyspark.sql import Window
 
     txt = F.col(text_col)
@@ -858,7 +867,12 @@ def duplicated_spans(
     dup = grouped.filter(F.col("df") >= 2)
     if max_df is not None:
         dup = dup.filter(F.col("df") <= max_df)
-    hits = dup.select(F.explode("occ").alias("o")).select(
+    occ_src = (
+        F.slice(F.array_sort(F.col("occ")), 2, F.size("occ") - 1)
+        if keep_first
+        else F.col("occ")
+    )
+    hits = dup.select(F.explode(occ_src).alias("o")).select(
         F.col(f"o.{id_col}").alias(id_col), F.col("o.p").alias("p")
     )
     # Gaps-and-islands: windows at p cover chars [p, p+k-1]; merge
@@ -884,3 +898,55 @@ def duplicated_spans(
         .drop("span_seq")
     )
     return spans
+
+
+def clip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clipped_text",
+) -> DataFrame:
+    """docs plus ``out_col``: the text with every (span_start,
+    span_len) region from ``spans`` removed — the APPLY step of
+    substring dedup (pair with duplicated_spans(keep_first=True) for
+    Lee et al.'s remove-all-but-one ExactSubstr policy).
+
+    Entirely JVM-side: spans fold to a sorted per-doc array (small —
+    merged spans are disjoint), and reassembly is ONE ``F.aggregate``
+    over that array threading a (cursor, out) accumulator through the
+    kept gaps, finished with the tail substring. No Python in the
+    loop, no explode back out; docs without spans pass through
+    untouched via the left join."""
+    txt = F.col(text_col)
+    merged = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("__sp")
+    )
+    acc0 = F.struct(
+        F.lit(1).alias("cur"), F.lit("").cast("string").alias("out")
+    )
+    clipped = F.aggregate(
+        F.col("__sp"),
+        acc0,
+        lambda acc, s: F.struct(
+            (s["span_start"] + s["span_len"]).alias("cur"),
+            F.concat(
+                acc["out"],
+                F.substring(txt, acc["cur"], s["span_start"] - acc["cur"]),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(txt, acc["cur"], F.length(txt) - acc["cur"] + 1),
+        ),
+    )
+    return (
+        docs.join(merged, on=id_col, how="left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__sp").isNull(), txt).otherwise(clipped),
+        )
+        .drop("__sp")
+    )

@@ -116,7 +116,11 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
     "cep_all_matches_ranges",     # T7 J4 W1 F5 — NEW r7: all-matches CEP
     "jpeg_color_decode_stats",    # X8 X2 A2 F3 — NEW r7: color JPEG
-    "jpeg_decode_stats",          # X8 — decoder generalized r7; re-pin
+    "span_clip_checksums",        # X4 X7 F1 — NEW r7: ExactSubstr clip
+    # (jpeg_decode_stats' r7 re-pin slot went here: the generalized
+    # decoder is officially sampled via jpeg_color_decode_stats AND
+    # video_decode_stats' per-frame path, and its own last official
+    # sample (r6) stays within the ≤2-round staleness bar)
     "video_decode_stats",         # X8 — per-frame decode path touched r7
     "dup_span_stats",             # X4 X7 W3 — NEW r7: substring-span dedup
     "cep_times_quantifier",       # T7 W1 J4 — CEP module touched r7

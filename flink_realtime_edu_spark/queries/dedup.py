@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from flink_realtime_edu_spark.operators.graph import connected_components
 from flink_realtime_edu_spark.operators.dedup import (
+    clip_spans,
     duplicated_spans,
     fingerprint_overlap_pairs,
     jaccard_pairs_exact,
@@ -681,4 +682,101 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_len").cast("long").alias("dup_chars"),
             F.max("span_len").cast("long").alias("max_span_len"),
         )
+    )
+
+
+@register(
+    "span_clip_checksums",
+    survey_rows=("X4", "X7", "F1"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, p, substr(text, p, 40) AS g
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - 39)) AS t(p)
+  WHERE length(text) >= 40
+),
+marked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS df
+  FROM grams
+),
+hits AS (SELECT doc_id, p FROM marked WHERE df >= 2 AND rn >= 2),
+brks AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS span_seq
+  FROM brks
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + 40 AS span_len
+  FROM islands GROUP BY doc_id, span_seq
+),
+sent AS (
+  SELECT doc_id, span_start, span_len FROM spans
+  UNION ALL
+  SELECT doc_id, length(text) + 1, 0 FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM spans)
+),
+cuts AS (
+  SELECT doc_id, span_start,
+         COALESCE(lag(span_start + span_len)
+                    OVER (PARTITION BY doc_id ORDER BY span_start),
+                  1) AS cur
+  FROM sent
+),
+segs AS (
+  SELECT c.doc_id, c.span_start,
+         substr(d.text, c.cur, c.span_start - c.cur) AS seg
+  FROM cuts c JOIN documents d USING (doc_id)
+),
+clipped0 AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY span_start) AS ct
+  FROM segs GROUP BY doc_id
+),
+clipped AS (
+  SELECT d.source, d.text, COALESCE(c.ct, d.text) AS ct
+  FROM documents d LEFT JOIN clipped0 c USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ct <> text THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_clipped,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+       CAST(SUM(length(ct)) AS BIGINT) AS chars_after,
+       CAST(COUNT(DISTINCT md5(ct)) AS BIGINT) AS distinct_clipped
+FROM clipped
+GROUP BY source
+""",
+)
+def span_clip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of substring dedup — Lee et al.'s
+    remove-all-but-one ExactSubstr policy: duplicated_spans with
+    keep_first=True exempts each gram's globally-first occurrence, so
+    one canonical copy survives, then clip_spans reassembles every
+    document minus its flagged spans in one JVM-side F.aggregate fold
+    (no UDF, no explode-back). The md5-of-clipped-text distinct count
+    makes the oracle sensitive to every reassembled byte, not just
+    lengths — a value-level proof the Spark fold and the SQL
+    string_agg replay produce identical corpora."""
+    d = load(spark, sf_dir, "documents")
+    spans = duplicated_spans(
+        d, k=40, stride=1, hash_grams=True, keep_first=True
+    )
+    clipped = clip_spans(d, spans)
+    ct = F.col("clipped_text")
+    return clipped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(ct != F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_clipped"),
+        F.sum(F.length("text")).cast("long").alias("chars_before"),
+        F.sum(F.length(ct)).cast("long").alias("chars_after"),
+        F.countDistinct(F.md5(ct)).alias("distinct_clipped"),
     )

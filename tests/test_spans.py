@@ -129,9 +129,112 @@ def test_hash_and_raw_gram_keys_agree_on_driver_tables(spark):
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         d = load(spark, sf, "documents")
-        a = duplicated_spans(d, k=40, hash_grams=True)
-        b = duplicated_spans(d, k=40, hash_grams=False)
-        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, sf
+        for kf in (False, True):
+            a = duplicated_spans(d, k=40, hash_grams=True, keep_first=kf)
+            b = duplicated_spans(d, k=40, hash_grams=False, keep_first=kf)
+            assert (
+                a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+            ), (sf, kf)
+
+
+def ref_spans_keep_first(corpus: dict[int, str], k: int):
+    """Brute-force keep-first reference: a position is flagged iff its
+    gram occurs ≥ 2 times AND the position is not the gram's global
+    minimum (doc_id, p) occurrence."""
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for did in sorted(corpus):
+        text = corpus[did]
+        for p in range(max(len(text) - k + 1, 0)):
+            occs.setdefault(text[p : p + k], []).append((did, p))
+    out: dict[int, list[tuple[int, int]]] = {}
+    covered: dict[int, set[int]] = {}
+    for lst in occs.values():
+        if len(lst) < 2:
+            continue
+        for did, p in sorted(lst)[1:]:
+            covered.setdefault(did, set()).update(range(p, p + k))
+    for did, cov in covered.items():
+        spans = []
+        for c in sorted(cov):
+            if spans and c == spans[-1][1]:
+                spans[-1][1] = c + 1
+            else:
+                spans.append([c, c + 1])
+        out[did] = [(s + 1, e - s) for s, e in spans]
+    return out
+
+
+def ref_clip(text: str, spans: list[tuple[int, int]]) -> str:
+    cov = set()
+    for start, length in spans:  # 1-based starts
+        cov.update(range(start - 1, start - 1 + length))
+    return "".join(ch for i, ch in enumerate(text) if i not in cov)
+
+
+def test_keep_first_matches_bruteforce(spark):
+    """keep_first=True drops exactly each gram's global-first
+    occurrence — checked against brute force on the hand cases and
+    the collision-heavy random corpus."""
+    rng = random.Random(99)
+    vocab = ["ab", "ba", "aa", "bb", "cc"]
+    corpora = [c for c, _k in CASES.values()]
+    rnd = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(30)
+    }
+    rnd[100] = rnd[3]
+    corpora.append(rnd)
+    for corpus in corpora:
+        for k in (6, 8, 10):
+            df = spark.createDataFrame(
+                [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+            )
+            rows = duplicated_spans(df, k=k, keep_first=True).collect()
+            got = {}
+            for r in rows:
+                got.setdefault(r["doc_id"], []).append(
+                    (r["span_start"], r["span_len"])
+                )
+            got = {d: sorted(v) for d, v in got.items()}
+            want = {
+                d: sorted(v)
+                for d, v in ref_spans_keep_first(corpus, k).items()
+            }
+            assert got == want, k
+
+
+def test_clip_spans_reassembly(spark):
+    """clip_spans rebuilds text-minus-spans byte-for-byte (the
+    F.aggregate fold vs a pure-Python splice), including docs with
+    no spans, spans at position 1, and spans running to the end."""
+    from flink_realtime_edu_spark.operators.dedup import clip_spans
+
+    rng = random.Random(4242)
+    vocab = ["ab", "ba", "aa", "bb", "cc"]
+    corpus = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(30)
+    }
+    # distinct alphabet so this pair's grams collide with nothing else
+    corpus[5] = "QWERTYUIOPASDFGHJKLZXCVBNM0123456789"
+    corpus[100] = corpus[5]          # full-doc duplicate → clip to ""
+    corpus[101] = corpus[6] + " x"   # span to near-end
+    corpus[102] = "zz " + corpus[7]  # span from offset
+    k = 8
+    df = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    spans = duplicated_spans(df, k=k, keep_first=True)
+    got = {
+        r["doc_id"]: r["clipped_text"]
+        for r in clip_spans(df, spans).collect()
+    }
+    ref = ref_spans_keep_first(corpus, k)
+    for did, text in corpus.items():
+        assert got[did] == ref_clip(text, ref.get(did, [])), did
+    # keep-first must leave the canonical copy intact: the unique-
+    # alphabet full-doc pair (5, 100) keeps doc 5 (global-min occ)
+    assert got[5] == corpus[5] and got[100] == ""
 
 
 def test_max_df_drops_boilerplate(spark):
