@@ -38,9 +38,12 @@ GroupState operator here. Retention: by default a key that completes
 price of first-match-EVER semantics (evicting it would let the key
 match again on later events), ~40 bytes per completed key; for
 streams with unbounded key churn, ``cep_first_match_stream``'s
-``done_ttl`` evicts the marker via an event-time timer once the
-watermark passes end_ts + ttl (first match per TTL window, state
-bounded by one TTL horizon of active keys), and callers that want
+``done_ttl`` evicts state via event-time timers — done markers once
+the watermark passes end_ts + ttl (first match per TTL window), and
+PARTIAL chains once idle past the ttl AND past their t1 + within
+completion horizon (never while an in-horizon completion is still
+admissible) — so state really is bounded by one max(ttl, within)
+horizon of active keys, partials included, and callers that want
 aligned per-window re-matching can bucket the key by window instead.
 The sort-once concat holds a single key's single micro-batch in
 memory — bounded by per-key batch volume, not stream length.
@@ -82,25 +85,36 @@ def _parse_within_us(within: str) -> int:
 
 
 def _make_cep_fn(steps: list[str], within_us: int, ttl_us: int | None = None):
+    def expiry_ms(t1_us: int, tprev_us: int, done: bool) -> int:
+        """Event-time deadline after which this state is dead weight
+        (ttl mode only). Done marker: end + ttl (the documented
+        re-match window). PARTIAL chain: idle past the ttl AND past
+        its completion horizon t1 + within — before t1 + within an
+        in-horizon completion is still admissible, so evicting on
+        idleness alone could lose a legitimate match when
+        ttl < within (the shape the done-marker test pins)."""
+        if done:
+            return (tprev_us + ttl_us) // 1000 + 1
+        return max(t1_us + within_us, tprev_us + ttl_us) // 1000 + 1
+
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # Only armed on done markers (ttl mode): the marker's TTL
-            # horizon passed with no new data — evict so the key may
-            # match again on future events.
+            # ttl mode: the state's deadline passed with no new data —
+            # evict (done marker: the key may match again on future
+            # events; partial: the chain could no longer complete).
             state.remove()
             return
         if state.exists:
             step_idx, t1_us, tprev_us, done = state.get
             if (
-                done
-                and ttl_us is not None
-                and (tprev_us + ttl_us) // 1000 + 1
+                ttl_us is not None
+                and expiry_ms(t1_us, tprev_us, done)
                 <= state.getCurrentWatermarkMs()
             ):
-                # Marker expired but new data arrived in the same
+                # State expired but new data arrived in the same
                 # batch (Spark delivers data, not a timeout, then) —
-                # treat the marker as evicted and match this batch's
-                # events as a fresh chain.
+                # treat it as evicted and match this batch's events
+                # as a fresh chain.
                 step_idx, t1_us, tprev_us, done = 0, None, None, False
         else:
             step_idx, t1_us, tprev_us, done = 0, None, None, False
@@ -145,16 +159,21 @@ def _make_cep_fn(steps: list[str], within_us: int, ttl_us: int | None = None):
                 pass
         if step_idx > 0 or done:
             state.update((step_idx, t1_us, tprev_us, done))
-            if done and ttl_us is not None:
-                # Done-marker TTL (re-armed every invocation — Spark
-                # clears timers on each call): evict the ~40-byte
-                # marker once the watermark passes end_ts + ttl,
-                # trading first-match-EVER for first-match-per-TTL and
-                # bounding state by ACTIVE keys, not ever-completed
-                # keys. A deadline at/below the watermark cannot be
-                # armed — leave the marker; the entry check above
-                # evicts it lazily on the key's next data.
-                timer_ms = (tprev_us + ttl_us) // 1000 + 1
+            if ttl_us is not None:
+                # State TTL (re-armed every invocation — Spark clears
+                # timers on each call): evict the done marker once
+                # the watermark passes end + ttl (trading
+                # first-match-EVER for first-match-per-TTL), and a
+                # PARTIAL chain once it is both idle past the ttl and
+                # past its t1 + within completion horizon — without
+                # the partial deadline, keys that start a chain and
+                # never finish accumulate forever under key churn
+                # (measured: scripts/state_growth.py showed the
+                # done-only TTL leaving the state curve ~linear). A
+                # deadline at/below the watermark cannot be armed —
+                # leave the row; the entry check above evicts it
+                # lazily on the key's next data.
+                timer_ms = expiry_ms(t1_us, tprev_us, done)
                 if timer_ms > state.getCurrentWatermarkMs():
                     state.setTimeoutTimestamp(timer_ms)
         # step_idx == 0 is indistinguishable from state.exists == False:
@@ -188,13 +207,17 @@ def cep_first_match_stream(
 
     ``done_ttl`` (optional, VERDICT r6 item 5): with the default
     ``None`` a completed key's done marker lives forever —
-    first-match-EVER semantics, state O(completed keys). Set an
-    interval string ('7 days') to EVICT the marker once the event-time
-    watermark passes end_ts + ttl: the key may then match again on
-    later events (first match per TTL window) and state is bounded by
-    keys ACTIVE within one TTL horizon — the right setting for
-    unbounded key churn. Requires event-time watermarks
-    (``watermark_delay`` maps to withWatermark)."""
+    first-match-EVER semantics, state O(completed keys) + O(keys with
+    partial progress). Set an interval string ('7 days') to EVICT
+    state once it is dead weight: the done marker when the event-time
+    watermark passes end_ts + ttl (the key may then match again on
+    later events — first match per TTL window), and a partial chain
+    once it is idle past the ttl AND past its t1 + within completion
+    horizon (never earlier, so no in-horizon match is ever lost even
+    with ttl < within). State is then bounded by keys ACTIVE within
+    one max(ttl, within) horizon — the right setting for unbounded
+    key churn. Requires event-time watermarks (``watermark_delay``
+    maps to withWatermark)."""
     within_us = _parse_within_us(within)
     ttl_us = None if done_ttl is None else _parse_within_us(done_ttl)
     if ttl_us is not None:

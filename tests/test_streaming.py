@@ -1778,3 +1778,91 @@ def test_cep_done_marker_ttl_evicts_and_rematches(spark, tmp_path):
         (1, "2024-01-01T00:00:00", "2024-01-01T00:20:00"),
         (2, "2024-01-01T00:00:30", "2024-01-01T00:02:00"),
     ]
+
+
+def test_cep_ttl_evicts_stale_partial_chains(spark, tmp_path):
+    """Partial-chain TTL contract (r7, motivated by the
+    state_growth.py measurement: done-only TTL left state ~linear in
+    churned keys because never-completing chains were immortal):
+
+    - a partial IDLE past the ttl but still inside its t1 + within
+      completion horizon must NOT be evicted — its in-horizon
+      completion still matches (user 1);
+    - a partial past BOTH deadlines is evicted, so a later
+      self-contained chain matches fresh (user 2) — whereas without
+      a ttl the stale t1 makes the eventual completion over-horizon
+      and the key is silently burned forever (done, no output)."""
+    from flink_realtime_edu_spark.streaming.cep import cep_first_match_stream
+
+    steps, within = ["view", "click", "purchase"], "2 hours"
+    rows = {
+        # chunk 0: two partial chains open at 00:00
+        0: [
+            (0, "2024-01-01 00:00:00", 1, "view"),
+            (1, "2024-01-01 00:00:00", 2, "view"),
+        ],
+        # chunk 1: bystander drives the watermark to 01:30 — both
+        # partials are now idle past ttl=1h but INSIDE their 02:00
+        # completion horizon, so neither may be evicted yet
+        1: [(2, "2024-01-01 01:30:00", 99, "view")],
+        # chunk 2: user 1 completes in-horizon (must match: 01:50 -
+        # 00:00 <= 2 h); a second bystander pushes the watermark to
+        # 05:00, past user 2's max(t1+within, tprev+ttl) = 02:00
+        2: [
+            (3, "2024-01-01 01:45:00", 1, "click"),
+            (4, "2024-01-01 01:50:00", 1, "purchase"),
+            (5, "2024-01-01 05:00:00", 98, "view"),
+        ],
+        # chunk 3: user 2's fresh self-contained chain
+        3: [
+            (6, "2024-01-01 06:00:00", 2, "view"),
+            (7, "2024-01-01 06:05:00", 2, "click"),
+            (8, "2024-01-01 06:10:00", 2, "purchase"),
+        ],
+    }
+    src = tmp_path / "cep_partial_ttl_src"
+    src.mkdir()
+    for i, chunk in rows.items():
+        df = spark.createDataFrame(
+            [(e, t, u, ty, 1.0, "{}") for e, t, u, ty in chunk],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    def run(name: str, **kwargs):
+        q = (
+            cep_first_match_stream(
+                load_events_stream(spark, str(src), max_files_per_trigger=1),
+                steps, within, **kwargs,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        run_to_completion(q)
+        return sorted(
+            (r.user_id, r.start_ts.isoformat(), r.end_ts.isoformat())
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    with_ttl = run("cep_partial_ttl", done_ttl="1 hour")
+    assert with_ttl == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T01:50:00"),  # kept partial
+        (2, "2024-01-01T06:00:00", "2024-01-01T06:10:00"),  # evicted+fresh
+    ]
+    without = run("cep_partial_nottl")
+    assert without == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T01:50:00"),
+        # user 2: stale t1 makes the 06:10 completion over-horizon —
+        # done with no output, the first-match-ever price
+    ]
