@@ -331,6 +331,32 @@ def cep_all_matches(
     Callers with dense keys should bound ``within`` first — exactly
     as in Flink, where an unbounded skip-till-any pattern is a
     documented state explosion."""
+    blocks = _normalize_blocks(steps)
+    if max_matches_per_key < 1:
+        raise ValueError("max_matches_per_key must be >= 1")
+    matches = _enumerate_matches(
+        events, blocks, within, key_col, ts_col, type_col
+    )
+    w = Window.partitionBy(key_col).orderBy("chain")
+    return (
+        matches.withColumn("match_no", F.row_number().over(w))
+        .filter(F.col("match_no") <= max_matches_per_key)
+        .select(
+            key_col,
+            F.col("t1").alias("start_ts"),
+            F.col("last").alias("end_ts"),
+            F.size("chain").alias("n_events"),
+            F.array_join(
+                F.transform("chain", lambda x: x.cast("string")), "|"
+            ).alias("chain_str"),
+            "match_no",
+        )
+    )
+
+
+def _normalize_blocks(
+    steps: list[str | tuple[str, int, int]],
+) -> list[tuple[str, int, int]]:
     blocks: list[tuple[str, int, int]] = [
         (s, 1, 1) if isinstance(s, str) else (s[0], int(s[1]), int(s[2]))
         for s in steps
@@ -343,9 +369,22 @@ def cep_all_matches(
         raise ValueError("the first block must be non-optional (min >= 1)")
     if sum(n for _, _, n in blocks) < 2:
         raise ValueError("a CEP pattern needs >= 2 total possible events")
-    if max_matches_per_key < 1:
-        raise ValueError("max_matches_per_key must be >= 1")
+    return blocks
 
+
+def _enumerate_matches(
+    events: DataFrame,
+    blocks: list[tuple[str, int, int]],
+    within: str,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """The uncapped distinct-event-set match enumeration shared by
+    cep_all_matches and cep_after_match_skip: one within-pruned keyed
+    equi-join per slot, stop∪extend unions for optional slots, then
+    event-set dedup — columns (key, t1, last, chain) with chain the
+    epoch-micros event list in timestamp order."""
     ev = events.select(key_col, type_col, ts_col).distinct()
     horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
 
@@ -394,10 +433,113 @@ def cep_all_matches(
         if stopped is not None:
             cur = cur.unionByName(stopped)
 
+    return cur.dropDuplicates([key_col, "chain"])
+
+
+def cep_after_match_skip(
+    events: DataFrame,
+    steps: list[str | tuple[str, int, int]],
+    within: str,
+    strategy: str = "no_skip",
+    max_matches_per_key: int = 100,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Flink's ``AfterMatchSkipStrategy`` over the all-matches
+    enumeration — completes the Pattern-API skip-strategy enum that
+    r7's ``cep_all_matches`` opened (its NO_SKIP mode):
+
+    - ``"no_skip"``: every distinct event-set chain (delegates to
+      ``cep_all_matches``).
+    - ``"skip_to_next"``: after a match starting at event e emits,
+      every other partial starting at e is discarded — declared
+      deterministically as the chain-lexicographically FIRST chain
+      per (key, start event), i.e. the chain taking the earliest
+      eligible event at every slot. Pure window selection: one
+      row_number over (key, t1) — fully declarative, no Python.
+    - ``"skip_past_last_event"``: after a match emits, every partial
+      that started at-or-before its last event is discarded, so
+      matching resumes past the match — declared deterministically
+      as: walk each key's distinct completion timestamps in order;
+      at each, emit every surviving match ending there (start
+      strictly after the previously emitted completion timestamp);
+      if any emitted, that timestamp becomes the new resume point.
+      The walk is an inherently sequential per-key recurrence (the
+      keep-set depends on a running maximum over kept rows — not
+      window-expressible), so it runs as ONE Arrow-batched
+      applyInPandas over the enumeration, grouped by key: per-key
+      state is the horizon-and-cap-bounded match list, never the
+      key's raw history.
+
+    Output schema matches ``cep_all_matches``: (key, start_ts,
+    end_ts, n_events, chain_str, match_no) with match_no the
+    chain-lexicographic rank among KEPT matches, capped at
+    ``max_matches_per_key``. The DuckDB oracle replays no_skip /
+    skip_to_next as window SQL and skip_past_last_event as a
+    recursive CTE over the identical enumeration (queries/cep.py),
+    so all three strategies carry exact value checks."""
+    strategies = ("no_skip", "skip_to_next", "skip_past_last_event")
+    if strategy not in strategies:
+        raise ValueError(f"strategy must be one of {strategies}")
+    if strategy == "no_skip":
+        return cep_all_matches(
+            events,
+            steps,
+            within,
+            max_matches_per_key=max_matches_per_key,
+            key_col=key_col,
+            ts_col=ts_col,
+            type_col=type_col,
+        )
+    blocks = _normalize_blocks(steps)
+    if max_matches_per_key < 1:
+        raise ValueError("max_matches_per_key must be >= 1")
+    matches = _enumerate_matches(
+        events, blocks, within, key_col, ts_col, type_col
+    )
+
+    if strategy == "skip_to_next":
+        per_start = Window.partitionBy(key_col, "t1").orderBy("chain")
+        kept = (
+            matches.withColumn("__sr", F.row_number().over(per_start))
+            .filter(F.col("__sr") == 1)
+            .drop("__sr")
+        )
+    else:  # skip_past_last_event
+        import pandas as pd
+
+        def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # completion-order walk; chains tie-break equal ends
+            rows = sorted(
+                range(len(pdf)),
+                key=lambda i: (
+                    pdf["last"].iloc[i],
+                    tuple(pdf["chain"].iloc[i]),
+                ),
+            )
+            keep: list[int] = []
+            resume = None  # end ts of the last emitted batch
+            i = 0
+            while i < len(rows):
+                end = pdf["last"].iloc[rows[i]]
+                batch = []
+                while i < len(rows) and pdf["last"].iloc[rows[i]] == end:
+                    if resume is None or pdf["t1"].iloc[rows[i]] > resume:
+                        batch.append(rows[i])
+                    i += 1
+                if batch:
+                    keep.extend(batch)
+                    resume = end
+            return pdf.iloc[keep]
+
+        kept = matches.groupBy(key_col).applyInPandas(
+            greedy, schema=matches.schema
+        )
+
     w = Window.partitionBy(key_col).orderBy("chain")
     return (
-        cur.dropDuplicates([key_col, "chain"])
-        .withColumn("match_no", F.row_number().over(w))
+        kept.withColumn("match_no", F.row_number().over(w))
         .filter(F.col("match_no") <= max_matches_per_key)
         .select(
             key_col,

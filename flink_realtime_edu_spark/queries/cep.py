@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_realtime_edu_spark.operators.cep import (
+    cep_after_match_skip,
     cep_all_matches,
     cep_first_match,
     cep_strict_matches,
@@ -165,18 +166,22 @@ FROM s{len(blocks)} WHERE t{base} <= t1 + INTERVAL {within_sql}
 """
 
 
-def _all_matches_oracle(
-    blocks: list[tuple[str, int, int]], within_sql: str, cap: int
+def _enumeration_prefix(
+    blocks: list[tuple[str, int, int]], within_sql: str, recursive: bool
 ) -> str:
-    """Replay cep_all_matches slot-for-slot as chained CTEs: one
-    extension CTE per slot (within-pruned at the join exactly like
-    the operator), stop∪extend merge CTEs where a slot is optional,
-    then distinct-chain dedup + per-key lexicographic rank. CTEs are
+    """The shared enumeration replay behind all skip strategies:
+    cep_all_matches slot-for-slot as chained CTEs — one extension CTE
+    per slot (within-pruned at the join exactly like the operator),
+    stop∪extend merge CTEs where a slot is optional, then
+    distinct-chain dedup into a final CTE named ``dedup``. CTEs are
     MATERIALIZED — DuckDB inlines plain CTEs per reference, and the
-    stop/extend forks reference each CTE twice (the r5 BPE lesson)."""
+    stop/extend forks reference each CTE twice (the r5 BPE lesson).
+    ``recursive=True`` opens with WITH RECURSIVE so a caller can
+    append a recursive selection CTE (skip_past_last_event)."""
     horizon = f"p.t1 + INTERVAL {within_sql}"
+    with_kw = "WITH RECURSIVE" if recursive else "WITH"
     parts = [
-        """WITH ev AS MATERIALIZED (
+        f"""{with_kw} ev AS MATERIALIZED (
   SELECT DISTINCT user_id, event_type, ts FROM events
 )""",
         f""", c1 AS MATERIALIZED (
@@ -216,17 +221,82 @@ def _all_matches_oracle(
             )
             parts.append(f", c{n_cte} AS MATERIALIZED (\n  {union}\n)")
             cur = f"c{n_cte}"
-    return "".join(parts) + f"""
-, dedup AS (SELECT DISTINCT user_id, t1, last, chain FROM {cur})
+    return "".join(parts) + (
+        f"\n, dedup AS MATERIALIZED ("
+        f"SELECT DISTINCT user_id, t1, last, chain FROM {cur})"
+    )
+
+
+# Projection + per-key lexicographic rank/cap shared by every skip
+# strategy's oracle; {src} is a CTE with (user_id, t1, last, chain).
+_MATCH_PROJECTION = """
 SELECT user_id, t1 AS start_ts, last AS end_ts,
        CAST(len(chain) AS INT) AS n_events,
        array_to_string(chain, '|') AS chain_str,
        CAST(rn AS INT) AS match_no
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY chain) AS rn
-  FROM dedup
+  FROM {src}
 ) WHERE rn <= {cap}
 """
+
+
+def _all_matches_oracle(
+    blocks: list[tuple[str, int, int]], within_sql: str, cap: int
+) -> str:
+    return _enumeration_prefix(
+        blocks, within_sql, recursive=False
+    ) + _MATCH_PROJECTION.format(src="dedup", cap=cap)
+
+
+def _skip_to_next_oracle(
+    blocks: list[tuple[str, int, int]], within_sql: str, cap: int
+) -> str:
+    """skip_to_next = the chain-lexicographically first chain per
+    (key, start event) — one extra window pass over the enumeration."""
+    return _enumeration_prefix(blocks, within_sql, recursive=False) + (
+        """
+, kept AS (
+  SELECT user_id, t1, last, chain FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, t1 ORDER BY chain) AS sr
+    FROM dedup
+  ) WHERE sr = 1
+)"""
+        + _MATCH_PROJECTION.format(src="kept", cap=cap)
+    )
+
+
+def _skip_past_last_oracle(
+    blocks: list[tuple[str, int, int]], within_sql: str, cap: int
+) -> str:
+    """skip_past_last_event as a RECURSIVE CTE: sel walks each key's
+    kept completion timestamps (each iteration advances every key's
+    frontier to the next completion among matches starting strictly
+    after the current resume point); kept joins back each batch,
+    keeping same-end ties that started after the previous resume
+    point — exactly the operator's declared completion-order walk."""
+    return _enumeration_prefix(blocks, within_sql, recursive=True) + (
+        """
+, sel AS (
+  SELECT user_id, CAST(NULL AS TIMESTAMP) AS prev_end,
+         MIN(last) AS kept_end
+  FROM dedup GROUP BY user_id
+  UNION ALL
+  SELECT s.user_id, s.kept_end,
+         (SELECT MIN(d.last) FROM dedup d
+           WHERE d.user_id = s.user_id AND d.t1 > s.kept_end)
+  FROM sel s
+  WHERE EXISTS (SELECT 1 FROM dedup d
+                 WHERE d.user_id = s.user_id AND d.t1 > s.kept_end)
+), kept AS (
+  SELECT d.user_id, d.t1, d.last, d.chain
+  FROM dedup d JOIN sel s
+    ON d.user_id = s.user_id AND d.last = s.kept_end
+  WHERE s.prev_end IS NULL OR d.t1 > s.prev_end
+)"""
+        + _MATCH_PROJECTION.format(src="kept", cap=cap)
+    )
 
 
 _TIMES_BLOCKS = [("click", 3), ("purchase", 1)]
@@ -259,6 +329,56 @@ def cep_all_matches_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return cep_all_matches(
         ev, _ALL_BLOCKS, _ALL_WITHIN, max_matches_per_key=_ALL_CAP
+    )
+
+
+@register(
+    "cep_skip_past_last",
+    survey_rows=("T7", "J4", "W1", "X3"),
+    oracle=_skip_past_last_oracle(_ALL_BLOCKS, "6 HOUR", _ALL_CAP),
+)
+def cep_skip_past_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``AfterMatchSkipStrategy.skipPastLastEvent()`` on the
+    same click[×1..2] → view? → purchase pattern as
+    cep_all_matches_ranges: after a match emits, partials starting
+    at-or-before its last event are discarded, so kept matches form
+    each user's completion-order non-overlapping cover (same-end
+    ties emit together, as Flink's NFA does). The per-key
+    completion-order walk is a sequential recurrence — one
+    Arrow-batched applyInPandas over the horizon-bounded enumeration
+    — and the oracle replays it as a RECURSIVE CTE over the
+    identical slot-walk enumeration, so the greedy selection itself
+    is value-checked, not just the enumeration."""
+    ev = load(spark, sf_dir, "events")
+    return cep_after_match_skip(
+        ev,
+        _ALL_BLOCKS,
+        _ALL_WITHIN,
+        strategy="skip_past_last_event",
+        max_matches_per_key=_ALL_CAP,
+    )
+
+
+@register(
+    "cep_skip_to_next",
+    survey_rows=("T7", "J4", "W1"),
+    oracle=_skip_to_next_oracle(_ALL_BLOCKS, "6 HOUR", _ALL_CAP),
+)
+def cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``AfterMatchSkipStrategy.skipToNext()``: one match per
+    start event — the chain-lexicographically first chain per
+    (user, start), i.e. the chain taking the earliest eligible event
+    at every slot. Fully declarative (one extra row_number window
+    over the enumeration, no Python); with skip_past_last and
+    no_skip (cep_all_matches_ranges) this completes the Flink
+    after-match skip-strategy enum."""
+    ev = load(spark, sf_dir, "events")
+    return cep_after_match_skip(
+        ev,
+        _ALL_BLOCKS,
+        _ALL_WITHIN,
+        strategy="skip_to_next",
+        max_matches_per_key=_ALL_CAP,
     )
 
 

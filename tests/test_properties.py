@@ -747,6 +747,110 @@ def test_cep_all_matches_equals_bruteforce_enumeration(
     assert got == sorted(expect)
 
 
+@given(
+    n=st.integers(min_value=0, max_value=50),
+    n_users=st.integers(min_value=1, max_value=3),
+    strategy=st.sampled_from(["skip_to_next", "skip_past_last_event"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_after_match_skip_equals_reference_selection(
+    spark, n, n_users, strategy, seed
+):
+    """cep_after_match_skip vs a pure-Python reference on adversarial
+    random streams: brute-force-enumerate every chain, then apply the
+    declared selection — skip_to_next = lexicographically-first chain
+    per start event; skip_past_last_event = completion-order walk
+    keeping same-end ties that start after the previous resume point.
+    Identical kept sets, ranks, and caps."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_after_match_skip
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type"
+    )
+    blocks = [("click", 1, 2), ("view", 0, 1), ("purchase", 1, 1)]
+    within_us, cap = 30 * 1_000_000, 3
+
+    def brute(evs: set[tuple[int, str]]) -> list[tuple[int, ...]]:
+        chains: set[tuple[int, ...]] = set()
+
+        def rec(bi, taken, last, t1, chain):
+            if bi == len(blocks):
+                chains.add(tuple(chain))
+                return
+            etype, mn, mx = blocks[bi]
+            if taken >= mn:
+                rec(bi + 1, 0, last, t1, chain)
+            if taken < mx:
+                for ts, t in evs:
+                    if t != etype or (last is not None and ts <= last):
+                        continue
+                    if t1 is not None and ts - t1 > within_us:
+                        continue
+                    rec(bi, taken + 1, ts, ts if t1 is None else t1, chain + [ts])
+
+        rec(0, 0, None, None, [])
+        return sorted(chains)
+
+    def select(chains: list[tuple[int, ...]]) -> list[tuple[int, ...]]:
+        if strategy == "skip_to_next":
+            first_per_start: dict[int, tuple[int, ...]] = {}
+            for c in chains:  # already chain-lexicographic
+                first_per_start.setdefault(c[0], c)
+            return sorted(first_per_start.values())
+        # explicit batch walk (the declared semantics): same-end ties
+        # emit iff they started after the resume point in force when
+        # this end's batch opened
+        kept: list[tuple[int, ...]] = []
+        resume = None
+        by_end: dict[int, list[tuple[int, ...]]] = {}
+        for c in chains:
+            by_end.setdefault(c[-1], []).append(c)
+        for end in sorted(by_end):
+            batch = [
+                c for c in by_end[end] if resume is None or c[0] > resume
+            ]
+            if batch:
+                kept.extend(batch)
+                resume = end
+        return sorted(kept)
+
+    epoch_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+    expect = []
+    for uid in range(n_users):
+        evs = {
+            ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            for _, s, u, t in rows
+            if u == uid
+        }
+        sel = select(brute(evs))[:cap]
+        expect += [
+            (uid, "|".join(map(str, c)), i + 1) for i, c in enumerate(sel)
+        ]
+    got = sorted(
+        (r.user_id, r.chain_str, r.match_no)
+        for r in cep_after_match_skip(
+            ev, blocks, "30 seconds", strategy=strategy, max_matches_per_key=cap
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
 @FAST
 @given(
     bh=st.integers(min_value=1, max_value=5),
