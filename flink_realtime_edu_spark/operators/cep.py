@@ -587,3 +587,189 @@ def cep_strict_matches(
             F.col("end_ts") <= F.col("start_ts") + F.expr(f"INTERVAL {within}")
         )
     return out
+
+
+def _split_negatives(
+    steps: list[str | tuple[str, str]],
+) -> tuple[list[str], list[tuple[int, str]]]:
+    """Split a mixed step list into the positive chain and its
+    negative constraints. A negative is ``("not", type)``; its gap
+    index g means "between positive g and g+1" (1-based), with
+    g == len(positives) marking the pattern tail."""
+    pos: list[str] = []
+    neg: list[tuple[int, str]] = []
+    for s in steps:
+        if isinstance(s, str):
+            pos.append(s)
+        else:
+            tag, etype = s
+            if tag != "not":
+                raise ValueError(
+                    f"negative steps must be ('not', type), got {s!r}"
+                )
+            if not pos:
+                raise ValueError(
+                    "a pattern cannot begin with a negative step "
+                    "(Flink Pattern.begin must be positive)"
+                )
+            neg.append((len(pos), etype))
+    if not pos:
+        raise ValueError("a CEP pattern needs at least one positive step")
+    if len(pos) + len(neg) < 2:
+        raise ValueError("a CEP pattern needs at least 2 steps")
+    return pos, neg
+
+
+def cep_not_followed_by(
+    events: DataFrame,
+    steps: list[str | tuple[str, str]],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Relaxed-contiguity pattern with NEGATIVE steps — Flink's
+    ``Pattern.notFollowedBy()``, the Pattern-API surface the positive
+    operators above don't reach. ``steps`` mixes type names (positive,
+    ``followedBy`` semantics) with ``("not", type)`` markers:
+
+    - a negative BETWEEN two positives invalidates the key's match if
+      any event of that type falls strictly between their matched
+      timestamps — exactly the NFA behavior, where a B arriving while
+      the partial awaits C kills the partial;
+    - a negative at the TAIL (Flink requires ``within`` for a trailing
+      notFollowedBy, as here) invalidates the match if the type occurs
+      after the last matched event and at-or-before the horizon
+      ``t1 + within`` — the match only emits once the window closes
+      silent.
+
+    Semantics are this module's declared first-attempt-per-key
+    restriction (see :func:`cep_timed_out`): the earliest positive
+    chain t1 < t2 < … is computed exactly as :func:`cep_first_match`,
+    then each negative is applied to THAT chain's gaps. Emits the
+    cep_first_match schema (key, start_ts, end_ts, duration_s).
+
+    Plan: k−1 min-after join/agg rounds for the positive chain plus
+    ONE keyed left-anti join per negative (equi on the key, range
+    predicate on the gap) — every round a plain keyed shuffle, no
+    per-key Python, no state machine. The DuckDB oracle replays the
+    chain CTEs plus one NOT EXISTS per negative (queries/cep.py)."""
+    pos, neg = _split_negatives(steps)
+    k = len(pos)
+    cur = (
+        events.filter(F.col(type_col) == pos[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, s in enumerate(pos[1:], start=2):
+        ev_s = events.filter(F.col(type_col) == s).select(
+            F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")
+        )
+        cur = (
+            cur.join(
+                ev_s,
+                (cur[key_col] == ev_s["__k"])
+                & (F.col("__ts") > F.col(f"t{i - 1}")),
+            )
+            .drop("__k")
+            .groupBy(key_col, *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+    horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
+    cur = cur.filter(F.col(f"t{k}") <= horizon)
+    for g, etype in neg:
+        ev_b = events.filter(F.col(type_col) == etype).select(
+            F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")
+        )
+        gap_lo = F.col("__ts") > F.col(f"t{g}")
+        gap_hi = (
+            F.col("__ts") < F.col(f"t{g + 1}")
+            if g < k
+            else F.col("__ts") <= horizon
+        )
+        cur = cur.join(
+            ev_b,
+            (cur[key_col] == ev_b["__k"]) & gap_lo & gap_hi,
+            "left_anti",
+        )
+    return (
+        cur.select(
+            key_col,
+            F.col("t1").alias("start_ts"),
+            F.col(f"t{k}").alias("end_ts"),
+            (
+                F.unix_micros(F.col(f"t{k}")) - F.unix_micros("t1")
+            ).cast("double").alias("duration_us"),
+        )
+        .withColumn("duration_s", F.round(F.col("duration_us") / 1e6, 6))
+        .drop("duration_us")
+    )
+
+
+def cep_not_next(
+    events: DataFrame,
+    steps: list[str | tuple[str, str]],
+    within: str | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Strict-contiguity pattern with NEGATIVE positions — Flink's
+    ``Pattern.notNext()``. As in Flink, a negative does NOT consume a
+    position: ``("not", B)`` constrains the position the NEXT step
+    will occupy (the event there must not be of type B), and a
+    TRAILING negative constrains the position after the last positive
+    — where a key's stream simply ending also satisfies the
+    constraint (no event can't be a B; Flink emits once the window
+    closes, batch knows the stream is complete).
+
+    Every match position is reported, like :func:`cep_strict_matches`;
+    emits (key, start_ts, end_ts) with end_ts the last POSITIVE
+    event's timestamp. Plan: one window sort per key, a conjunction
+    of lead() predicates — negatives are null-safe ``IS DISTINCT
+    FROM`` conjuncts on the shared position; exactly one shuffle."""
+    pos_seen = 0
+    offset = 0
+    cond: F.Column | None = None
+    order = [ts_col] + (order_cols or [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+
+    def lead_type(i: int) -> F.Column:
+        return F.col(type_col) if i == 0 else F.lead(type_col, i).over(w)
+
+    for s in steps:
+        if isinstance(s, str):
+            c = lead_type(offset) == s
+            offset += 1
+            pos_seen += 1
+        else:
+            tag, etype = s
+            if tag != "not":
+                raise ValueError(
+                    f"negative steps must be ('not', type), got {s!r}"
+                )
+            if offset == 0:
+                raise ValueError(
+                    "a pattern cannot begin with a negative step"
+                )
+            # null-safe: a missing event satisfies the negative
+            c = ~lead_type(offset).eqNullSafe(F.lit(etype))
+        cond = c if cond is None else cond & c
+    if pos_seen < 1 or len(steps) < 2:
+        raise ValueError("a CEP pattern needs >= 2 steps, >= 1 positive")
+    last_pos = offset - 1
+    end_ts = (
+        F.col(ts_col) if last_pos == 0 else F.lead(ts_col, last_pos).over(w)
+    )
+    out = events.select(
+        key_col,
+        F.col(ts_col).alias("start_ts"),
+        end_ts.alias("end_ts"),
+        cond.alias("__m"),
+    ).filter("__m").drop("__m")
+    if within is not None:
+        out = out.filter(
+            F.col("end_ts") <= F.col("start_ts") + F.expr(f"INTERVAL {within}")
+        )
+    return out

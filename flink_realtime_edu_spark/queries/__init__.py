@@ -112,12 +112,15 @@ def register(
 # r6 verdict's done-bar). Union coverage over r1–r7 official windows
 # stays complete (the structural test).
 #
-# r8 pin obligation: cep_skip_to_next / cep_skip_past_last were
-# registered AFTER the r7 rotation froze this 50-slot window (7 pins
-# + all 43 r4-stale refreshes — displacing two refreshes would break
-# the ≤2-round staleness bar). Their §2 rows (T7/J4/W1/X3) are
-# window-covered by other representatives and both are oracle-exact
-# in driver_sim + property-tested; FIRST r8 rotation action: pin both.
+# r8 pin obligation: cep_skip_to_next / cep_skip_past_last and the
+# three negative-pattern queries (cep_no_error_funnel,
+# cep_quiet_after_purchase, cep_not_next_error_pair) were registered
+# AFTER the r7 rotation froze this 50-slot window (7 pins + all 43
+# r4-stale refreshes — displacing refreshes would break the ≤2-round
+# staleness bar). Their §2 rows (T7/J4/J6/W1/W3/X3/T4) are
+# window-covered by other representatives and all five are
+# oracle-exact in driver_sim + property-tested against brute-force
+# references; FIRST r8 rotation action: pin all five.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()

@@ -16,6 +16,8 @@ from flink_realtime_edu_spark.operators.cep import (
     cep_after_match_skip,
     cep_all_matches,
     cep_first_match,
+    cep_not_followed_by,
+    cep_not_next,
     cep_strict_matches,
     cep_timed_out,
     cep_times,
@@ -299,6 +301,84 @@ def _skip_past_last_oracle(
     )
 
 
+def _negative_oracle(
+    steps: list[str | tuple[str, str]], within_sql: str
+) -> str:
+    """Replay cep_not_followed_by: the positive min-after chain CTEs
+    (identical to _relaxed_oracle) plus one NOT EXISTS per negative —
+    gap negatives open (t_g, t_{g+1}), a tail negative closes at the
+    horizon (t_g, t1 + within]."""
+    pos = [s for s in steps if isinstance(s, str)]
+    neg: list[tuple[int, str]] = []
+    n_pos = 0
+    for s in steps:
+        if isinstance(s, str):
+            n_pos += 1
+        else:
+            neg.append((n_pos, s[1]))
+    k = len(pos)
+    parts = [
+        f"""WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{pos[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, s in enumerate(pos[1:], start=2):
+        prev_cols = ", ".join(f"t{j}" for j in range(1, i))
+        parts.append(
+            f""", s{i} AS (
+  SELECT e.user_id, {prev_cols}, MIN(e.ts) AS t{i}
+  FROM events e JOIN s{i - 1} p
+    ON e.user_id = p.user_id AND e.ts > p.t{i - 1}
+  WHERE e.event_type = '{s}'
+  GROUP BY e.user_id, {prev_cols}
+)"""
+        )
+    horizon = f"s.t1 + INTERVAL {within_sql}"
+    negs = []
+    for g, etype in neg:
+        hi = f"b.ts < s.t{g + 1}" if g < k else f"b.ts <= {horizon}"
+        negs.append(
+            f"""AND NOT EXISTS (
+  SELECT 1 FROM events b
+  WHERE b.user_id = s.user_id AND b.event_type = '{etype}'
+    AND b.ts > s.t{g} AND {hi}
+)"""
+        )
+    return "".join(parts) + f"""
+SELECT user_id, t1 AS start_ts, t{k} AS end_ts,
+       ROUND((epoch_us(t{k}) - epoch_us(t1)) / 1e6, 6) AS duration_s
+FROM s{k} s WHERE t{k} <= {horizon}
+""" + "\n".join(negs)
+
+
+def _not_next_oracle(steps: list[str | tuple[str, str]]) -> str:
+    """Replay cep_not_next: lead-conjunction window SQL where a
+    negative shares its position with the following step via an
+    IS DISTINCT FROM conjunct (NULL — stream ended — satisfies it)."""
+    conds: list[str] = []
+    offset = 0
+    for s in steps:
+        ref = "event_type" if offset == 0 else f"n{offset}"
+        if isinstance(s, str):
+            conds.append(f"{ref} = '{s}'")
+            offset += 1
+        else:
+            conds.append(f"{ref} IS DISTINCT FROM '{s[1]}'")
+    k = offset  # positives consumed
+    leads = ", ".join(
+        f"lead(event_type, {i}) OVER w AS n{i}" for i in range(1, k + 1)
+    )
+    end = "ts" if k == 1 else f"lead(ts, {k - 1}) OVER w"
+    return f"""
+SELECT user_id, ts AS start_ts, lk AS end_ts FROM (
+  SELECT user_id, ts, event_type, {leads}, {end} AS lk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE {" AND ".join(conds)}
+"""
+
+
 _TIMES_BLOCKS = [("click", 3), ("purchase", 1)]
 _TIMES_WITHIN = "96 hours"
 _ALL_BLOCKS: list[tuple[str, int, int]] = [
@@ -379,6 +459,73 @@ def cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ALL_WITHIN,
         strategy="skip_to_next",
         max_matches_per_key=_ALL_CAP,
+    )
+
+
+_NEG_GAP_STEPS: list[str | tuple[str, str]] = [
+    "view", ("not", "error"), "click", "purchase"
+]
+_NEG_GAP_WITHIN = "96 hours"
+_NEG_TAIL_STEPS: list[str | tuple[str, str]] = [
+    "click", "purchase", ("not", "error")
+]
+_NEG_TAIL_WITHIN = "48 hours"
+_NOT_NEXT_STEPS: list[str | tuple[str, str]] = [
+    "error", "error", ("not", "error")
+]
+
+
+@register(
+    "cep_no_error_funnel",
+    survey_rows=("T7", "J4", "J6"),
+    oracle=_negative_oracle(_NEG_GAP_STEPS, "96 HOUR"),
+)
+def cep_no_error_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``notFollowedBy`` BETWEEN positives: the earliest
+    view → click → purchase chain per user (96 h window) where NO
+    error event fell between the view and the click — the NFA kills
+    a partial awaiting its click the moment an error arrives, and
+    this filters exactly those chains (82 → 65 users at sf0.01).
+    Plan: the cep_first_match min-after chain plus ONE keyed
+    left-anti join for the negative; oracle replays the chain CTEs
+    plus a NOT EXISTS on the same open interval."""
+    ev = load(spark, sf_dir, "events")
+    return cep_not_followed_by(ev, _NEG_GAP_STEPS, _NEG_GAP_WITHIN)
+
+
+@register(
+    "cep_quiet_after_purchase",
+    survey_rows=("T7", "J6", "T4"),
+    oracle=_negative_oracle(_NEG_TAIL_STEPS, "48 HOUR"),
+)
+def cep_quiet_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``notFollowedBy`` at the pattern TAIL (which Flink only
+    admits with ``within``, as here): the earliest click → purchase
+    chain per user whose 48 h horizon then closes with NO error after
+    the purchase — 'converted and stayed healthy'. The match emits
+    only once the window passes silent, the streaming deferred-emit
+    shape; in batch the horizon cut is an anti-join range predicate
+    ((t_last, t1+within]). Oracle: chain CTEs + tail NOT EXISTS."""
+    ev = load(spark, sf_dir, "events")
+    return cep_not_followed_by(ev, _NEG_TAIL_STEPS, _NEG_TAIL_WITHIN)
+
+
+@register(
+    "cep_not_next_error_pair",
+    survey_rows=("T7", "W3", "W1"),
+    oracle=_not_next_oracle(_NOT_NEXT_STEPS),
+)
+def cep_not_next_error_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``notNext`` (strict negative): every position where a
+    user logged exactly-two consecutive errors — error, error, then
+    an immediately-following event that is NOT a third error (a
+    key's stream ENDING also satisfies the negative, as Flink's
+    window close does). Complements cep_strict_error_runs, which
+    finds the >= 3 runs this query excludes. One window sort per
+    key, IS-DISTINCT-FROM lead conjunct — a single shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return cep_not_next(
+        ev, _NOT_NEXT_STEPS, key_col="user_id", order_cols=["event_id"]
     )
 
 

@@ -998,3 +998,193 @@ def test_jpeg_arbitrary_roundtrip_within_quant_tolerance(h, w, seed):
     out = decode_jpeg(encode_jpeg(img, quant=np.ones((8, 8), dtype=np.int64)))
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+_NFB_CONFIGS: dict[str, tuple[list, str]] = {
+    # gap negative between two positives (open interval)
+    "gap": (["view", ("not", "click"), "purchase"], "30 seconds"),
+    # trailing negative — emits only if the horizon closes silent
+    "tail": (["click", "purchase", ("not", "view")], "15 seconds"),
+    # both at once, plus a tail on a 3-step chain
+    "both": (
+        ["click", ("not", "view"), "purchase", ("not", "click")],
+        "30 seconds",
+    ),
+}
+
+
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    n_users=st.integers(min_value=1, max_value=4),
+    cfg=st.sampled_from(sorted(_NFB_CONFIGS)),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_not_followed_by_equals_bruteforce(spark, n, n_users, cfg, seed):
+    """cep_not_followed_by vs a pure-Python reference on adversarial
+    random streams (duplicate timestamps, missing steps): the earliest
+    min-after positive chain, horizon-cut, then each negative applied
+    to its gap — open interval between positives, (t_k, t1+within]
+    for a trailing negative. Identical rows incl. duration rounding."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_not_followed_by
+
+    steps, within = _NFB_CONFIGS[cfg]
+    within_us = int(within.split()[0]) * 1_000_000
+    pos = [s for s in steps if isinstance(s, str)]
+    neg, np_seen = [], 0
+    for s in steps:
+        if isinstance(s, str):
+            np_seen += 1
+        else:
+            neg.append((np_seen, s[1]))
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type"
+    )
+    epoch_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+    k = len(pos)
+    expect = []
+    for uid in range(n_users):
+        evs = [
+            ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            for _, s, u, t in rows
+            if u == uid
+        ]
+        ts, chain = None, []
+        for p in pos:
+            cand = [t for t, ty in evs if ty == p and (ts is None or t > ts)]
+            if not cand:
+                chain = None
+                break
+            ts = min(cand)
+            chain.append(ts)
+        if chain is None or chain[-1] > chain[0] + within_us:
+            continue
+        horizon = chain[0] + within_us
+        ok = True
+        for g, etype in neg:
+            lo = chain[g - 1]
+            hi = chain[g] if g < k else horizon
+            for t, ty in evs:
+                if ty == etype and t > lo and (t < hi if g < k else t <= hi):
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            expect.append(
+                (
+                    uid,
+                    chain[0],
+                    chain[-1],
+                    round((chain[-1] - chain[0]) / 1e6, 6),
+                )
+            )
+    got = sorted(
+        (r.user_id, r.s, r.e, r.duration_s)
+        for r in cep_not_followed_by(ev, steps, within)
+        .select(
+            "user_id",
+            F.unix_micros("start_ts").alias("s"),
+            F.unix_micros("end_ts").alias("e"),
+            "duration_s",
+        )
+        .collect()
+    )
+    assert got == sorted(expect)
+
+
+_NN_CONFIGS: dict[str, list] = {
+    # exactly-two run: trailing negative satisfied by stream end too
+    "pair": ["click", "click", ("not", "click")],
+    # negative sharing the middle position with the next positive
+    "mid": ["click", ("not", "view"), "purchase"],
+    # two consecutive negatives constraining the same shared position
+    "double": ["view", ("not", "click"), ("not", "purchase"), "view"],
+}
+
+
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    n_users=st.integers(min_value=1, max_value=4),
+    cfg=st.sampled_from(sorted(_NN_CONFIGS)),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_not_next_equals_bruteforce(spark, n, n_users, cfg, seed):
+    """cep_not_next vs a pure-Python walk over the (ts, event_id)
+    sorted per-key stream: a negative constrains (without consuming)
+    the position the next step occupies, a trailing negative is
+    satisfied when the stream simply ends, and every matching start
+    position is reported — on streams dense with duplicate
+    timestamps so the tiebreak order is load-bearing."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_not_next
+
+    steps = _NN_CONFIGS[cfg]
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(20):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type"
+    )
+    epoch_2024 = 1704067200
+    expect = []
+    for uid in range(n_users):
+        stream = sorted(
+            ((epoch_2024 + int(s[-2:])) * 1_000_000, eid, t)
+            for eid, s, u, t in rows
+            if u == uid
+        )
+        for i in range(len(stream)):
+            off, ok = 0, True
+            for s in steps:
+                at = stream[i + off] if i + off < len(stream) else None
+                if isinstance(s, str):
+                    if at is None or at[2] != s:
+                        ok = False
+                        break
+                    off += 1
+                elif at is not None and at[2] == s[1]:
+                    ok = False
+                    break
+            if ok:
+                expect.append((uid, stream[i][0], stream[i + off - 1][0]))
+    got = sorted(
+        (r.user_id, r.s, r.e)
+        for r in cep_not_next(
+            ev, steps, key_col="user_id", order_cols=["event_id"]
+        )
+        .select(
+            "user_id",
+            F.unix_micros("start_ts").alias("s"),
+            F.unix_micros("end_ts").alias("e"),
+        )
+        .collect()
+    )
+    assert got == sorted(expect)
