@@ -826,6 +826,12 @@ def duplicated_spans(
     key, NOT a second corpus-wide semi-join — the grouped positions
     ARE the output, so one shuffle replaces materialize + join).
     Span-merge is a per-document window pass (doc-sized state).
+    Size ``spark.sql.shuffle.partitions`` to the GRAM volume, not the
+    document count — gram rows ≈ corpus chars / stride, so the one
+    groupBy shuffles roughly the corpus's character volume (the sf3
+    sweep shows JVM GC pressure when that lands on too few reduce
+    tasks; at cluster scale target ≤ a few hundred MB of gram triples
+    per task).
 
     ``hash_grams=True`` shuffles 8-byte xxhash64 keys (the scale
     default, ~k× less shuffle volume); ``False`` shuffles the raw
