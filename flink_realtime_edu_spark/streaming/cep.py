@@ -113,8 +113,15 @@ def _make_cep_fn(steps: list[str], within_us: int, ttl_us: int | None = None):
             ):
                 # State expired but new data arrived in the same
                 # batch (Spark delivers data, not a timeout, then) —
-                # treat it as evicted and match this batch's events
-                # as a fresh chain.
+                # evict the stored row NOW, not just the locals: if
+                # this batch makes no step-0 progress the update()
+                # below is skipped, and the old row (its timer
+                # cleared by this invocation, none re-armed) would
+                # otherwise sit in the store forever — exactly the
+                # key-churn orphan the partial TTL exists to prevent.
+                # A batch that does make progress recreates the row
+                # via update() later in this same invocation.
+                state.remove()
                 step_idx, t1_us, tprev_us, done = 0, None, None, False
         else:
             step_idx, t1_us, tprev_us, done = 0, None, None, False

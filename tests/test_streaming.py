@@ -8,6 +8,7 @@ compares against the oracle-checked batch query.
 
 from __future__ import annotations
 
+import json
 import shutil
 import time
 from pathlib import Path
@@ -1778,6 +1779,95 @@ def test_cep_done_marker_ttl_evicts_and_rematches(spark, tmp_path):
         (1, "2024-01-01T00:00:00", "2024-01-01T00:20:00"),
         (2, "2024-01-01T00:00:30", "2024-01-01T00:02:00"),
     ]
+
+
+def test_cep_ttl_expiry_reset_leaves_no_orphaned_state(spark, tmp_path):
+    """Lazy-eviction reset must REMOVE the stored row, not just reset
+    locals (ADVICE r8): a key whose expired state is detected on the
+    DATA path (new events arrived in the very batch where its timer
+    would have fired) but whose batch makes no step-0 progress used to
+    skip update()/remove() entirely — leaving the old row in the store
+    with its timer cleared and none re-armed, immortal if the key
+    never returns. The fix evicts on detection; a batch that does make
+    progress recreates the row via update() in the same invocation
+    (user 2 pins that recreate path end-to-end)."""
+    from flink_realtime_edu_spark.streaming.cep import cep_first_match_stream
+
+    steps, within = ["view", "click", "purchase"], "2 hours"
+    rows = {
+        # chunk 0: users 1 and 2 open partial chains at 00:00/00:30
+        0: [
+            (0, "2024-01-01 00:00:00", 1, "view"),
+            (1, "2024-01-01 00:30:00", 2, "view"),
+        ],
+        # chunk 1: bystander (step-0-inert type -> no state row of its
+        # own) drives the watermark to 05:00, past both partials'
+        # max(t1+within, tprev+ttl) = 02:00 / 02:30 deadlines
+        1: [(2, "2024-01-01 05:00:00", 99, "purchase")],
+        # chunk 2: both expired keys receive DATA in the batch where
+        # their timers would have fired (data preempts the timeout
+        # invocation). User 1's event makes NO step-0 progress — the
+        # orphan shape; user 2's starts a fresh chain — the
+        # remove-then-update recreate shape.
+        2: [
+            (3, "2024-01-01 06:00:00", 1, "purchase"),
+            (4, "2024-01-01 06:10:00", 2, "view"),
+        ],
+        # chunk 3: user 2 completes the fresh chain; bystander holds
+        # the final watermark at 07:00, BELOW user 2's done-marker
+        # expiry (06:30 end + 1 h ttl) so exactly that one row must
+        # remain in the store at end-of-stream.
+        3: [
+            (5, "2024-01-01 06:20:00", 2, "click"),
+            (6, "2024-01-01 06:30:00", 2, "purchase"),
+            (7, "2024-01-01 07:00:00", 98, "purchase"),
+        ],
+    }
+    src = tmp_path / "cep_orphan_src"
+    src.mkdir()
+    for i, chunk in rows.items():
+        df = spark.createDataFrame(
+            [(e, t, u, ty, 1.0, "{}") for e, t, u, ty in chunk],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    q = (
+        cep_first_match_stream(
+            load_events_stream(spark, str(src), max_files_per_trigger=1),
+            steps, within, done_ttl="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("cep_orphan")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cep_orphan"))
+        .start()
+    )
+    q.processAllAvailable()
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    run_to_completion(q)
+    got = sorted(
+        (r.user_id, r.start_ts.isoformat(), r.end_ts.isoformat())
+        for r in spark.sql("SELECT * FROM cep_orphan").collect()
+    )
+    # user 1 never completes (its 06:00 purchase is not a chain
+    # start); user 2's recreated chain matches end-to-end
+    assert got == [(2, "2024-01-01T06:10:00", "2024-01-01T06:30:00")]
+    # the store's final census: user 2's live done marker ONLY — a
+    # second row would be user 1's orphan (the pre-fix failure)
+    assert state_rows and state_rows[-1] == 1
 
 
 def test_cep_ttl_evicts_stale_partial_chains(spark, tmp_path):
