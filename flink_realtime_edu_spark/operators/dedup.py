@@ -802,6 +802,7 @@ def duplicated_spans(
     hash_grams: bool = True,
     max_df: int | None = None,
     keep_first: bool = False,
+    gram_rows_per_task: int | None = 4_000_000,
 ) -> DataFrame:
     """(doc_id, span_start, span_len): maximal character spans covered
     by k-grams that occur ≥ 2 times in the corpus — the distributed
@@ -826,21 +827,37 @@ def duplicated_spans(
     key, NOT a second corpus-wide semi-join — the grouped positions
     ARE the output, so one shuffle replaces materialize + join).
     Span-merge is a per-document window pass (doc-sized state).
-    Size ``spark.sql.shuffle.partitions`` to the GRAM volume, not the
-    document count — gram rows ≈ corpus chars / stride, so the one
-    groupBy shuffles roughly the corpus's character volume (the sf3
-    sweep shows JVM GC pressure when that lands on too few reduce
-    tasks; at cluster scale target ≤ a few hundred MB of gram triples
-    per task).
+
+    Gram-shuffle sizing is IN CODE, not a tuning note: the gram frame
+    is the corpus's character volume (rows ≈ corpus chars / stride),
+    far bigger than anything ``spark.sql.shuffle.partitions`` was set
+    for, and the sf3 sweep showed JVM GC pressure when that volume
+    lands on too few reduce tasks. So the operator estimates the gram
+    count with one cheap length-only aggregate (parquet prunes to the
+    text column's lengths) and explicitly hash-repartitions the gram
+    frame on the gram key to ``ceil(grams / gram_rows_per_task)``
+    tasks whenever that exceeds the session default — the groupBy then
+    reuses that partitioning (no second exchange). Scale-up only: at
+    test scale the estimate stays under the session default and the
+    plan is untouched. ``gram_rows_per_task=None`` disables the
+    estimate and leaves sizing to the session config. The default
+    4M rows/task keeps gram triples at ~200 MB per task (hash keys;
+    raw-gram keys are ~k bytes/row heavier — lower the target when
+    ``hash_grams=False`` at scale).
 
     ``hash_grams=True`` shuffles 8-byte xxhash64 keys (the scale
     default, ~k× less shuffle volume); ``False`` shuffles the raw
     k-char gram — bit-identical to a SQL oracle with no collision
     caveat (the two are pinned equivalent by tests). ``max_df`` drops
     grams occurring more than that many times BEFORE positions are
-    grouped — boilerplate that floods one reduce task at corpus scale
-    (same hot-key guard as fingerprint_overlap_pairs; None = exact
-    Lee-et-al semantics).
+    grouped: the document frequency is pre-computed with a
+    partially-aggregable count and applied as a left-semi join on the
+    gram key, so a corpus-wide boilerplate gram never ships its
+    positions to one reduce task just to be discarded (the
+    jaccard_pairs_exact pattern; the count branch and the positions
+    branch read the SAME exchange, so the guard costs no extra
+    corpus-wide shuffle). None = exact Lee-et-al semantics, single
+    shuffle, no pre-pass.
 
     ``keep_first=True`` exempts each gram's globally-first occurrence
     (min (doc_id, p) — deterministic, order-free) from flagging, so
@@ -865,14 +882,47 @@ def duplicated_spans(
             (F.xxhash64(gram) if hash_grams else gram).alias("g"),
         )
     )
+    if gram_rows_per_task is not None:
+        import math
+
+        est = (
+            docs.filter(F.length(txt) >= k)
+            .agg(
+                F.sum(
+                    F.floor((F.length(txt) - F.lit(k)) / F.lit(stride))
+                    + F.lit(1)
+                ).alias("n")
+            )
+            .first()["n"]
+            or 0
+        )
+        try:
+            session_parts = int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            session_parts = 200  # "auto" or unset — Spark's default
+        n_tasks = math.ceil(est / gram_rows_per_task)
+        if n_tasks > session_parts:
+            grams = grams.repartition(n_tasks, "g")
+    if max_df is not None:
+        # Hot-gram guard BEFORE the positions shuffle: prune grams
+        # whose document frequency falls outside [2, max_df] with a
+        # partial-aggregable count + left-semi join, so boilerplate
+        # positions never pile onto one reduce task. (df >= 2 rides
+        # along for free — most grams are unique, so the semi join
+        # also shrinks the collect_list input dramatically.)
+        counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        keep = counts.filter(
+            (F.col("df") >= 2) & (F.col("df") <= max_df)
+        ).select("g")
+        grams = grams.join(keep, on="g", how="left_semi")
     occurrences = F.count(F.lit(1))
     grouped = grams.groupBy("g").agg(
         occurrences.alias("df"),
         F.collect_list(F.struct(F.col(id_col), F.col("p"))).alias("occ"),
     )
     dup = grouped.filter(F.col("df") >= 2)
-    if max_df is not None:
-        dup = dup.filter(F.col("df") <= max_df)
     occ_src = (
         F.slice(F.array_sort(F.col("occ")), 2, F.size("occ") - 1)
         if keep_first
