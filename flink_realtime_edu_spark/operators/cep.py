@@ -453,11 +453,14 @@ def cep_after_match_skip(
     - ``"no_skip"``: every distinct event-set chain (delegates to
       ``cep_all_matches``).
     - ``"skip_to_next"``: after a match starting at event e emits,
-      every other partial starting at e is discarded — declared
-      deterministically as the chain-lexicographically FIRST chain
-      per (key, start event), i.e. the chain taking the earliest
-      eligible event at every slot. Pure window selection: one
-      row_number over (key, t1) — fully declarative, no Python.
+      every other partial starting at e is discarded — so the kept
+      match per (key, start event) is the first-EMITTED one, and
+      Flink's NFA emits in COMPLETION order: the chain with the
+      earliest last event wins (ties on the end timestamp broken
+      chain-lexicographically, a declared determinism Flink leaves
+      to NFA internals). Pure window selection: one row_number over
+      (key, t1) ordered by (last, chain) — fully declarative, no
+      Python.
     - ``"skip_past_last_event"``: after a match emits, every partial
       that started at-or-before its last event is discarded, so
       matching resumes past the match — declared deterministically
@@ -500,7 +503,10 @@ def cep_after_match_skip(
     )
 
     if strategy == "skip_to_next":
-        per_start = Window.partitionBy(key_col, "t1").orderBy("chain")
+        # completion order first (Flink emits the earliest-ENDING
+        # chain from a start, e.g. (t1,4,5) beats (t1,2,9)), chain as
+        # the declared tie-break for same-end enumerations
+        per_start = Window.partitionBy(key_col, "t1").orderBy("last", "chain")
         kept = (
             matches.withColumn("__sr", F.row_number().over(per_start))
             .filter(F.col("__sr") == 1)

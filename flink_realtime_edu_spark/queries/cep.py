@@ -254,14 +254,16 @@ def _all_matches_oracle(
 def _skip_to_next_oracle(
     blocks: list[tuple[str, int, int]], within_sql: str, cap: int
 ) -> str:
-    """skip_to_next = the chain-lexicographically first chain per
-    (key, start event) — one extra window pass over the enumeration."""
+    """skip_to_next = the first-EMITTED chain per (key, start event):
+    Flink's NFA emits in completion order, so the earliest-ending
+    chain wins (end ties broken chain-lexicographically) — one extra
+    window pass over the enumeration."""
     return _enumeration_prefix(blocks, within_sql, recursive=False) + (
         """
 , kept AS (
   SELECT user_id, t1, last, chain FROM (
     SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY user_id, t1 ORDER BY chain) AS sr
+      PARTITION BY user_id, t1 ORDER BY last, chain) AS sr
     FROM dedup
   ) WHERE sr = 1
 )"""
@@ -446,12 +448,14 @@ def cep_skip_past_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink ``AfterMatchSkipStrategy.skipToNext()``: one match per
-    start event — the chain-lexicographically first chain per
-    (user, start), i.e. the chain taking the earliest eligible event
-    at every slot. Fully declarative (one extra row_number window
+    start event — the first-EMITTED chain per (user, start), which in
+    Flink's NFA means COMPLETION order (the chain ending earliest
+    wins; end ties break chain-lexicographically, the declared
+    determinism). Fully declarative (one extra row_number window
     over the enumeration, no Python); with skip_past_last and
-    no_skip (cep_all_matches_ranges) this completes the Flink
-    after-match skip-strategy enum."""
+    no_skip (cep_all_matches_ranges) this completes the core Flink
+    after-match skip-strategy trio (skip_to_first/skip_to_last are
+    the anchored variants, registered separately)."""
     ev = load(spark, sf_dir, "events")
     return cep_after_match_skip(
         ev,

@@ -759,8 +759,9 @@ def test_cep_after_match_skip_equals_reference_selection(
 ):
     """cep_after_match_skip vs a pure-Python reference on adversarial
     random streams: brute-force-enumerate every chain, then apply the
-    declared selection — skip_to_next = lexicographically-first chain
-    per start event; skip_past_last_event = completion-order walk
+    declared selection — skip_to_next = first-emitted (completion
+    order) chain per start event, matching Flink's NFA emission;
+    skip_past_last_event = completion-order walk
     keeping same-end ties that start after the previous resume point.
     Identical kept sets, ranks, and caps."""
     import random
@@ -809,8 +810,10 @@ def test_cep_after_match_skip_equals_reference_selection(
 
     def select(chains: list[tuple[int, ...]]) -> list[tuple[int, ...]]:
         if strategy == "skip_to_next":
+            # first-EMITTED per start = completion order (earliest
+            # end wins; end ties break chain-lexicographically)
             first_per_start: dict[int, tuple[int, ...]] = {}
-            for c in chains:  # already chain-lexicographic
+            for c in sorted(chains, key=lambda c: (c[-1], c)):
                 first_per_start.setdefault(c[0], c)
             return sorted(first_per_start.values())
         # explicit batch walk (the declared semantics): same-end ties
