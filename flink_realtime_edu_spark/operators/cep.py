@@ -649,23 +649,34 @@ def cep_not_followed_by(
       ``t1 + within`` — the match only emits once the window closes
       silent.
 
-    Semantics are this module's declared first-attempt-per-key
-    restriction (see :func:`cep_timed_out`): the earliest positive
-    chain t1 < t2 < … is computed exactly as :func:`cep_first_match`,
-    then each negative is applied to THAT chain's gaps. Emits the
-    cep_first_match schema (key, start_ts, end_ts, duration_s).
+    Semantics (r8, Flink-faithful): the NFA spawns a partial at EVERY
+    occurrence of the first positive type, so a negative kills only
+    THAT partial — a key whose earliest chain is poisoned (or times
+    out) can still match from a later start. Per candidate start t1,
+    the chain is the greedy earliest continuation (each positive takes
+    the first qualifying event after the previous, never beyond the
+    start's ``t1 + within`` horizon — beyond-horizon events cannot
+    extend a partial whose window already closed); the emitted row per
+    key is the FIRST of its valid chains in completion order (Flink
+    emits on completion; end-timestamp ties break toward the earliest
+    start, the declared determinism). Emits the cep_first_match schema
+    (key, start_ts, end_ts, duration_s), one row per key.
 
-    Plan: k−1 min-after join/agg rounds for the positive chain plus
-    ONE keyed left-anti join per negative (equi on the key, range
-    predicate on the gap) — every round a plain keyed shuffle, no
-    per-key Python, no state machine. The DuckDB oracle replays the
-    chain CTEs plus one NOT EXISTS per negative (queries/cep.py)."""
+    Plan: k−1 min-after join/agg rounds keyed per (key, start) — the
+    intermediate is one row per candidate start, exactly the NFA's
+    live-partial count, horizon-pruned AT each join — plus ONE keyed
+    left-anti join per negative (equi on the key, range predicate on
+    the gap) and one window pass for the completion-order pick. Every
+    round a plain keyed shuffle, no per-key Python, no state machine.
+    The DuckDB oracle replays the per-start chain CTEs plus one NOT
+    EXISTS per negative plus the same window pick (queries/cep.py)."""
     pos, neg = _split_negatives(steps)
     k = len(pos)
+    horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
     cur = (
         events.filter(F.col(type_col) == pos[0])
-        .groupBy(key_col)
-        .agg(F.min(ts_col).alias("t1"))
+        .select(key_col, F.col(ts_col).alias("t1"))
+        .distinct()
     )
     for i, s in enumerate(pos[1:], start=2):
         ev_s = events.filter(F.col(type_col) == s).select(
@@ -675,13 +686,13 @@ def cep_not_followed_by(
             cur.join(
                 ev_s,
                 (cur[key_col] == ev_s["__k"])
-                & (F.col("__ts") > F.col(f"t{i - 1}")),
+                & (F.col("__ts") > F.col(f"t{i - 1}"))
+                & (F.col("__ts") <= horizon),
             )
             .drop("__k")
             .groupBy(key_col, *[f"t{j}" for j in range(1, i)])
             .agg(F.min("__ts").alias(f"t{i}"))
         )
-    horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
     cur = cur.filter(F.col(f"t{k}") <= horizon)
     for g, etype in neg:
         ev_b = events.filter(F.col(type_col) == etype).select(
@@ -698,8 +709,11 @@ def cep_not_followed_by(
             (cur[key_col] == ev_b["__k"]) & gap_lo & gap_hi,
             "left_anti",
         )
+    first_emitted = Window.partitionBy(key_col).orderBy(f"t{k}", "t1")
     return (
-        cur.select(
+        cur.withColumn("__rn", F.row_number().over(first_emitted))
+        .filter(F.col("__rn") == 1)
+        .select(
             key_col,
             F.col("t1").alias("start_ts"),
             F.col(f"t{k}").alias("end_ts"),

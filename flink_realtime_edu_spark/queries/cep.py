@@ -306,10 +306,13 @@ def _skip_past_last_oracle(
 def _negative_oracle(
     steps: list[str | tuple[str, str]], within_sql: str
 ) -> str:
-    """Replay cep_not_followed_by: the positive min-after chain CTEs
-    (identical to _relaxed_oracle) plus one NOT EXISTS per negative —
-    gap negatives open (t_g, t_{g+1}), a tail negative closes at the
-    horizon (t_g, t1 + within]."""
+    """Replay cep_not_followed_by (r8 Flink-faithful semantics): a
+    partial per occurrence of the first positive type — per-start
+    greedy chain CTEs grouped by (user_id, t1), horizon-pruned at each
+    join — plus one NOT EXISTS per negative (gap negatives open
+    (t_g, t_{g+1}), a tail negative closes at the horizon
+    (t_k, t1 + within]), then the first VALID chain per key in
+    completion order (end ties toward the earliest start)."""
     pos = [s for s in steps if isinstance(s, str)]
     neg: list[tuple[int, str]] = []
     n_pos = 0
@@ -321,19 +324,20 @@ def _negative_oracle(
     k = len(pos)
     parts = [
         f"""WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = '{pos[0]}' GROUP BY user_id
+  SELECT DISTINCT user_id, ts AS t1 FROM events
+  WHERE event_type = '{pos[0]}'
 )"""
     ]
     for i, s in enumerate(pos[1:], start=2):
-        prev_cols = ", ".join(f"t{j}" for j in range(1, i))
+        prev_cols = ", ".join(f"p.t{j}" for j in range(1, i))
         parts.append(
             f""", s{i} AS (
-  SELECT e.user_id, {prev_cols}, MIN(e.ts) AS t{i}
+  SELECT p.user_id, {prev_cols}, MIN(e.ts) AS t{i}
   FROM events e JOIN s{i - 1} p
     ON e.user_id = p.user_id AND e.ts > p.t{i - 1}
+   AND e.ts <= p.t1 + INTERVAL {within_sql}
   WHERE e.event_type = '{s}'
-  GROUP BY e.user_id, {prev_cols}
+  GROUP BY p.user_id, {prev_cols}
 )"""
         )
     horizon = f"s.t1 + INTERVAL {within_sql}"
@@ -341,17 +345,26 @@ def _negative_oracle(
     for g, etype in neg:
         hi = f"b.ts < s.t{g + 1}" if g < k else f"b.ts <= {horizon}"
         negs.append(
-            f"""AND NOT EXISTS (
-  SELECT 1 FROM events b
-  WHERE b.user_id = s.user_id AND b.event_type = '{etype}'
-    AND b.ts > s.t{g} AND {hi}
-)"""
+            f"""    AND NOT EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.user_id = s.user_id AND b.event_type = '{etype}'
+        AND b.ts > s.t{g} AND {hi}
+    )"""
         )
     return "".join(parts) + f"""
+, valid AS (
+  SELECT s.* FROM s{k} s
+  WHERE s.t{k} <= {horizon}
+{chr(10).join(negs)}
+)
 SELECT user_id, t1 AS start_ts, t{k} AS end_ts,
        ROUND((epoch_us(t{k}) - epoch_us(t1)) / 1e6, 6) AS duration_s
-FROM s{k} s WHERE t{k} <= {horizon}
-""" + "\n".join(negs)
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY t{k}, t1) AS rn
+  FROM valid
+) WHERE rn = 1
+"""
 
 
 def _not_next_oracle(steps: list[str | tuple[str, str]]) -> str:
@@ -485,14 +498,17 @@ _NOT_NEXT_STEPS: list[str | tuple[str, str]] = [
     oracle=_negative_oracle(_NEG_GAP_STEPS, "96 HOUR"),
 )
 def cep_no_error_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flink ``notFollowedBy`` BETWEEN positives: the earliest
-    view → click → purchase chain per user (96 h window) where NO
-    error event fell between the view and the click — the NFA kills
-    a partial awaiting its click the moment an error arrives, and
-    this filters exactly those chains (82 → 65 users at sf0.01).
-    Plan: the cep_first_match min-after chain plus ONE keyed
-    left-anti join for the negative; oracle replays the chain CTEs
-    plus a NOT EXISTS on the same open interval."""
+    """Flink ``notFollowedBy`` BETWEEN positives: per user, the first
+    valid view → click → purchase chain (96 h window) where NO error
+    event fell between the view and the click. An error kills only
+    the partial whose view→click gap it lands in — the NFA spawns a
+    partial at every view, so a user whose earliest chain is poisoned
+    still matches from a later view (145 users at sf0.01; the old
+    earliest-chain-only restriction found 65). Plan: per-start
+    min-after chain rounds, ONE keyed left-anti join for the
+    negative, one completion-order window pick; oracle replays the
+    per-start chain CTEs plus a NOT EXISTS on the same open
+    interval."""
     ev = load(spark, sf_dir, "events")
     return cep_not_followed_by(ev, _NEG_GAP_STEPS, _NEG_GAP_WITHIN)
 
@@ -504,12 +520,15 @@ def cep_no_error_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cep_quiet_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink ``notFollowedBy`` at the pattern TAIL (which Flink only
-    admits with ``within``, as here): the earliest click → purchase
-    chain per user whose 48 h horizon then closes with NO error after
-    the purchase — 'converted and stayed healthy'. The match emits
+    admits with ``within``, as here): per user, the first valid
+    click → purchase chain whose 48 h horizon then closes with NO
+    error after the purchase — 'converted and stayed healthy'. A
+    poisoned or timed-out early chain only kills its own partial;
+    later clicks re-seed (per-start semantics, r8). The match emits
     only once the window passes silent, the streaming deferred-emit
     shape; in batch the horizon cut is an anti-join range predicate
-    ((t_last, t1+within]). Oracle: chain CTEs + tail NOT EXISTS."""
+    ((t_last, t1+within]). Oracle: per-start chain CTEs + tail NOT
+    EXISTS + completion-order pick."""
     ev = load(spark, sf_dir, "events")
     return cep_not_followed_by(ev, _NEG_TAIL_STEPS, _NEG_TAIL_WITHIN)
 

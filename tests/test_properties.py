@@ -1025,10 +1025,13 @@ _NFB_CONFIGS: dict[str, tuple[list, str]] = {
 @SET
 def test_cep_not_followed_by_equals_bruteforce(spark, n, n_users, cfg, seed):
     """cep_not_followed_by vs a pure-Python reference on adversarial
-    random streams (duplicate timestamps, missing steps): the earliest
-    min-after positive chain, horizon-cut, then each negative applied
-    to its gap — open interval between positives, (t_k, t1+within]
-    for a trailing negative. Identical rows incl. duration rounding."""
+    random streams (duplicate timestamps, missing steps) — the r8
+    Flink-faithful semantics: one greedy partial per occurrence of the
+    first positive type (horizon-pruned at every step), each negative
+    kills only ITS chain (open gap interval between positives,
+    (t_k, t1+within] for a trailing negative), and the key emits the
+    first VALID chain in completion order (end ties toward the
+    earliest start). Identical rows incl. duration rounding."""
     import random
 
     from flink_realtime_edu_spark.operators.cep import cep_not_followed_by
@@ -1067,36 +1070,39 @@ def test_cep_not_followed_by_equals_bruteforce(spark, n, n_users, cfg, seed):
             for _, s, u, t in rows
             if u == uid
         ]
-        ts, chain = None, []
-        for p in pos:
-            cand = [t for t, ty in evs if ty == p and (ts is None or t > ts)]
-            if not cand:
-                chain = None
-                break
-            ts = min(cand)
-            chain.append(ts)
-        if chain is None or chain[-1] > chain[0] + within_us:
-            continue
-        horizon = chain[0] + within_us
-        ok = True
-        for g, etype in neg:
-            lo = chain[g - 1]
-            hi = chain[g] if g < k else horizon
-            for t, ty in evs:
-                if ty == etype and t > lo and (t < hi if g < k else t <= hi):
-                    ok = False
+        valid: list[tuple[int, int]] = []  # (end, start) of valid chains
+        for t1 in sorted({t for t, ty in evs if ty == pos[0]}):
+            horizon = t1 + within_us
+            chain = [t1]
+            for p in pos[1:]:
+                cand = [
+                    t
+                    for t, ty in evs
+                    if ty == p and t > chain[-1] and t <= horizon
+                ]
+                if not cand:
+                    chain = None
                     break
-            if not ok:
-                break
-        if ok:
-            expect.append(
-                (
-                    uid,
-                    chain[0],
-                    chain[-1],
-                    round((chain[-1] - chain[0]) / 1e6, 6),
-                )
-            )
+                chain.append(min(cand))
+            if chain is None:
+                continue
+            ok = True
+            for g, etype in neg:
+                lo = chain[g - 1]
+                hi = chain[g] if g < k else horizon
+                for t, ty in evs:
+                    if ty == etype and t > lo and (
+                        t < hi if g < k else t <= hi
+                    ):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                valid.append((chain[-1], t1))
+        if valid:
+            end, t1 = min(valid)  # completion order, earliest-start ties
+            expect.append((uid, t1, end, round((end - t1) / 1e6, 6)))
     got = sorted(
         (r.user_id, r.s, r.e, r.duration_s)
         for r in cep_not_followed_by(ev, steps, within)
