@@ -379,47 +379,68 @@ def _enumerate_matches(
     key_col: str,
     ts_col: str,
     type_col: str,
+    anchor_block: int | None = None,
+    anchor_kind: str = "first",
 ) -> DataFrame:
     """The uncapped distinct-event-set match enumeration shared by
     cep_all_matches and cep_after_match_skip: one within-pruned keyed
     equi-join per slot, stop∪extend unions for optional slots, then
     event-set dedup — columns (key, t1, last, chain) with chain the
-    epoch-micros event list in timestamp order."""
+    epoch-micros event list in timestamp order.
+
+    ``anchor_block`` (1-based, for the anchored skip strategies) adds
+    an ``anchor`` column: the timestamp of the first
+    (``anchor_kind="first"``) or last (``"last"``) event the chain
+    assigns to that block — NULL when the chain consumes none of it
+    (an optional block skipped). A chain reachable under several
+    block assignments (adjacent same-type blocks) takes the MINIMUM
+    defined anchor across assignments, the declared determinism."""
     ev = events.select(key_col, type_col, ts_col).distinct()
     horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
+    anchored = anchor_block is not None
 
-    def extend(partials: DataFrame, etype: str) -> DataFrame:
+    def extend(partials: DataFrame, etype: str, in_anchor: bool) -> DataFrame:
         ev_s = ev.filter(F.col(type_col) == etype).select(
             F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")
         )
-        return (
-            partials.join(
-                ev_s,
-                (partials[key_col] == ev_s["__k"])
-                & (F.col("__ts") > F.col("last"))
-                & (F.col("__ts") <= horizon),
-            )
-            .select(
-                key_col,
-                "t1",
-                F.col("__ts").alias("last"),
-                F.concat(
-                    F.col("chain"), F.array(F.unix_micros("__ts"))
-                ).alias("chain"),
-            )
-        )
+        cols = [
+            F.col(key_col),
+            F.col("t1"),
+            F.col("__ts").alias("last"),
+            F.concat(F.col("chain"), F.array(F.unix_micros("__ts"))).alias(
+                "chain"
+            ),
+        ]
+        if anchored:
+            if not in_anchor:
+                cols.append(F.col("anchor"))
+            elif anchor_kind == "first":
+                cols.append(F.coalesce("anchor", "__ts").alias("anchor"))
+            else:
+                cols.append(F.col("__ts").alias("anchor"))
+        return partials.join(
+            ev_s,
+            (partials[key_col] == ev_s["__k"])
+            & (F.col("__ts") > F.col("last"))
+            & (F.col("__ts") <= horizon),
+        ).select(*cols)
 
     first_type = blocks[0][0]
-    cur = (
-        ev.filter(F.col(type_col) == first_type)
-        .select(
-            key_col,
-            F.col(ts_col).alias("t1"),
-            F.col(ts_col).alias("last"),
-            F.array(F.unix_micros(ts_col)).alias("chain"),
+    seed_cols = [
+        F.col(key_col),
+        F.col(ts_col).alias("t1"),
+        F.col(ts_col).alias("last"),
+        F.array(F.unix_micros(ts_col)).alias("chain"),
+    ]
+    if anchored:
+        seed_cols.append(
+            F.col(ts_col).alias("anchor")
+            if anchor_block == 1
+            else F.lit(None).cast("timestamp").alias("anchor")
         )
-    )
+    cur = ev.filter(F.col(type_col) == first_type).select(*seed_cols)
     for b, (etype, mn, mx) in enumerate(blocks):
+        in_anchor = anchored and (b + 1) == anchor_block
         stopped: DataFrame | None = None
         for slot in range(1, mx + 1):
             if b == 0 and slot == 1:
@@ -429,11 +450,21 @@ def _enumerate_matches(
                 stopped = (
                     cur if stopped is None else stopped.unionByName(cur)
                 )
-            cur = extend(cur, etype)
+            cur = extend(cur, etype, in_anchor)
         if stopped is not None:
             cur = cur.unionByName(stopped)
 
-    return cur.dropDuplicates([key_col, "chain"])
+    if not anchored:
+        return cur.dropDuplicates([key_col, "chain"])
+    # distinct-event-set dedup that keeps the anchor: min over the
+    # (rare) multiple block assignments of the same chain; F.min
+    # ignores NULLs, so an assignment that skips the block never
+    # shadows one that defines the anchor.
+    return cur.groupBy(key_col, "chain").agg(
+        F.min("t1").alias("t1"),
+        F.min("last").alias("last"),
+        F.min("anchor").alias("anchor"),
+    ).select(key_col, "t1", "last", "chain", "anchor")
 
 
 def cep_after_match_skip(
@@ -442,6 +473,7 @@ def cep_after_match_skip(
     within: str,
     strategy: str = "no_skip",
     max_matches_per_key: int = 100,
+    skip_block: int | None = None,
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -474,17 +506,45 @@ def cep_after_match_skip(
       applyInPandas over the enumeration, grouped by key: per-key
       state is the horizon-and-cap-bounded match list, never the
       key's raw history.
+    - ``"skip_to_first"`` / ``"skip_to_last"`` (require ``skip_block``,
+      the 1-based index of the pattern element Flink's
+      ``skipToFirst("p")`` / ``skipToLast("p")`` name): after a match
+      emits, every partial that started AFTER the match's own start
+      but BEFORE the first/last event the match assigned to that
+      block is discarded — partials started before the match's start
+      survive (Flink's documented interval, narrower than
+      skip_past_last's). Declared deterministically as a
+      completion-order walk accumulating half-open DISCARD INTERVALS
+      ``[match_start, anchor)`` from each kept match (same-end ties
+      emit together before their intervals apply, as in the NFA); a
+      chain that assigns no event to the block — an optional block
+      skipped — contributes no interval, and a chain reachable under
+      several block assignments anchors at the minimum defined
+      timestamp. The walk's keep-set depends on the running interval
+      union, so like skip_past_last it runs as ONE Arrow-batched
+      applyInPandas over the bounded match list. ``skip_to_first`` of
+      block 1 anchors every match at its own start — an empty
+      interval, i.e. NO_SKIP (the degenerate case Flink rejects at
+      pattern-compile time; benign here).
 
     Output schema matches ``cep_all_matches``: (key, start_ts,
     end_ts, n_events, chain_str, match_no) with match_no the
     chain-lexicographic rank among KEPT matches, capped at
     ``max_matches_per_key``. The DuckDB oracle replays no_skip /
-    skip_to_next as window SQL and skip_past_last_event as a
-    recursive CTE over the identical enumeration (queries/cep.py),
-    so all three strategies carry exact value checks."""
-    strategies = ("no_skip", "skip_to_next", "skip_past_last_event")
+    skip_to_next as window SQL and the three walk strategies as
+    recursive CTEs over the identical enumeration (queries/cep.py —
+    skip_to_first/skip_to_last thread the interval list through the
+    recursion), so all five strategies carry exact value checks."""
+    strategies = (
+        "no_skip",
+        "skip_to_next",
+        "skip_past_last_event",
+        "skip_to_first",
+        "skip_to_last",
+    )
     if strategy not in strategies:
         raise ValueError(f"strategy must be one of {strategies}")
+    anchored = strategy in ("skip_to_first", "skip_to_last")
     if strategy == "no_skip":
         return cep_all_matches(
             events,
@@ -498,8 +558,23 @@ def cep_after_match_skip(
     blocks = _normalize_blocks(steps)
     if max_matches_per_key < 1:
         raise ValueError("max_matches_per_key must be >= 1")
+    if anchored:
+        if skip_block is None or not 1 <= skip_block <= len(blocks):
+            raise ValueError(
+                "skip_to_first/skip_to_last need skip_block in "
+                f"[1, {len(blocks)}], got {skip_block!r}"
+            )
+    elif skip_block is not None:
+        raise ValueError(f"{strategy} does not take skip_block")
     matches = _enumerate_matches(
-        events, blocks, within, key_col, ts_col, type_col
+        events,
+        blocks,
+        within,
+        key_col,
+        ts_col,
+        type_col,
+        anchor_block=skip_block if anchored else None,
+        anchor_kind="first" if strategy == "skip_to_first" else "last",
     )
 
     if strategy == "skip_to_next":
@@ -512,6 +587,43 @@ def cep_after_match_skip(
             .filter(F.col("__sr") == 1)
             .drop("__sr")
         )
+    elif anchored:  # skip_to_first / skip_to_last
+        import pandas as pd
+
+        def interval_walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # completion-order walk accumulating discard intervals
+            # [match_start, anchor) from kept matches; same-end ties
+            # are judged against the intervals in force when their
+            # end's batch opened, then contribute their own
+            rows = sorted(
+                range(len(pdf)),
+                key=lambda i: (
+                    pdf["last"].iloc[i],
+                    tuple(pdf["chain"].iloc[i]),
+                ),
+            )
+            keep: list[int] = []
+            intervals: list[tuple] = []  # half-open [lo, hi)
+            i = 0
+            while i < len(rows):
+                end = pdf["last"].iloc[rows[i]]
+                batch = []
+                while i < len(rows) and pdf["last"].iloc[rows[i]] == end:
+                    r = rows[i]
+                    t1 = pdf["t1"].iloc[r]
+                    if not any(lo <= t1 < hi for lo, hi in intervals):
+                        batch.append(r)
+                    i += 1
+                for r in batch:
+                    keep.append(r)
+                    a = pdf["anchor"].iloc[r]
+                    if not pd.isna(a) and a > pdf["t1"].iloc[r]:
+                        intervals.append((pdf["t1"].iloc[r], a))
+            return pdf.iloc[keep]
+
+        kept = matches.groupBy(key_col).applyInPandas(
+            interval_walk, schema=matches.schema
+        ).drop("anchor")
     else:  # skip_past_last_event
         import pandas as pd
 

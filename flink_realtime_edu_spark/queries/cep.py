@@ -169,7 +169,11 @@ FROM s{len(blocks)} WHERE t{base} <= t1 + INTERVAL {within_sql}
 
 
 def _enumeration_prefix(
-    blocks: list[tuple[str, int, int]], within_sql: str, recursive: bool
+    blocks: list[tuple[str, int, int]],
+    within_sql: str,
+    recursive: bool,
+    anchor_block: int | None = None,
+    anchor_kind: str = "first",
 ) -> str:
     """The shared enumeration replay behind all skip strategies:
     cep_all_matches slot-for-slot as chained CTEs — one extension CTE
@@ -179,27 +183,47 @@ def _enumeration_prefix(
     MATERIALIZED — DuckDB inlines plain CTEs per reference, and the
     stop/extend forks reference each CTE twice (the r5 BPE lesson).
     ``recursive=True`` opens with WITH RECURSIVE so a caller can
-    append a recursive selection CTE (skip_past_last_event)."""
+    append a recursive selection CTE (the walk strategies).
+    ``anchor_block`` threads the first/last event timestamp of that
+    block through the slot walk exactly like the operator's
+    enumeration (NULL when the block consumed nothing; MIN over
+    duplicate block assignments of the same chain)."""
     horizon = f"p.t1 + INTERVAL {within_sql}"
     with_kw = "WITH RECURSIVE" if recursive else "WITH"
+    anchored = anchor_block is not None
+    seed_anchor = (
+        ", ts AS anchor"
+        if anchored and anchor_block == 1
+        else ", CAST(NULL AS TIMESTAMP) AS anchor"
+        if anchored
+        else ""
+    )
     parts = [
         f"""{with_kw} ev AS MATERIALIZED (
   SELECT DISTINCT user_id, event_type, ts FROM events
 )""",
         f""", c1 AS MATERIALIZED (
-  SELECT user_id, ts AS t1, ts AS last, [epoch_us(ts)] AS chain
+  SELECT user_id, ts AS t1, ts AS last, [epoch_us(ts)] AS chain{seed_anchor}
   FROM ev WHERE event_type = '{blocks[0][0]}'
 )""",
     ]
     n_cte = 1
 
-    def extend(src: str, etype: str) -> str:
+    def extend(src: str, etype: str, in_anchor: bool) -> str:
         nonlocal n_cte
         n_cte += 1
+        if not anchored:
+            anchor_sql = ""
+        elif not in_anchor:
+            anchor_sql = ", p.anchor AS anchor"
+        elif anchor_kind == "first":
+            anchor_sql = ", COALESCE(p.anchor, e.ts) AS anchor"
+        else:
+            anchor_sql = ", e.ts AS anchor"
         parts.append(
             f""", c{n_cte} AS MATERIALIZED (
   SELECT p.user_id, p.t1, e.ts AS last,
-         list_append(p.chain, epoch_us(e.ts)) AS chain
+         list_append(p.chain, epoch_us(e.ts)) AS chain{anchor_sql}
   FROM {src} p JOIN ev e
     ON e.user_id = p.user_id AND e.event_type = '{etype}'
    AND e.ts > p.last AND e.ts <= {horizon}
@@ -209,13 +233,14 @@ def _enumeration_prefix(
 
     cur = "c1"
     for b, (etype, mn, mx) in enumerate(blocks):
+        in_anchor = anchored and (b + 1) == anchor_block
         stopped: list[str] = []
         for slot in range(1, mx + 1):
             if b == 0 and slot == 1:
                 continue  # the c1 seed
             if slot > mn:
                 stopped.append(cur)
-            cur = extend(cur, etype)
+            cur = extend(cur, etype, in_anchor)
         if stopped:
             n_cte += 1
             union = "\n  UNION ALL ".join(
@@ -223,9 +248,15 @@ def _enumeration_prefix(
             )
             parts.append(f", c{n_cte} AS MATERIALIZED (\n  {union}\n)")
             cur = f"c{n_cte}"
+    if not anchored:
+        return "".join(parts) + (
+            f"\n, dedup AS MATERIALIZED ("
+            f"SELECT DISTINCT user_id, t1, last, chain FROM {cur})"
+        )
     return "".join(parts) + (
         f"\n, dedup AS MATERIALIZED ("
-        f"SELECT DISTINCT user_id, t1, last, chain FROM {cur})"
+        f"SELECT user_id, MIN(t1) AS t1, MIN(last) AS last, chain,"
+        f" MIN(anchor) AS anchor FROM {cur} GROUP BY user_id, chain)"
     )
 
 
@@ -298,6 +329,58 @@ def _skip_past_last_oracle(
   FROM dedup d JOIN sel s
     ON d.user_id = s.user_id AND d.last = s.kept_end
   WHERE s.prev_end IS NULL OR d.t1 > s.prev_end
+)"""
+        + _MATCH_PROJECTION.format(src="kept", cap=cap)
+    )
+
+
+def _skip_to_anchor_oracle(
+    blocks: list[tuple[str, int, int]],
+    within_sql: str,
+    cap: int,
+    skip_block: int,
+    kind: str,
+) -> str:
+    """skip_to_first / skip_to_last as a RECURSIVE CTE: sel walks each
+    key's completion timestamps threading the LIST of discard
+    intervals [match_start, anchor) accumulated from kept matches;
+    a match is kept iff its start avoids every interval in force when
+    its end's batch opened — exactly the operator's declared
+    interval walk (anchor = first/last event of the named block,
+    NULL-anchored chains contribute no interval)."""
+    return _enumeration_prefix(
+        blocks,
+        within_sql,
+        recursive=True,
+        anchor_block=skip_block,
+        anchor_kind=kind,
+    ) + (
+        """
+, sel AS (
+  SELECT user_id, MIN(last) AS cur_end,
+         CAST([] AS STRUCT(lo TIMESTAMP, hi TIMESTAMP)[]) AS ivls
+  FROM dedup GROUP BY user_id
+  UNION ALL
+  SELECT s.user_id,
+         (SELECT MIN(d.last) FROM dedup d
+           WHERE d.user_id = s.user_id AND d.last > s.cur_end),
+         s.ivls || COALESCE(
+           (SELECT list({'lo': d.t1, 'hi': d.anchor})
+              FROM dedup d
+             WHERE d.user_id = s.user_id AND d.last = s.cur_end
+               AND d.anchor IS NOT NULL AND d.anchor > d.t1
+               AND len(list_filter(s.ivls,
+                     iv -> d.t1 >= iv.lo AND d.t1 < iv.hi)) = 0),
+           [])
+  FROM sel s
+  WHERE EXISTS (SELECT 1 FROM dedup d
+                 WHERE d.user_id = s.user_id AND d.last > s.cur_end)
+), kept AS (
+  SELECT d.user_id, d.t1, d.last, d.chain
+  FROM dedup d JOIN sel s
+    ON d.user_id = s.user_id AND d.last = s.cur_end
+  WHERE len(list_filter(s.ivls,
+          iv -> d.t1 >= iv.lo AND d.t1 < iv.hi)) = 0
 )"""
         + _MATCH_PROJECTION.format(src="kept", cap=cap)
     )
@@ -476,6 +559,66 @@ def cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ALL_WITHIN,
         strategy="skip_to_next",
         max_matches_per_key=_ALL_CAP,
+    )
+
+
+_SKIP_FIRST_WITHIN = "12 hours"  # wider horizon so view-anchored
+# intervals actually catch later starts at sf0.01 (6 h yields zero
+# discards — a non-discriminating query would prove nothing)
+
+
+@register(
+    "cep_skip_to_first",
+    survey_rows=("T7", "J4", "W1", "X3"),
+    oracle=_skip_to_anchor_oracle(
+        _ALL_BLOCKS, "12 HOUR", _ALL_CAP, 2, "first"
+    ),
+)
+def cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``AfterMatchSkipStrategy.skipToFirst("view")`` on the
+    click[×1..2] → view? → purchase pattern (block 2, the OPTIONAL
+    view — chains that skip it contribute no discard interval, the
+    NULL-anchor case): after a match emits, partials started after
+    the match's own start but before its first view event are
+    discarded; earlier-started partials survive, the interval Flink
+    documents as narrower than skipPastLastEvent's. Discriminating at
+    sf0.01 (12 h horizon: 440 kept of 443 no_skip chains).
+    Completion-order interval walk in one Arrow-batched applyInPandas
+    over the bounded enumeration; the oracle threads the interval
+    list through a RECURSIVE CTE, value-checking the walk itself."""
+    ev = load(spark, sf_dir, "events")
+    return cep_after_match_skip(
+        ev,
+        _ALL_BLOCKS,
+        _SKIP_FIRST_WITHIN,
+        strategy="skip_to_first",
+        max_matches_per_key=_ALL_CAP,
+        skip_block=2,
+    )
+
+
+@register(
+    "cep_skip_to_last",
+    survey_rows=("T7", "J4", "W1", "X3"),
+    oracle=_skip_to_anchor_oracle(_ALL_BLOCKS, "6 HOUR", _ALL_CAP, 1, "last"),
+)
+def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``AfterMatchSkipStrategy.skipToLast("click")`` on the
+    same pattern, anchored at block 1 (the RANGE click block, where
+    first != last event makes the strategy distinct from
+    skipToFirst): discard partials started in [match_start,
+    last_click_of_match) — 12 of 231 no_skip rows change at sf0.01.
+    With skip_to_first, skip_to_next, skip_past_last and no_skip this
+    completes all five strategies of Flink's after-match skip enum,
+    each with an exact oracle."""
+    ev = load(spark, sf_dir, "events")
+    return cep_after_match_skip(
+        ev,
+        _ALL_BLOCKS,
+        _ALL_WITHIN,
+        strategy="skip_to_last",
+        max_matches_per_key=_ALL_CAP,
+        skip_block=1,
     )
 
 

@@ -750,24 +750,41 @@ def test_cep_all_matches_equals_bruteforce_enumeration(
 @given(
     n=st.integers(min_value=0, max_value=50),
     n_users=st.integers(min_value=1, max_value=3),
-    strategy=st.sampled_from(["skip_to_next", "skip_past_last_event"]),
+    strategy=st.sampled_from(
+        [
+            ("skip_to_next", None),
+            ("skip_past_last_event", None),
+            ("skip_to_first", 1),
+            ("skip_to_first", 2),
+            ("skip_to_first", 3),
+            ("skip_to_last", 1),
+            ("skip_to_last", 2),
+            ("skip_to_last", 3),
+        ]
+    ),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @SET
 def test_cep_after_match_skip_equals_reference_selection(
     spark, n, n_users, strategy, seed
 ):
-    """cep_after_match_skip vs a pure-Python reference on adversarial
-    random streams: brute-force-enumerate every chain, then apply the
-    declared selection — skip_to_next = first-emitted (completion
-    order) chain per start event, matching Flink's NFA emission;
-    skip_past_last_event = completion-order walk
-    keeping same-end ties that start after the previous resume point.
+    """cep_after_match_skip (all five strategies, anchored ones at
+    every block incl. the optional NULL-anchor block) vs a
+    pure-Python reference on adversarial random streams:
+    brute-force-enumerate every chain WITH block assignments, then
+    apply the declared selection — skip_to_next = first-emitted
+    (completion order) chain per start event, matching Flink's NFA
+    emission; skip_past_last_event = completion-order walk keeping
+    same-end ties that start after the previous resume point;
+    skip_to_first/skip_to_last = completion-order walk accumulating
+    discard intervals [match_start, anchor) where anchor is the
+    min-over-assignments first/last event of the named block.
     Identical kept sets, ranks, and caps."""
     import random
 
     from flink_realtime_edu_spark.operators.cep import cep_after_match_skip
 
+    strategy, skip_block = strategy
     rng = random.Random(seed)
     types = ["click", "view", "purchase"]
     rows = [
@@ -787,50 +804,89 @@ def test_cep_after_match_skip_equals_reference_selection(
     blocks = [("click", 1, 2), ("view", 0, 1), ("purchase", 1, 1)]
     within_us, cap = 30 * 1_000_000, 3
 
-    def brute(evs: set[tuple[int, str]]) -> list[tuple[int, ...]]:
-        chains: set[tuple[int, ...]] = set()
+    def brute(evs: set[tuple[int, str]]) -> dict[tuple[int, ...], int | None]:
+        """chain -> anchor (min over assignments; None if the anchor
+        block consumed no event in every assignment)."""
+        chains: dict[tuple[int, ...], int | None] = {}
 
-        def rec(bi, taken, last, t1, chain):
+        def note(chain, anchor):
+            c = tuple(chain)
+            if c not in chains or (
+                anchor is not None
+                and (chains[c] is None or anchor < chains[c])
+            ):
+                chains[c] = anchor
+
+        def rec(bi, taken, last, t1, chain, anchor):
             if bi == len(blocks):
-                chains.add(tuple(chain))
+                note(chain, anchor)
                 return
             etype, mn, mx = blocks[bi]
             if taken >= mn:
-                rec(bi + 1, 0, last, t1, chain)
+                rec(bi + 1, 0, last, t1, chain, anchor)
             if taken < mx:
                 for ts, t in evs:
                     if t != etype or (last is not None and ts <= last):
                         continue
                     if t1 is not None and ts - t1 > within_us:
                         continue
-                    rec(bi, taken + 1, ts, ts if t1 is None else t1, chain + [ts])
+                    a = anchor
+                    if skip_block is not None and bi + 1 == skip_block:
+                        # "first": only the block's first consumed
+                        # event sets the anchor; "last": every one does
+                        a = ts if (
+                            strategy == "skip_to_last" or taken == 0
+                        ) else anchor
+                    rec(
+                        bi,
+                        taken + 1,
+                        ts,
+                        ts if t1 is None else t1,
+                        chain + [ts],
+                        a,
+                    )
 
-        rec(0, 0, None, None, [])
-        return sorted(chains)
+        rec(0, 0, None, None, [], None)
+        return chains
 
-    def select(chains: list[tuple[int, ...]]) -> list[tuple[int, ...]]:
+    def select(chains: dict[tuple[int, ...], int | None]):
+        ordered = sorted(chains)
         if strategy == "skip_to_next":
             # first-EMITTED per start = completion order (earliest
             # end wins; end ties break chain-lexicographically)
             first_per_start: dict[int, tuple[int, ...]] = {}
-            for c in sorted(chains, key=lambda c: (c[-1], c)):
+            for c in sorted(ordered, key=lambda c: (c[-1], c)):
                 first_per_start.setdefault(c[0], c)
             return sorted(first_per_start.values())
-        # explicit batch walk (the declared semantics): same-end ties
-        # emit iff they started after the resume point in force when
-        # this end's batch opened
-        kept: list[tuple[int, ...]] = []
-        resume = None
         by_end: dict[int, list[tuple[int, ...]]] = {}
-        for c in chains:
+        for c in ordered:
             by_end.setdefault(c[-1], []).append(c)
+        kept: list[tuple[int, ...]] = []
+        if strategy == "skip_past_last_event":
+            # same-end ties emit iff they started after the resume
+            # point in force when this end's batch opened
+            resume = None
+            for end in sorted(by_end):
+                batch = [
+                    c for c in by_end[end] if resume is None or c[0] > resume
+                ]
+                if batch:
+                    kept.extend(batch)
+                    resume = end
+            return sorted(kept)
+        # anchored walk: discard intervals [start, anchor)
+        intervals: list[tuple[int, int]] = []
         for end in sorted(by_end):
             batch = [
-                c for c in by_end[end] if resume is None or c[0] > resume
+                c
+                for c in by_end[end]
+                if not any(lo <= c[0] < hi for lo, hi in intervals)
             ]
-            if batch:
-                kept.extend(batch)
-                resume = end
+            kept.extend(batch)
+            for c in batch:
+                a = chains[c]
+                if a is not None and a > c[0]:
+                    intervals.append((c[0], a))
         return sorted(kept)
 
     epoch_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
@@ -848,7 +904,12 @@ def test_cep_after_match_skip_equals_reference_selection(
     got = sorted(
         (r.user_id, r.chain_str, r.match_no)
         for r in cep_after_match_skip(
-            ev, blocks, "30 seconds", strategy=strategy, max_matches_per_key=cap
+            ev,
+            blocks,
+            "30 seconds",
+            strategy=strategy,
+            max_matches_per_key=cap,
+            skip_block=skip_block,
         ).collect()
     )
     assert got == sorted(expect)
