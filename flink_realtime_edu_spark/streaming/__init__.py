@@ -15,8 +15,9 @@ Modules:
                  helpers.
 - ``stateful`` — transformWithStateInPandas custom keyed state (T6
                  first-visit repair; the reference's ValueState [R]).
-- ``cep``      — the three CEP automata (relaxed first-match, timeout
-                 side output on event-time timers, strict next).
+- ``cep``      — the four CEP automata (relaxed first-match, timeout
+                 side output on event-time timers, strict next,
+                 notFollowedBy with deferred tail emission).
 - ``rules``    — broadcast-state dynamic rules: per-batch rule
                  refresh + exactly-once alerts via the txn sink.
 - ``dedup``/``scd2``/``late``/``quality`` — incremental dedup index,
@@ -47,6 +48,7 @@ from flink_realtime_edu_spark.streaming.quality import (
 )
 from flink_realtime_edu_spark.streaming.cep import (
     cep_first_match_stream,
+    cep_not_followed_by_stream,
     cep_strict_matches_stream,
     cep_with_timeouts_stream,
 )
@@ -93,6 +95,7 @@ __all__ = [
     "evaluate_rules",
     "rules_alerts_stream",
     "cep_first_match_stream",
+    "cep_not_followed_by_stream",
     "cep_strict_matches_stream",
     "cep_with_timeouts_stream",
 ]

@@ -1,7 +1,7 @@
 """Streaming CEP — the live faces of operators/cep.py (Flink
 `CEP.pattern(stream, ...)`; SURVEY.md §2 exhaustiveness note).
 
-Three keyed automata on ``applyInPandasWithState``, each pinned
+Four keyed automata on ``applyInPandasWithState``, each pinned
 stream ≡ batch by tests/test_streaming.py + property tests:
 
 - :func:`cep_first_match_stream` — relaxed-contiguity (followedBy)
@@ -19,6 +19,12 @@ stream ≡ batch by tests/test_streaming.py + property tests:
   micro-batch boundaries; only the longest buffer suffix that is a
   prefix of the pattern is kept (KMP failure function), so most keys
   hold no state at all.
+- :func:`cep_not_followed_by_stream` — negative patterns
+  (notFollowedBy, r8): per-start greedy partials, gap negatives kill
+  in-flight, a trailing negative defers emission until the event-time
+  watermark closes the chain's horizon silent; state is the live
+  partial list, bounded by one ``within`` horizon of starts plus a
+  done marker per emitted key.
 
 All three require arrival order to respect event-time order per key
 ACROSS micro-batches (the testable contract: an ordered replay makes
@@ -390,6 +396,276 @@ def cep_with_timeouts_stream(
         F.timestamp_micros("last_us").alias("last_ts"),
         "matched_steps",
         "timed_out",
+    )
+
+
+CEP_NFB_STATE_SCHEMA = (
+    "done BOOLEAN, p_t1 ARRAY<LONG>, p_stage ARRAY<INT>, "
+    "p_tprev ARRAY<LONG>, cur_ts LONG, cur_dead ARRAY<LONG>"
+)
+
+
+def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int):
+    """State fn for streaming notFollowedBy — the live face of the r8
+    batch semantics (operators/cep.py::cep_not_followed_by): one
+    greedy partial per occurrence of the first positive type, a
+    negative kills only the partial whose gap it lands in, and the
+    key emits its FIRST valid chain in completion order. A trailing
+    negative defers emission until the chain's t1 + within horizon
+    closes silent — the event-time timer fires it exactly like the
+    batch horizon cut; gap-only patterns emit at the completing event.
+
+    Per-key state is the live partial list [(t1, stage, tprev)], with
+    stage == k marking a completed chain pending its silent horizon.
+    Partials are bounded by one `within` horizon of starts (dead ones
+    are pruned on every event/timer), so state is O(starts within one
+    horizon) + one done marker per emitted key (first-match-ever, the
+    same documented trade-off as cep_first_match_stream's default).
+
+    Same-timestamp discipline (mirrors the batch open intervals): for
+    each distinct timestamp the POSITIVE phase runs first (spawns +
+    advances), then the NEGATIVE phase kills with strict comparisons
+    — so a negative sharing its timestamp with the positive that
+    closes the gap never kills (the batch interval (t_g, t_{g+1}) is
+    open), and a partial that just advanced is immune (ts > tprev is
+    false). ``cur_dead`` remembers same-timestamp killed starts so a
+    duplicate seed event cannot respawn a doomed chain mid-timestamp."""
+    k = len(pos)
+    has_tail = any(g == k for g, _ in neg)
+    neg_by_type: dict[str, list[int]] = {}
+    for g, t in neg:
+        neg_by_type.setdefault(t, []).append(g)
+
+    def hz_us(t1: int) -> int:
+        return t1 + within_us
+
+    def hz_ms(t1: int) -> int:
+        # strictly beyond the µs horizon (same +1 as the other timers)
+        return hz_us(t1) // 1000 + 1
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            done, p_t1, p_stage, p_tprev, cur_ts, cur_dead = state.get
+            parts = [
+                [int(a), int(b), int(c)]
+                for a, b, c in zip(p_t1, p_stage, p_tprev)
+            ]
+            cur_dead = list(cur_dead)
+        else:
+            done, parts, cur_ts, cur_dead = False, [], None, []
+        out: list[tuple] = []
+
+        def emit(t1: int, tk: int) -> None:
+            out.append((key[0], t1, tk, round((tk - t1) / 1e6, 6)))
+
+        def settle(wm_ms: int) -> None:
+            """Resolve pendings whose horizon the watermark passed
+            (earliest valid emits → done) and prune dead partials."""
+            nonlocal done, parts
+            live = []
+            for t1, stg, tp in parts:  # t1-ascending == completion order
+                if done:
+                    break
+                if hz_ms(t1) <= wm_ms:
+                    if stg == k:
+                        emit(t1, tp)
+                        done = True
+                    # stg < k: dead partial, drop
+                else:
+                    live.append([t1, stg, tp])
+            parts = [] if done else live
+
+        if state.hasTimedOut:
+            settle(state.getCurrentWatermarkMs())
+            if done:
+                state.update((True, [], [], [], cur_ts, []))
+            elif parts:
+                state.update(
+                    (
+                        False,
+                        [p[0] for p in parts],
+                        [p[1] for p in parts],
+                        [p[2] for p in parts],
+                        cur_ts,
+                        cur_dead,
+                    )
+                )
+                state.setTimeoutTimestamp(min(hz_ms(p[0]) for p in parts))
+            else:
+                state.remove()
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["user_id", "start_us", "end_us", "duration_s"],
+                )
+            return
+
+        if not done:
+            chunks = list(pdf_iter)
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values(["ts_us", "__tb"])
+                if chunks
+                else pd.DataFrame(columns=["ts_us", "event_type"])
+            )
+            rows = list(zip(pdf["ts_us"], pdf["event_type"]))
+            i = 0
+            while i < len(rows) and not done:
+                ts = int(rows[i][0])
+                group: list[str] = []
+                while i < len(rows) and int(rows[i][0]) == ts:
+                    group.append(str(rows[i][1]))
+                    i += 1
+                # chains whose horizon closed strictly before this
+                # event resolve NOW (data preempts the timer); dead
+                # partials fall out in the same pass
+                new_parts = []
+                for t1, stg, tp in parts:
+                    if done:
+                        break
+                    if hz_us(t1) < ts:
+                        if stg == k:
+                            emit(t1, tp)
+                            done = True
+                    else:
+                        new_parts.append([t1, stg, tp])
+                parts = [] if done else new_parts
+                if done:
+                    break
+                if ts != cur_ts:
+                    cur_ts, cur_dead = ts, []
+                # POSITIVE phase: advance every awaiting partial, then
+                # seed (a same-ts seed can't advance: strict >)
+                completed_now = False
+                for etype in group:
+                    for p in parts:
+                        t1, stg, tp = p
+                        if (
+                            stg < k
+                            and etype == pos[stg]
+                            and ts > tp
+                            and ts <= hz_us(t1)
+                        ):
+                            p[1], p[2] = stg + 1, ts
+                            if p[1] == k and not has_tail:
+                                completed_now = True
+                    if etype == pos[0]:
+                        if (
+                            ts not in cur_dead
+                            and not any(p[0] == ts for p in parts)
+                        ):
+                            parts.append([ts, 1, ts])
+                            if k == 1 and not has_tail:
+                                completed_now = True
+                if completed_now:
+                    # first completion in event-time order; earliest
+                    # start breaks the tie (batch: min (t_k, t1))
+                    t1, _, tp = min(
+                        p for p in parts if p[1] == k
+                    )
+                    emit(t1, tp)
+                    done = True
+                    parts = []
+                    break
+                # NEGATIVE phase: strict comparisons — see docstring
+                for etype in group:
+                    gaps = neg_by_type.get(etype)
+                    if not gaps:
+                        continue
+                    survivors = []
+                    for t1, stg, tp in parts:
+                        killed = any(
+                            stg == g
+                            and ts > tp
+                            and (g < k or ts <= hz_us(t1))
+                            for g in gaps
+                        )
+                        if killed:
+                            if t1 == ts:
+                                cur_dead.append(t1)
+                        else:
+                            survivors.append([t1, stg, tp])
+                    parts = survivors
+        else:
+            for _ in pdf_iter:  # drain — emitted keys ignore new events
+                pass
+
+        if done:
+            state.update((True, [], [], [], cur_ts, []))
+        elif parts:
+            # late settle: the watermark may already have passed a
+            # pending's horizon (timers can't be armed at/below it)
+            settle(state.getCurrentWatermarkMs())
+            if done:
+                state.update((True, [], [], [], cur_ts, []))
+            elif parts:
+                state.update(
+                    (
+                        False,
+                        [p[0] for p in parts],
+                        [p[1] for p in parts],
+                        [p[2] for p in parts],
+                        cur_ts,
+                        cur_dead,
+                    )
+                )
+                state.setTimeoutTimestamp(min(hz_ms(p[0]) for p in parts))
+            elif state.exists:
+                state.remove()
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "end_us", "duration_s"]
+            )
+
+    return fn
+
+
+def cep_not_followed_by_stream(
+    events: DataFrame,
+    steps: list[str | tuple[str, str]],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming Flink ``notFollowedBy`` — the live twin of
+    operators/cep.py::cep_not_followed_by (r8 per-start semantics).
+    ``steps`` mixes positive type names with ``("not", type)`` markers
+    exactly like the batch operator; emits one append-mode row per key
+    (user_id, start_ts, end_ts, duration_s), deferred past the
+    t1 + within horizon when the pattern carries a trailing negative
+    (the match emits only once the event-time watermark closes the
+    window silent — Flink's deferred-emission shape). In-order arrival
+    per key is the contract, as for the other CEP automata; the
+    stream ≡ batch test pins completions AND horizon-closed
+    emissions."""
+    from flink_realtime_edu_spark.operators.cep import _split_negatives
+
+    pos, neg = _split_negatives(steps)
+    within_us = _parse_within_us(within)
+    prepared = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(key_col).alias("user_id"),
+        F.col(ts_col),
+        F.unix_micros(ts_col).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    out = prepared.groupBy("user_id").applyInPandasWithState(
+        _make_cep_nfb_fn(pos, neg, within_us),
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_NFB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("start_ts"),
+        F.timestamp_micros("end_us").alias("end_ts"),
+        "duration_s",
     )
 
 

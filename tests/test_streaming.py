@@ -1566,6 +1566,150 @@ def test_cep_timeout_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got_timeouts == want_timeouts and len(want_timeouts) > 0
 
 
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        ("gap", ["view", ("not", "error"), "click", "purchase"], "96 hours"),
+        ("tail", ["click", "purchase", ("not", "error")], "48 hours"),
+    ],
+    ids=lambda c: c[0],
+)
+def test_cep_not_followed_by_stream_equals_batch(spark, sf_dir, tmp_path, cfg):
+    """Streaming notFollowedBy must reproduce the r8 batch semantics
+    exactly on an ordered replay — per-start partials, negatives
+    killing only their own chain, first valid chain per key in
+    completion order — for BOTH negative positions: a gap negative
+    (emission at the completing event) and a trailing negative
+    (emission deferred until the watermark closes the horizon silent;
+    a far-future sentinel in the last micro-batch drives every
+    pending's timer before the stream drains)."""
+    import datetime
+
+    from flink_realtime_edu_spark.operators.cep import cep_not_followed_by
+    from flink_realtime_edu_spark.streaming.cep import (
+        cep_not_followed_by_stream,
+    )
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    name, steps, within = cfg
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    src = tmp_path / f"nfb_src_{name}"
+    src.mkdir()
+    chunks = [
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ]
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + datetime.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        ev.schema,
+    )
+    for i, chunk in enumerate(chunks + [sentinel]):
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = cep_not_followed_by_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        steps,
+        within,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(f"nfb_stream_{name}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_nfb_{name}"))
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.duration_s)
+        for r in spark.sql(f"SELECT * FROM nfb_stream_{name}").collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.duration_s)
+        for r in cep_not_followed_by(ev, steps, within).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_cep_nfb_tail_emission_waits_for_silent_horizon(spark, tmp_path):
+    """The trailing-negative contract in isolation: a completed chain
+    must NOT emit while its t1 + within horizon is still open (run A:
+    stream ends before the horizon — zero rows, the pending is held),
+    emits once the watermark passes the horizon silent (run B), and an
+    error INSIDE (t_k, horizon] kills that pending while a later
+    clean start still matches — the per-start re-seed end-to-end
+    (run C)."""
+    from flink_realtime_edu_spark.streaming.cep import (
+        cep_not_followed_by_stream,
+    )
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    steps, within = ["click", "purchase", ("not", "error")], "2 hours"
+    base = [
+        (0, "2024-01-01 00:00:00", 1, "click"),
+        (1, "2024-01-01 00:10:00", 1, "purchase"),
+    ]
+    sentinel = [(9, "2024-01-02 00:00:00", 99, "noop")]
+    poison = [
+        (2, "2024-01-01 01:00:00", 1, "error"),  # inside (00:10, 02:00]
+        (3, "2024-01-01 03:00:00", 1, "click"),  # re-seed past the kill
+        (4, "2024-01-01 03:20:00", 1, "purchase"),
+    ]
+    runs = {
+        "a": [base],                      # horizon never closes
+        "b": [base, sentinel],            # closes silent -> emits
+        "c": [base, poison, sentinel],    # killed; later start matches
+    }
+
+    def run(name: str, chunk_list):
+        src = tmp_path / f"nfb_tail_{name}"
+        src.mkdir()
+        for i, chunk in enumerate(chunk_list):
+            df = spark.createDataFrame(
+                [(e, t, u, ty, 1.0, "{}") for e, t, u, ty in chunk],
+                "event_id long, ts_s string, user_id long,"
+                " event_type string, value double, props string",
+            ).select(
+                "event_id",
+                F.to_timestamp("ts_s").alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / "stage")
+            )
+            for f in (tmp_path / "stage").glob("*.parquet"):
+                shutil.copy(f, src / f"chunk-{i}.parquet")
+            time.sleep(1.1)
+        q = (
+            cep_not_followed_by_stream(
+                load_events_stream(spark, str(src), max_files_per_trigger=1),
+                steps, within,
+            )
+            .writeStream.format("memory")
+            .queryName(f"nfb_tail_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_tail_{name}"))
+            .start()
+        )
+        run_to_completion(q)
+        return sorted(
+            (r.user_id, r.start_ts.isoformat(), r.end_ts.isoformat())
+            for r in spark.sql(f"SELECT * FROM nfb_tail_{name}").collect()
+        )
+
+    assert run("a", runs["a"]) == []  # held, horizon still open
+    assert run("b", runs["b"]) == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00")
+    ]
+    assert run("c", runs["c"]) == [
+        (1, "2024-01-01T03:00:00", "2024-01-01T03:20:00")
+    ]
+
+
 def test_broadcast_rules_stream_picks_up_live_updates(spark, sf_dir, tmp_path):
     """Flink broadcast-state parity: the alerting stream evaluates
     each micro-batch against the rules snapshot CURRENT at that batch
