@@ -105,10 +105,13 @@ def register_codecs_by_value(*extra_modules) -> None:
 
     from flink_realtime_edu_spark.multimodal import avi as _avi
     from flink_realtime_edu_spark.multimodal import jpeg as _jpeg
+    from flink_realtime_edu_spark.multimodal import phash as _phash
     from flink_realtime_edu_spark.multimodal import png as _png
     from flink_realtime_edu_spark.multimodal import wav as _wav
 
-    for mod in (_avi, _jpeg, _png, _wav, _sys.modules[__name__], *extra_modules):
+    for mod in (
+        _avi, _jpeg, _phash, _png, _wav, _sys.modules[__name__], *extra_modules
+    ):
         cloudpickle.register_pickle_by_value(mod)
 
 

@@ -573,3 +573,29 @@ def test_resample_audio_real_decimation_and_passthrough(spark, media):
     a = {r.media_id: bytes(r.payload) for r in resample_audio(media, 4).collect()}
     b = {r.media_id: bytes(r.payload) for r in media.collect()}
     assert a == b  # demo corpus audio is not RIFF: byte-identical
+
+
+def test_phash63_exact_invariances():
+    """The integer pHash kernel's exact properties: deterministic,
+    63-bit (the BIGINT sign bit is never set — the oracle's SUM of
+    shifted bits must agree in signed arithmetic), identical images
+    hash identically, and a 2x nearest-neighbor upscale is EXACTLY
+    invariant (floor-mean pooling of constant 2x2 cells recovers the
+    base image bit-for-bit)."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.phash import phash63
+
+    rng = np.random.default_rng(20240815)
+    for _ in range(25):
+        base = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+        h = phash63(base)
+        assert 0 <= h < 2**63
+        assert phash63(base.copy()) == h
+        up = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+        assert phash63(up) == h
+    # non-multiple-of-32 sides are a hard error, not silent cropping
+    import pytest
+
+    with pytest.raises(ValueError):
+        phash63(np.zeros((33, 32), dtype=np.uint8))
