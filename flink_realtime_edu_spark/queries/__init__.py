@@ -98,86 +98,82 @@ def register(
 # representative (tests/test_registry_order.py pins this), and it
 # ROTATES each round (VERDICT r3 item 3).
 #
-# r7 rotation (VERDICT r6 items 3, 4, 6): first the PINS — the two
-# NEW r7 queries (all-matches CEP enumeration, color JPEG decode)
-# plus re-pins of every query whose SOURCE changed this round (the
-# jpeg.py decoder was generalized for color, so the grayscale-path
-# jpeg/video decode queries and the CEP module's times query get
-# a fresh official sample on the changed code; the NEW substring-span
-# dedup query takes the slot of the untouched png re-pin, whose last
-# official sample (r5) stays within the ≤2-round staleness bar) —
-# then STALENESS-FIRST
-# refresh: ALL 43 queries whose last official sample was r4 (after
-# this window, max staleness across the registry is 2 rounds — the
-# r6 verdict's done-bar). Union coverage over r1–r7 official windows
-# stays complete (the structural test).
-#
-# r8 pin obligation: cep_skip_to_next / cep_skip_past_last and the
-# three negative-pattern queries (cep_no_error_funnel,
-# cep_quiet_after_purchase, cep_not_next_error_pair) were registered
-# AFTER the r7 rotation froze this 50-slot window (7 pins + all 43
-# r4-stale refreshes — displacing refreshes would break the ≤2-round
-# staleness bar). Their §2 rows (T7/J4/J6/W1/W3/X3/T4) are
-# window-covered by other representatives and all five are
-# oracle-exact in driver_sim + property-tested against brute-force
-# references; FIRST r8 rotation action: pin all five.
+# r8 rotation (VERDICT r7 items 1, 3, 6): first the PINS — the five
+# queries registered after the r7 rotation froze (the skip-strategy
+# pair and the three negative patterns, the ONLY registered queries
+# with no official CORRECTNESS row ever — the r7 verdict's item 1),
+# plus the three NEW r8 queries (skip_to_first / skip_to_last, pHash
+# image dedup), plus re-pins of every query whose SOURCE changed this
+# round (the CEP enumeration grew anchor support, so the all-matches
+# query re-samples on the changed code; duplicated_spans gained the
+# max_df pre-join and in-code gram partition sizing, so both span
+# queries re-sample) — then STALENESS-FIRST refresh: 38 of the 46
+# queries whose last official sample was r5. The 8 spilled r5-stale
+# queries (the ANN/clustering tolerance-oracle family —
+# ann_lsh_topk, ivf_ann_topk, ivf_ann_incremental_topk, pq_ann_topk,
+# kmeans_cluster_profile, kmeans_quality_summary,
+# label_homophily_check — plus video_frame_sample_plan) were chosen
+# because their operators are untouched since r5 and their checks are
+# tolerance/rows-only by design; they rotate FIRST in r9 (pin
+# obligation, same mechanism as the r7→r8 CEP pins). With 151
+# registered queries and a 50-slot window, ~3-round max staleness is
+# the steady state (VERDICT r7 item 8; the generated last-sampled
+# ledger in COVERAGE.md makes it auditable).
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
-    "cep_all_matches_ranges",     # T7 J4 W1 F5 — NEW r7: all-matches CEP
-    "jpeg_color_decode_stats",    # X8 X2 A2 F3 — NEW r7: color JPEG
-    "span_clip_checksums",        # X4 X7 F1 — NEW r7: ExactSubstr clip
-    # (jpeg_decode_stats' r7 re-pin slot went here: the generalized
-    # decoder is officially sampled via jpeg_color_decode_stats AND
-    # video_decode_stats' per-frame path, and its own last official
-    # sample (r6) stays within the ≤2-round staleness bar)
-    "video_decode_stats",         # X8 — per-frame decode path touched r7
-    "dup_span_stats",             # X4 X7 W3 — NEW r7: substring-span dedup
-    "cep_times_quantifier",       # T7 W1 J4 — CEP module touched r7
-    # --- last officially sampled r4 (staleness refresh, all 43) ---
-    "full_join_nation_counts",    # J2
-    "cross_join_region_status",   # J7
-    "theta_join_acctbal",         # J7
-    "collect_event_types",        # A7
-    "latest_event_per_user",      # A9
-    "weighted_avg_udaf",          # A10
-    "skewed_event_type_stats",    # A1 skew
-    "unpivot_daily_activity",     # A6
-    "approx_value_percentiles",   # A8 A4
-    "customer_balance_quartiles", # W2
-    "topk_orders",                # O2
-    "trailing_24h_user_value",    # W4
-    "nations_without_suppliers",  # J6 U2
-    "distinct_segments_per_nation",  # A3
-    "map_funcs_props",            # F6
-    "dirty_data_split",           # S7 P4
-    "tumbling_hourly_stats",      # T1
-    "sliding_window_traffic",     # T2
-    "funnel_click_view_purchase", # T7 W3
-    "token_topk",                 # X1 X7
-    "text_stats_by_source",       # X7
-    "doc_quality_scores",         # X7
-    "grouped_zscore_chars",       # X3
-    "multimodal_feature_stats",   # X8 X2
-    "cohort_retention",           # F2 A1
-    "doc_chunking_windows",       # X7 W4
-    "nation_profit_trend",        # J1 A1
-    "fingerprint_overlap_docs",   # X5
-    "waiting_supplier_counts",    # J5 A2
-    "cube_customer_segments",     # A6
-    "doc_repetition_stats",       # X7
-    "embedding_quantization_snr", # X6 F5
-    "error_burst_stats",          # T7 W3
-    "returned_item_top_customers",  # J1 A1 O2
-    "revenue_trend_daily",        # F2 W4
-    "top_revenue_supplier",       # J1 A1 O1
-    "vocab_coverage_topk",        # X7 X1
-    "lang_guess_confusion",       # X7
-    "bpe_token_counts",           # X1 X7
-    "cms_token_frequencies",      # A4 X7
-    "mixture_sample_by_source",   # X7 F8
-    "doc_unigram_surprisal",      # X7
-    "curated_packing_manifest",   # X7 W4
+    # --- never officially sampled (r7 pins + new r8) ---
+    "cep_skip_to_next",           # T7 J4 W1 — r7 pin obligation
+    "cep_skip_past_last",         # T7 J4 W1 X3 — r7 pin obligation
+    "cep_no_error_funnel",        # T7 J4 J6 — r7 pin obligation
+    "cep_quiet_after_purchase",   # T7 J6 T4 — r7 pin obligation
+    "cep_not_next_error_pair",    # T7 W3 W1 — r7 pin obligation
+    "cep_skip_to_first",          # T7 J4 W1 X3 — NEW r8
+    "cep_skip_to_last",           # T7 J4 W1 X3 — NEW r8
+    "phash_dup_stats",            # X8 X5 X2 F8 — NEW r8
+    # --- source changed this round (re-pins) ---
+    "cep_all_matches_ranges",     # T7 J4 W1 F5 — enumeration grew anchors
+    "dup_span_stats",             # X4 X7 W3 — max_df pre-join + sizing
+    "span_clip_checksums",        # X4 X7 F1 — consumes duplicated_spans
+    # --- last officially sampled r5 (staleness refresh, 38/46) ---
+    "text_normalization_checksum",  # X7 F1
+    "token_budget_sample",        # X7 F8
+    "png_decode_stats",           # X8 X2
+    "wav_decode_stats",           # X8 X2
+    "near_dup_simhash",           # X5
+    "doc_fingerprint_stats",      # X5 F8
+    "minhash_signatures_sample",  # X5 F8
+    "near_dup_incremental",       # X5 X4
+    "grouping_sets_traffic",      # A6
+    "right_join_supplier_nations",  # J2
+    "late_ship_priority_counts",  # J5 A1
+    "small_qty_parts_revenue",    # J1 A5
+    "big_volume_customers",       # J5 A1
+    "nation_revenue_share",       # J1 J3 A1
+    "wealthy_inactive_customers", # J6
+    "volume_shipping_pairs",      # J1 J3
+    "market_share_by_year",       # J1 J3
+    "customer_order_distribution",  # J2 A1
+    "promo_revenue_share",        # J1 A5
+    "part_supplier_diversity",    # J1 J6
+    "disjunctive_predicate_revenue",  # P2 J1
+    "excess_share_suppliers",     # J5
+    "min_cost_supplier_per_part", # J1
+    "unshipped_order_revenue",    # J1 P2
+    "local_supplier_volume",      # J1 J3
+    "forecast_revenue_change",    # P2
+    "state_transition_matrix",    # W3 S2
+    "price_moments_by_flag",      # A2 A8
+    "stratified_split_by_source", # X7 F8
+    "incremental_dedup_delta",    # X4 J6
+    "bpe_merge_learning",         # X1 X7
+    "bpe_encode_stats",           # X1 J1
+    "bpe_sequence_packing",       # X7 W4
+    "bpe_token_budget_sample",    # X7 F8
+    "late_corrected_windows",     # T4
+    "cep_funnel_timeouts",        # T7 T4 J2 A9
+    "cep_funnel_first_match",     # T7 J4 W3 A9
+    "cep_strict_error_runs",      # T7 W3 W1
 )
 
 

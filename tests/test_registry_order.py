@@ -127,3 +127,22 @@ def test_oracle_column_names_alias_discipline():
         if bad:
             offenders[name] = bad
     assert not offenders, f"unaliased oracle columns: {offenders}"
+
+
+def test_never_sampled_queries_are_inside_the_window():
+    """The r7 lesson, pinned structurally: five queries registered
+    after the r7 rotation froze missed every official window. A query
+    with NO row in any CORRECTNESS_r*.json (never officially sampled)
+    must sit inside the current check-window prefix — adding a query
+    without pinning it now fails the suite instead of the next
+    verdict."""
+    import json
+    from pathlib import Path
+
+    reg = load_registry()
+    sampled: set[str] = set()
+    for f in sorted(Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")):
+        sampled.update(json.load(f.open()))
+    window = set(list(reg)[:DRIVER_CHECK_WINDOW])
+    never = {n for n in reg if n not in sampled}
+    assert never <= window, sorted(never - window)
