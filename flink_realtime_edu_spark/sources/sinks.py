@@ -375,50 +375,80 @@ def txn_read(spark, table_dir: str, as_of: int | None = None) -> DataFrame:
     the small-files discipline a long-lived table needs. Snapshots at
     or after a checkpoint stay reproducible forever; snapshots BEFORE
     one survive until :func:`txn_vacuum` reclaims the superseded
-    commits (then they raise, like Delta time travel past VACUUM)."""
+    commits (then they raise, like Delta time travel past VACUUM).
+
+    Concurrent-vacuum race (r8, caught by the boundary-read storm
+    test): between resolving the log and Spark's file listing a
+    racing vacuum may delete a resolved dir, surfacing as a raw
+    AnalysisException instead of the loud 'vacuumed' contract error.
+    The read therefore RE-RESOLVES against a fresh log snapshot on a
+    listing failure: if the snapshot is now non-reproducible the
+    loud ValueError raises (translated, never flapping back), and a
+    still-reproducible resolution (head advanced under a head read)
+    simply retries. The remaining unavoidable window is EXECUTION
+    time on an already-listed plan — bounded by ``keep_generations``
+    exactly as txn_vacuum documents (two full compact+vacuum
+    generations must complete inside one scan)."""
     from pathlib import Path
+
+    from pyspark.errors import AnalysisException
 
     table = Path(table_dir)
     log = table / _TXN_LOG
-    entries = _txn_entries(log)
-    cps = _txn_checkpoints(log)
-    if not entries and not cps:
-        return None
-    head = max(
-        [s for s, _, _ in entries] + [s for s, _ in cps]
-    )
-    if as_of is not None and as_of > head:
-        # A version beyond the head is a caller error (typo'd/stale
-        # seq) — returning the head snapshot would hand back plausible
-        # but WRONG data. Delta raises on a nonexistent version; so do
-        # we.
-        raise ValueError(
-            f"as_of={as_of} is beyond the table head (seq {head})"
+
+    def resolve() -> list[str] | None:
+        entries = _txn_entries(log)
+        cps = _txn_checkpoints(log)
+        if not entries and not cps:
+            return None
+        head = max(
+            [s for s, _, _ in entries] + [s for s, _ in cps]
         )
-    target = head if as_of is None else as_of
-    usable = [(s, cp) for s, cp in cps if s <= target]
-    dirs: list[str] = []
-    lo = -1  # highest seq already covered
-    if usable:
-        cp_seq, cp = usable[-1]
-        dirs.append(str(table / cp["data_dir"]))
-        lo = cp_seq
-    selected = [(s, t) for s, t, _ in entries if lo < s <= target]
-    # The snapshot is reproducible iff the covered seqs are exactly
-    # lo+1 .. min(target, head) with no holes — a crash mid-vacuum
-    # (or a foreign deletion) must fail LOUDLY here, never return a
-    # silently partial table. (Commit seqs are contiguous by
-    # construction; vacuum only ever removes a prefix.)
-    want_seqs = set(range(lo + 1, min(target, head) + 1))
-    if {s for s, _ in selected} != want_seqs:
-        raise ValueError(
-            f"snapshot as_of={target} is no longer reproducible: "
-            "its commits were compacted and vacuumed"
-        )
-    dirs += [str(table / _TXN_DATA / f"txn={t}") for _, t in selected]
-    if not dirs:
-        return None
-    return spark.read.parquet(*dirs)
+        if as_of is not None and as_of > head:
+            # A version beyond the head is a caller error (typo'd/
+            # stale seq) — returning the head snapshot would hand back
+            # plausible but WRONG data. Delta raises on a nonexistent
+            # version; so do we.
+            raise ValueError(
+                f"as_of={as_of} is beyond the table head (seq {head})"
+            )
+        target = head if as_of is None else as_of
+        usable = [(s, cp) for s, cp in cps if s <= target]
+        dirs: list[str] = []
+        lo = -1  # highest seq already covered
+        if usable:
+            cp_seq, cp = usable[-1]
+            dirs.append(str(table / cp["data_dir"]))
+            lo = cp_seq
+        selected = [(s, t) for s, t, _ in entries if lo < s <= target]
+        # The snapshot is reproducible iff the covered seqs are
+        # exactly lo+1 .. min(target, head) with no holes — a crash
+        # mid-vacuum (or a foreign deletion) must fail LOUDLY here,
+        # never return a silently partial table. (Commit seqs are
+        # contiguous by construction; vacuum only removes a prefix.)
+        want_seqs = set(range(lo + 1, min(target, head) + 1))
+        if {s for s, _ in selected} != want_seqs:
+            raise ValueError(
+                f"snapshot as_of={target} is no longer reproducible: "
+                "its commits were compacted and vacuumed"
+            )
+        dirs += [str(table / _TXN_DATA / f"txn={t}") for _, t in selected]
+        return dirs or None
+
+    last_exc: Exception | None = None
+    for _ in range(5):
+        dirs = resolve()
+        if dirs is None:
+            return None
+        try:
+            return spark.read.parquet(*dirs)
+        except AnalysisException as e:
+            # A vacuum won the listing race: re-resolve from the
+            # fresh log — either the loud ValueError raises on the
+            # next resolve() (snapshot reclaimed) or the new
+            # resolution lists live dirs and the retry succeeds.
+            last_exc = e
+    raise last_exc
 
 
 def txn_commit_dirs_scanned(table_dir: str) -> int:
@@ -511,27 +541,36 @@ def txn_compact(
 
 
 def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
-    """Reclaim commits superseded by checkpoints: their log entries
-    and data dirs are deleted (entries FIRST, so a crash between the
-    two leaves only invisible orphan dirs, never a live entry
-    pointing at missing data).
+    """Reclaim commits superseded by checkpoints. TWO-PHASE (r8):
+    this call deletes only the doomed METADATA (older checkpoint
+    manifests first, then log entries — at every crash point reads
+    are correct or fail loudly); the now-unreferenced DATA DIRS are
+    left in place and reclaimed by the orphan sweep of the NEXT
+    vacuum call. The grace matters for concurrency: a reader that
+    resolved a snapshot just before this vacuum may still be
+    SCANNING the resolved dirs — deleting them here failed an
+    in-flight count with a raw FileNotFound instead of the loud
+    'vacuumed' contract error (caught by the boundary-read storm
+    test). With the deferral, any NEW resolution of a reclaimed
+    snapshot raises loudly at once (metadata gone), while an
+    in-flight scan only breaks if a further full maintenance cycle
+    completes before it finishes. Space cost: reclamation lags one
+    vacuum call.
 
     ``keep_generations`` is the RETENTION discipline (Delta VACUUM's
     retention period, expressed in checkpoint generations instead of
     hours): with the default 1, reclamation stops at the
-    SECOND-newest checkpoint, so a snapshot resolved against either
-    of the two newest generations keeps all its files — a concurrent
-    reader racing this vacuum only breaks if TWO full
-    compact+vacuum generations complete inside its single read.
+    SECOND-newest checkpoint.
     ``keep_generations=0`` reclaims through the newest checkpoint
     (maximal space, only safe with no concurrent readers of
     pre-checkpoint snapshots). Time travel below the reclaim boundary
     stops working and fails loudly. Replay of a vacuumed txn_id
     remains a no-op: checkpoint manifests carry the absorbed ids and
     txn_write consults them. Also sweeps ORPHANED dirs: compaction
-    staging dirs whose manifest never published (crashed txn_compact)
-    and txn=<id> dirs a PRIOR crashed vacuum deleted the entries for
-    but not the data (absorbed in a checkpoint, no live entry) —
+    staging dirs whose manifest never published (crashed txn_compact),
+    txn=<id> dirs whose entries a prior vacuum (crashed or two-phase)
+    removed (absorbed in a checkpoint, no live entry), and checkpoint
+    dirs whose manifest a prior vacuum removed —
     which is why maintenance (compact/vacuum) is SINGLE-MAINTAINER:
     a vacuum racing a live compact could reclaim its in-progress
     staging dir. Commits and reads stay fully
@@ -579,17 +618,15 @@ def txn_vacuum(table_dir: str, keep_generations: int = 1) -> int:
     # while an older checkpoint manifest survived, txn_read could
     # resolve a stale as_of against it and silently miss the entries
     # between the two checkpoints; with the manifest gone the
-    # contiguity check raises instead. Then (2) log entries, then
-    # (3) data dirs — at every crash point reads are either correct
-    # or fail loudly, and leftover data dirs are invisible orphans.
+    # contiguity check raises instead. Then (2) log entries. The
+    # data dirs are NOT touched here (two-phase, see docstring):
+    # they are now invisible to every new resolution and the next
+    # vacuum's orphan sweep reclaims them, giving in-flight scans
+    # one full maintenance cycle of grace.
     for s, old in cps[:boundary_idx]:
         (log / f"{s:010d}.checkpoint.json").unlink(missing_ok=True)
     for _, _, p in doomed:
         p.unlink(missing_ok=True)  # idempotent vs an overlapping vacuum
-    for _, t, _ in doomed:
-        shutil.rmtree(table / _TXN_DATA / f"txn={t}", ignore_errors=True)
-    for s, old in cps[:boundary_idx]:
-        shutil.rmtree(table / old["data_dir"], ignore_errors=True)
     return len(doomed)
 
 
