@@ -159,6 +159,21 @@ def main() -> None:
                 ev, steps, "24 hours", done_ttl=args.done_ttl
             ),
         )
+        # r8: negative-pattern automaton — partials must stay bounded
+        # by one `within` horizon of starts (timer-pruned), done
+        # markers grow with emitted keys (first-match-ever, like
+        # cep_nottl); the trailing negative keeps pendings alive until
+        # their horizons close, the worst-case state shape.
+        from flink_realtime_edu_spark.streaming.cep import (
+            cep_not_followed_by_stream,
+        )
+
+        run(
+            "cep_nfb",
+            lambda ev: cep_not_followed_by_stream(
+                ev, ["click", "purchase", ("not", "error")], "24 hours"
+            ),
+        )
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
