@@ -15,9 +15,10 @@ Modules:
                  helpers.
 - ``stateful`` — transformWithStateInPandas custom keyed state (T6
                  first-visit repair; the reference's ValueState [R]).
-- ``cep``      — the four CEP automata (relaxed first-match, timeout
+- ``cep``      — the five CEP automata (relaxed first-match, timeout
                  side output on event-time timers, strict next,
-                 notFollowedBy with deferred tail emission).
+                 notFollowedBy with deferred tail emission, and the
+                 all-matches NFA with the after-match skip enum).
 - ``rules``    — broadcast-state dynamic rules: per-batch rule
                  refresh + exactly-once alerts via the txn sink.
 - ``dedup``/``scd2``/``late``/``quality`` — incremental dedup index,
@@ -47,6 +48,7 @@ from flink_realtime_edu_spark.streaming.quality import (
     with_dq_metrics,
 )
 from flink_realtime_edu_spark.streaming.cep import (
+    cep_all_matches_stream,
     cep_first_match_stream,
     cep_not_followed_by_stream,
     cep_strict_matches_stream,
@@ -94,6 +96,7 @@ __all__ = [
     "dq_totals_from_progress",
     "evaluate_rules",
     "rules_alerts_stream",
+    "cep_all_matches_stream",
     "cep_first_match_stream",
     "cep_not_followed_by_stream",
     "cep_strict_matches_stream",

@@ -1,7 +1,7 @@
 """Streaming CEP — the live faces of operators/cep.py (Flink
 `CEP.pattern(stream, ...)`; SURVEY.md §2 exhaustiveness note).
 
-Four keyed automata on ``applyInPandasWithState``, each pinned
+Five keyed automata on ``applyInPandasWithState``, each pinned
 stream ≡ batch by tests/test_streaming.py + property tests:
 
 - :func:`cep_first_match_stream` — relaxed-contiguity (followedBy)
@@ -25,8 +25,13 @@ stream ≡ batch by tests/test_streaming.py + property tests:
   watermark closes the chain's horizon silent; state is the live
   partial list, bounded by one ``within`` horizon of starts plus a
   done marker per emitted key.
+- :func:`cep_all_matches_stream` — the skip-till-any-match NFA with
+  the full after-match skip enum (r8): the partial set IS the batch
+  enumeration's fork tree, strategies apply online in completion
+  order, and state is bounded by one horizon's enumeration fanout
+  plus self-pruning strategy memory.
 
-All three require arrival order to respect event-time order per key
+All five require arrival order to respect event-time order per key
 ACROSS micro-batches (the testable contract: an ordered replay makes
 stream ≡ batch; out-of-order arrivals would need a watermark-deep
 reordering buffer, which Flink CEP also requires for event-time
@@ -666,6 +671,351 @@ def cep_not_followed_by_stream(
         F.timestamp_micros("start_us").alias("start_ts"),
         F.timestamp_micros("end_us").alias("end_ts"),
         "duration_s",
+    )
+
+
+CEP_AM_OUTPUT_SCHEMA = (
+    "user_id BIGINT, start_us BIGINT, end_us BIGINT, "
+    "n_events INT, chain_str STRING"
+)
+CEP_AM_STATE_SCHEMA = "js STRING"  # json-encoded NFA state, see fn
+
+
+def _make_cep_am_fn(
+    blocks: list[tuple[str, int, int]],
+    within_us: int,
+    strategy: str,
+    skip_block: int | None,
+    cap: int | None,
+):
+    """State fn for streaming ALL-matches CEP with after-match skip
+    strategies — the live twin of operators/cep.py::cep_after_match_skip.
+
+    The per-key state is the literal skip-till-any-match NFA partial
+    set: each partial is (chain, block, taken[, anchor]) and an event
+    FORKS extensions (the no-take branch is the surviving original),
+    exactly the batch enumeration's stop∪extend slot walk. Identical
+    chains reachable under several block assignments collapse in the
+    partial dict (anchor = min over assignments, as in batch), and a
+    chain's completions all happen at its last event's arrival, so
+    emission-time dedup by chain needs no cross-time memory. Skip
+    strategies are ONLINE by construction — Flink defines them in
+    completion order, which is exactly arrival order here:
+    skip_to_next remembers emitted starts, skip_past_last_event a
+    resume point, skip_to_first/skip_to_last the discard-interval
+    list; each memory self-prunes once the event time passes its
+    relevance (a future start can never land inside an interval whose
+    end precedes it).
+
+    State is bounded by the enumeration fanout inside ONE ``within``
+    horizon per key — the same documented explosion as Flink's
+    skip-till-any-match NFA — plus the self-pruning strategy memory;
+    an event-time timer sweeps keys whose horizons all closed.
+    Serialized as one json string (variable-length chains)."""
+    import json as _json
+
+    k_blocks = len(blocks)
+    types = [b[0] for b in blocks]
+    mns = [b[1] for b in blocks]
+    mxs = [b[2] for b in blocks]
+    anchored = strategy in ("skip_to_first", "skip_to_last")
+    tail_optional = [False] * k_blocks  # blocks after i all optional?
+    opt = True
+    for i in range(k_blocks - 1, -1, -1):
+        tail_optional[i] = opt
+        opt = opt and mns[i] == 0
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = _json.loads(state.get[0])
+        else:
+            st = {"p": {}, "R": None, "starts": [], "ivls": [], "n": 0}
+        # partials dict: key "b|taken|c1,c2,.." -> anchor (or None)
+        parts: dict[str, int | None] = st["p"]
+        out: list[tuple] = []
+
+        def pkey(chain, b, taken):
+            return f"{b}|{taken}|{','.join(map(str, chain))}"
+
+        def punpack(s):
+            b, taken, cs = s.split("|")
+            return [int(x) for x in cs.split(",")], int(b), int(taken)
+
+        def emit(chain):
+            out.append(
+                (
+                    key[0],
+                    chain[0],
+                    chain[-1],
+                    len(chain),
+                    "|".join(map(str, chain)),
+                )
+            )
+            st["n"] += 1
+
+        def prune_vs_ts(ts: int) -> None:
+            """Drop dead partials and stale strategy memory: nothing
+            arriving at >= ts can extend/collide with them."""
+            dead = [
+                s for s in parts if punpack(s)[0][0] + within_us < ts
+            ]
+            for s in dead:
+                del parts[s]
+            st["starts"] = [x for x in st["starts"] if x >= ts]
+            st["ivls"] = [iv for iv in st["ivls"] if iv[1] > ts]
+            if st["R"] is not None and st["R"] < ts:
+                st["R"] = None
+
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            prune_vs_ts(wm_us + 1)
+            if parts or st["starts"] or st["ivls"] or st["R"] is not None:
+                state.update((_json.dumps(st),))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            else:
+                state.remove()
+            return
+
+        chunks = list(pdf_iter)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts_us", "__tb"])
+            if chunks
+            else pd.DataFrame(columns=["ts_us", "event_type"])
+        )
+        for ts_raw, etype in zip(pdf["ts_us"], pdf["event_type"]):
+            ts, etype = int(ts_raw), str(etype)
+            if cap is not None and st["n"] >= cap:
+                break
+            prune_vs_ts(ts)
+            # FORK extensions of every live partial (the original
+            # survives — skip-till-any-match), plus the seed.
+            fresh: dict[str, int | None] = {}
+
+            def fork(chain, b, taken, anchor):
+                kk = pkey(chain, b, taken)
+                if kk in parts:
+                    old = parts[kk]
+                    parts[kk] = (
+                        anchor
+                        if old is None
+                        else old
+                        if anchor is None
+                        else min(old, anchor)
+                    )
+                    return
+                if kk in fresh:
+                    old = fresh[kk]
+                    fresh[kk] = (
+                        anchor
+                        if old is None
+                        else old
+                        if anchor is None
+                        else min(old, anchor)
+                    )
+                    return
+                fresh[kk] = anchor
+
+            for s, panchor in list(parts.items()):
+                chain, b, taken = punpack(s)
+                if ts <= chain[-1] or ts > chain[0] + within_us:
+                    continue
+                # epsilon closure: this partial may also stand at the
+                # start of any later block once its own minimum is met
+                bb, tt = b, taken
+                positions = [(bb, tt)]
+                while tt >= mns[bb] and bb + 1 < k_blocks:
+                    bb, tt = bb + 1, 0
+                    positions.append((bb, tt))
+                for pb, pt in positions:
+                    if etype == types[pb] and pt < mxs[pb]:
+                        a = panchor
+                        if anchored and pb + 1 == skip_block:
+                            # "last": every consumed event re-anchors;
+                            # "first": coalesce — only the block's
+                            # first consumed event sets it
+                            a = (
+                                ts
+                                if strategy == "skip_to_last"
+                                or panchor is None
+                                else panchor
+                            )
+                        fork(chain + [ts], pb, pt + 1, a)
+            if etype == types[0]:
+                a = (
+                    ts
+                    if anchored and skip_block == 1
+                    else None
+                )
+                fork([ts], 0, 1, a)
+            # completions among the NEW forks: minimum met and every
+            # later block optional — dedup identical chains (min
+            # anchor), order chain-lexicographically (same-end batch
+            # ties rank by chain)
+            comps: dict[tuple, int | None] = {}
+            for s, anchor in fresh.items():
+                chain, b, taken = punpack(s)
+                if taken >= mns[b] and tail_optional[b]:
+                    c = tuple(chain)
+                    old = comps.get(c, "missing")
+                    if old == "missing":
+                        comps[c] = anchor
+                    else:
+                        comps[c] = (
+                            anchor
+                            if old is None
+                            else old
+                            if anchor is None
+                            else min(old, anchor)
+                        )
+                parts[s] = anchor
+            if not comps:
+                continue
+            cands = sorted(comps)  # chain-lex among same-end ties
+            if strategy == "no_skip":
+                for c in cands:
+                    emit(list(c))
+            elif strategy == "skip_to_next":
+                for c in cands:
+                    if c[0] in st["starts"]:
+                        continue
+                    emit(list(c))
+                    st["starts"].append(c[0])
+                # discard partials sharing an emitted start
+                for s in [
+                    s
+                    for s in parts
+                    if punpack(s)[0][0] in st["starts"]
+                ]:
+                    del parts[s]
+            elif strategy == "skip_past_last_event":
+                batch = [
+                    c
+                    for c in cands
+                    if st["R"] is None or c[0] > st["R"]
+                ]
+                for c in batch:
+                    emit(list(c))
+                if batch:
+                    st["R"] = ts
+                    for s in [
+                        s
+                        for s in parts
+                        if punpack(s)[0][0] <= st["R"]
+                    ]:
+                        del parts[s]
+            else:  # skip_to_first / skip_to_last
+                batch = [
+                    c
+                    for c in cands
+                    if not any(
+                        lo <= c[0] < hi for lo, hi in st["ivls"]
+                    )
+                ]
+                for c in batch:
+                    emit(list(c))
+                    a = comps[c]
+                    if a is not None and a > c[0]:
+                        st["ivls"].append([c[0], a])
+                for s in [
+                    s
+                    for s in parts
+                    if any(
+                        lo <= punpack(s)[0][0] < hi
+                        for lo, hi in st["ivls"]
+                    )
+                ]:
+                    del parts[s]
+
+        if parts or st["starts"] or st["ivls"] or st["R"] is not None:
+            state.update((_json.dumps(st),))
+            horizon_ms = (
+                max(punpack(s)[0][0] for s in parts) + within_us
+            ) // 1000 + 1 if parts else state.getCurrentWatermarkMs() + 1
+            if horizon_ms > state.getCurrentWatermarkMs():
+                state.setTimeoutTimestamp(horizon_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "start_us", "end_us", "n_events", "chain_str",
+                ],
+            )
+
+    return fn
+
+
+def cep_all_matches_stream(
+    events: DataFrame,
+    steps: list[str | tuple[str, int, int]],
+    within: str,
+    strategy: str = "no_skip",
+    skip_block: int | None = None,
+    max_matches_per_key: int | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ALL-matches CEP enumeration with the full after-match
+    skip-strategy enum — the live twin of
+    operators/cep.py::cep_after_match_skip (all five strategies; same
+    ``steps`` block syntax, same anchored ``skip_block``). Emits one
+    append-mode row per kept match: (user_id, start_ts, end_ts,
+    n_events, chain_str). The batch operator's ``match_no`` is the
+    chain-lexicographic rank among kept matches, which is not
+    computable online — streaming emits in COMPLETION order (Flink's
+    actual emission) and carries no rank; the stream ≡ batch test
+    compares the kept-match SETS. ``max_matches_per_key`` caps in
+    emission order (Flink's runtime behavior; batch's cap is
+    chain-lex — pass None to compare against an uncapped batch run).
+    In-order arrival per key is the contract, as for the other
+    automata."""
+    from flink_realtime_edu_spark.operators.cep import _normalize_blocks
+
+    blocks = _normalize_blocks(steps)
+    strategies = (
+        "no_skip",
+        "skip_to_next",
+        "skip_past_last_event",
+        "skip_to_first",
+        "skip_to_last",
+    )
+    if strategy not in strategies:
+        raise ValueError(f"strategy must be one of {strategies}")
+    anchored = strategy in ("skip_to_first", "skip_to_last")
+    if anchored and (
+        skip_block is None or not 1 <= skip_block <= len(blocks)
+    ):
+        raise ValueError("anchored strategies need a valid skip_block")
+    if not anchored and skip_block is not None:
+        raise ValueError(f"{strategy} does not take skip_block")
+    within_us = _parse_within_us(within)
+    prepared = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(key_col).alias("user_id"),
+        F.col(ts_col),
+        F.unix_micros(ts_col).alias("ts_us"),
+        F.col(type_col).alias("event_type"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    out = prepared.groupBy("user_id").applyInPandasWithState(
+        _make_cep_am_fn(
+            blocks, within_us, strategy, skip_block, max_matches_per_key
+        ),
+        outputStructType=CEP_AM_OUTPUT_SCHEMA,
+        stateStructType=CEP_AM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("start_ts"),
+        F.timestamp_micros("end_us").alias("end_ts"),
+        "n_events",
+        "chain_str",
     )
 
 

@@ -1635,6 +1635,83 @@ def test_cep_not_followed_by_stream_equals_batch(spark, sf_dir, tmp_path, cfg):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.parametrize(
+    "strategy,skip_block",
+    [
+        ("no_skip", None),
+        ("skip_to_next", None),
+        ("skip_past_last_event", None),
+        ("skip_to_first", 2),
+        ("skip_to_last", 1),
+    ],
+    ids=lambda v: str(v),
+)
+def test_cep_all_matches_stream_equals_batch(
+    spark, sf_dir, tmp_path, strategy, skip_block
+):
+    """The streaming all-matches NFA must reproduce the batch
+    skip-strategy operator's KEPT-MATCH SET exactly on an ordered
+    replay, for every after-match skip strategy (anchored ones at the
+    optional NULL-anchor block and the range block) — matches cross
+    micro-batch boundaries, forks collapse duplicate block
+    assignments, and the strategy memories (emitted starts, resume
+    point, discard intervals) carry across batches. match_no is
+    rank-based in batch and emission-ordered live, so the comparison
+    is on (user, start, end, n_events, chain_str) sets with the batch
+    cap effectively off."""
+    from flink_realtime_edu_spark.operators.cep import cep_after_match_skip
+    from flink_realtime_edu_spark.streaming.cep import cep_all_matches_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    blocks = [("click", 1, 2), ("view", 0, 1), ("purchase", 1, 1)]
+    within = "6 hours"
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    tag = f"{strategy}_{skip_block}"
+    src = tmp_path / f"am_src_{tag}"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    stream = cep_all_matches_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        blocks,
+        within,
+        strategy=strategy,
+        skip_block=skip_block,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(f"am_stream_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_am_{tag}"))
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in spark.sql(f"SELECT * FROM am_stream_{tag}").collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in cep_after_match_skip(
+            ev,
+            blocks,
+            within,
+            strategy=strategy,
+            max_matches_per_key=10**6,
+            skip_block=skip_block,
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_cep_nfb_tail_emission_waits_for_silent_horizon(spark, tmp_path):
     """The trailing-negative contract in isolation: a completed chain
     must NOT emit while its t1 + within horizon is still open (run A:
