@@ -103,6 +103,7 @@ def register_codecs_by_value(*extra_modules) -> None:
 
     from pyspark import cloudpickle
 
+    from flink_realtime_edu_spark.multimodal import audiofp as _audiofp
     from flink_realtime_edu_spark.multimodal import avi as _avi
     from flink_realtime_edu_spark.multimodal import jpeg as _jpeg
     from flink_realtime_edu_spark.multimodal import phash as _phash
@@ -110,7 +111,8 @@ def register_codecs_by_value(*extra_modules) -> None:
     from flink_realtime_edu_spark.multimodal import wav as _wav
 
     for mod in (
-        _avi, _jpeg, _phash, _png, _wav, _sys.modules[__name__], *extra_modules
+        _audiofp, _avi, _jpeg, _phash, _png, _wav,
+        _sys.modules[__name__], *extra_modules
     ):
         cloudpickle.register_pickle_by_value(mod)
 

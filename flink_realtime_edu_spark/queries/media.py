@@ -840,3 +840,108 @@ def phash_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_df=sig,
         sig_bits=63,
     )
+
+
+_AUDIO_FP_ORACLE = """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id < 40
+), samp AS (
+  SELECT media_id, t.t AS t, t.t // 256 AS f,
+         ((1 + media_id % 20 % 7) * t.t * t.t
+          + (3 + media_id % 20 % 5) * t.t
+          + (media_id % 20) * 11) % 65536 - 32768 AS v
+  FROM ids, unnest(generate_series(0, 16383)) t(t)
+), energy AS (
+  SELECT media_id, f, CAST(SUM(v * v) AS BIGINT) AS en
+  FROM samp GROUP BY 1, 2
+), fp AS (
+  SELECT media_id,
+         SUM(CASE WHEN en > prev THEN CAST(1 AS BIGINT) << CAST(f - 1 AS INT)
+             ELSE CAST(0 AS BIGINT) END) AS fp
+  FROM (
+    SELECT media_id, f, en,
+           lag(en) OVER (PARTITION BY media_id ORDER BY f) AS prev
+    FROM energy
+  ) WHERE f >= 1
+  GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+"""
+
+
+@register(
+    "audio_fingerprint_dups",
+    survey_rows=("X8", "X5", "X2", "F8"),
+    oracle=_AUDIO_FP_ORACLE,
+)
+def audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint AUDIO dedup — the audio sibling of
+    phash_dup_stats (X8↔X5, r8): 40 synthetic 16 kHz clips
+    (sample(t) = ((a·t² + b·t + c) mod 65536) − 32768, params keyed by
+    media_id % 20 so ids i and i+20 are exact duplicates) round-trip
+    the REAL WAV/PCM codec inside one Arrow-batched mapInPandas stage,
+    fingerprint through the integer-only energy-delta kernel
+    (multimodal/audiofp.py: 64 exact int64 frame energies, 63
+    consecutive-delta sign bits), and pair up through the SAME
+    pigeonhole Hamming banding as text SimHash and pHash (max_hamming
+    6 → 7 chunks, bucket-join, exact bit_count verify). The DuckDB
+    oracle replays samples, frame energies, the delta profile and the
+    pairing bit-for-bit from the analytic formula — any codec or
+    kernel defect breaks the value match."""
+    import sys
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_realtime_edu_spark.multimodal import (
+        decode_audio,
+        register_codecs_by_value,
+    )
+    from flink_realtime_edu_spark.multimodal.audiofp import (
+        audio_fingerprint63,
+    )
+    from flink_realtime_edu_spark.multimodal.wav import encode_wav
+    from flink_realtime_edu_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    register_codecs_by_value(sys.modules[__name__])
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def fingerprints(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                g = int(mid) % 20
+                a, b, c = 1 + g % 7, 3 + g % 5, g * 11
+                t = np.arange(64 * 256, dtype=np.int64)
+                v = (((a * t * t + b * t + c) % 65536) - 32768).astype(
+                    np.int16
+                )
+                decoded, rate = decode_audio(
+                    encode_wav(v, 16000), "audio/wav"
+                )
+                assert rate == 16000
+                rows.append(
+                    (int(mid), audio_fingerprint63(decoded[:, 0]))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "sim"])
+
+    sig = ids.mapInPandas(fingerprints, schema="media_id long, sim long")
+    return simhash_near_duplicates(
+        sig,
+        id_col="media_id",
+        max_hamming=6,
+        sig_df=sig,
+        sig_bits=63,
+    )

@@ -599,3 +599,32 @@ def test_phash63_exact_invariances():
 
     with pytest.raises(ValueError):
         phash63(np.zeros((33, 32), dtype=np.uint8))
+
+
+def test_audio_fingerprint63_exact_invariances():
+    """The integer audio-fingerprint kernel's exact properties:
+    deterministic, 63-bit, identical clips fingerprint identically,
+    uniform integer gain preserves the energy-delta sign profile
+    (2x louder clip, same fingerprint), and non-whole-frame lengths
+    are a hard error."""
+    import numpy as np
+    import pytest
+
+    from flink_realtime_edu_spark.multimodal.audiofp import (
+        N_FRAMES,
+        audio_fingerprint63,
+    )
+
+    rng = np.random.default_rng(20260815)
+    for _ in range(25):
+        clip = rng.integers(-8000, 8000, size=(N_FRAMES * 50,)).astype(
+            np.int16
+        )
+        h = audio_fingerprint63(clip)
+        assert 0 <= h < 2**63
+        assert audio_fingerprint63(clip.copy()) == h
+        assert audio_fingerprint63((clip.astype(np.int64) * 2).astype(
+            np.int64
+        )) == h  # uniform gain: deltas keep their signs
+    with pytest.raises(ValueError):
+        audio_fingerprint63(np.zeros(N_FRAMES * 50 + 1, dtype=np.int16))
