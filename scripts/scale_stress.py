@@ -610,6 +610,16 @@ def main() -> None:
         # the most data-proportional operator in the registry; the
         # ratio pins the one-shuffle grouped-positions design
         "dup_span_stats",
+        # r8: skip strategies over the enumeration (the greedy walk's
+        # applyInPandas is horizon-bounded — ratios pin that), the
+        # per-start negative-pattern chains (data-proportional fanout
+        # = starts per key), and the two fixed-asset-set fingerprint
+        # dedups (flat by construction)
+        "cep_skip_past_last",
+        "cep_skip_to_first",
+        "cep_no_error_funnel",
+        "phash_dup_stats",
+        "audio_fingerprint_dups",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
