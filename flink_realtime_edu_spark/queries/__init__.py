@@ -107,14 +107,14 @@ def register(
 # round (the CEP enumeration grew anchor support, so the all-matches
 # query re-samples on the changed code; duplicated_spans gained the
 # max_df pre-join and in-code gram partition sizing, so both span
-# queries re-sample) — then STALENESS-FIRST refresh: 37 of the 46
-# queries whose last official sample was r5. The 9 spilled r5-stale
+# queries re-sample) — then STALENESS-FIRST refresh: 36 of the 46
+# queries whose last official sample was r5. The 10 spilled r5-stale
 # queries (the ANN/clustering tolerance-oracle family —
 # ann_lsh_topk, ivf_ann_topk, ivf_ann_incremental_topk, pq_ann_topk,
 # kmeans_cluster_profile, kmeans_quality_summary,
-# label_homophily_check — plus video_frame_sample_plan and doc_fingerprint_stats, whose
-# winnowing kernel is untouched since r3 and md5-twin-oracled) were
-# chosen
+# label_homophily_check — plus video_frame_sample_plan, doc_fingerprint_stats and
+# minhash_signatures_sample, whose winnowing/md5-twin kernels are
+# untouched since r3 and exactly oracled) were chosen
 # because their operators are untouched since r5 and their checks are
 # tolerance/rows-only by design; they rotate FIRST in r9 (pin
 # obligation, same mechanism as the r7→r8 CEP pins). With 151
@@ -134,17 +134,17 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "cep_skip_to_last",           # T7 J4 W1 X3 — NEW r8
     "phash_dup_stats",            # X8 X5 X2 F8 — NEW r8
     "audio_fingerprint_dups",     # X8 X5 X2 F8 — NEW r8
+    "dup_cluster_canonicals",     # X4 X5 W1 A1 — NEW r8
     # --- source changed this round (re-pins) ---
     "cep_all_matches_ranges",     # T7 J4 W1 F5 — enumeration grew anchors
     "dup_span_stats",             # X4 X7 W3 — max_df pre-join + sizing
     "span_clip_checksums",        # X4 X7 F1 — consumes duplicated_spans
-    # --- last officially sampled r5 (staleness refresh, 37/46) ---
+    # --- last officially sampled r5 (staleness refresh, 36/46) ---
     "text_normalization_checksum",  # X7 F1
     "token_budget_sample",        # X7 F8
     "png_decode_stats",           # X8 X2
     "wav_decode_stats",           # X8 X2
     "near_dup_simhash",           # X5
-    "minhash_signatures_sample",  # X5 F8
     "near_dup_incremental",       # X5 X4
     "grouping_sets_traffic",      # A6
     "right_join_supplier_nations",  # J2

@@ -780,3 +780,93 @@ def span_clip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length(ct)).cast("long").alias("chars_after"),
         F.countDistinct(F.md5(ct)).alias("distinct_clipped"),
     )
+
+
+@register(
+    "dup_cluster_canonicals",
+    survey_rows=("X4", "X5", "W1", "A1"),
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+), kept AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s
+), sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+), comp AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+), scored AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS dropped_chars
+FROM scored GROUP BY cluster_id
+""",
+)
+def dup_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL SELECTION per duplicate cluster — the step between
+    clustering and clipping that a curation pipeline actually ships:
+    near_dup_clusters' transitive closure (exact 3-shingle Jaccard ≥
+    0.5 edges → hash-min components), each cluster keeping its
+    longest member (n_chars DESC, doc_id tie-break — the
+    keep-longest heuristic; swap the ORDER BY for any quality score),
+    reported as (cluster, canonical, members, total/dropped chars) so
+    the dropped-volume accounting is auditable. Plan: the components'
+    label propagation plus ONE window pass over cluster members and a
+    per-cluster aggregate — members shuffle by cluster_id, never the
+    corpus. Oracle: the recursive-CTE closure joined to documents
+    with the same argmax window."""
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(d, shingle_words=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    from pyspark.sql import Window
+
+    scored = comp.join(d.select("doc_id", "n_chars"), on="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("dropped_chars"),
+    )
