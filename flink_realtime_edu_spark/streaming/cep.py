@@ -406,11 +406,16 @@ def cep_with_timeouts_stream(
 
 CEP_NFB_STATE_SCHEMA = (
     "done BOOLEAN, p_t1 ARRAY<LONG>, p_stage ARRAY<INT>, "
-    "p_tprev ARRAY<LONG>, cur_ts LONG, cur_dead ARRAY<LONG>"
+    "p_tprev ARRAY<LONG>, cur_ts LONG, cur_dead ARRAY<LONG>, end_us LONG"
 )
 
 
-def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int):
+def _make_cep_nfb_fn(
+    pos: list[str],
+    neg: list[tuple[int, str]],
+    within_us: int,
+    ttl_us: int | None = None,
+):
     """State fn for streaming notFollowedBy — the live face of the r8
     batch semantics (operators/cep.py::cep_not_followed_by): one
     greedy partial per occurrence of the first positive type, a
@@ -434,7 +439,14 @@ def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int)
     closes the gap never kills (the batch interval (t_g, t_{g+1}) is
     open), and a partial that just advanced is immune (ts > tprev is
     false). ``cur_dead`` remembers same-timestamp killed starts so a
-    duplicate seed event cannot respawn a doomed chain mid-timestamp."""
+    duplicate seed event cannot respawn a doomed chain mid-timestamp.
+
+    ``ttl_us`` (optional): evict the done marker once the watermark
+    passes emitted_end + ttl — first match per TTL window instead of
+    first-match-ever, the same contract (and the same eager lazy-
+    eviction discipline: an expired marker detected on the data path
+    is REMOVED before fresh matching, so a no-progress batch strands
+    nothing) as cep_first_match_stream's done_ttl."""
     k = len(pos)
     has_tail = any(g == k for g, _ in neg)
     neg_by_type: dict[str, list[int]] = {}
@@ -450,18 +462,50 @@ def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int)
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
-            done, p_t1, p_stage, p_tprev, cur_ts, cur_dead = state.get
+            done, p_t1, p_stage, p_tprev, cur_ts, cur_dead, end_us = (
+                state.get
+            )
             parts = [
                 [int(a), int(b), int(c)]
                 for a, b, c in zip(p_t1, p_stage, p_tprev)
             ]
             cur_dead = list(cur_dead)
+            if (
+                done
+                and ttl_us is not None
+                and not state.hasTimedOut
+                and (end_us + ttl_us) // 1000 + 1
+                <= state.getCurrentWatermarkMs()
+            ):
+                # expired done marker met by DATA (data preempts the
+                # timer): evict NOW — the no-progress-batch orphan
+                # lesson from _make_cep_fn — and match fresh
+                state.remove()
+                done, parts, cur_ts, cur_dead, end_us = (
+                    False, [], None, [], None
+                )
         else:
-            done, parts, cur_ts, cur_dead = False, [], None, []
+            done, parts, cur_ts, cur_dead, end_us = False, [], None, [], None
         out: list[tuple] = []
+        done_end = [end_us]
 
         def emit(t1: int, tk: int) -> None:
             out.append((key[0], t1, tk, round((tk - t1) / 1e6, 6)))
+            done_end[0] = tk
+
+        def update_done() -> None:
+            """Persist the done marker; in ttl mode arm its eviction
+            timer (an already-expired marker is not written at all)."""
+            if ttl_us is not None:
+                t = (done_end[0] + ttl_us) // 1000 + 1
+                if t <= state.getCurrentWatermarkMs():
+                    if state.exists:
+                        state.remove()
+                    return
+                state.update((True, [], [], [], cur_ts, [], done_end[0]))
+                state.setTimeoutTimestamp(t)
+                return
+            state.update((True, [], [], [], cur_ts, [], done_end[0]))
 
         def settle(wm_ms: int) -> None:
             """Resolve pendings whose horizon the watermark passed
@@ -481,9 +525,13 @@ def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int)
             parts = [] if done else live
 
         if state.hasTimedOut:
+            if done:
+                # only armed in ttl mode: the marker's ttl expired
+                state.remove()
+                return
             settle(state.getCurrentWatermarkMs())
             if done:
-                state.update((True, [], [], [], cur_ts, []))
+                update_done()
             elif parts:
                 state.update(
                     (
@@ -493,6 +541,7 @@ def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int)
                         [p[2] for p in parts],
                         cur_ts,
                         cur_dead,
+                        None,
                     )
                 )
                 state.setTimeoutTimestamp(min(hz_ms(p[0]) for p in parts))
@@ -596,13 +645,13 @@ def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int)
                 pass
 
         if done:
-            state.update((True, [], [], [], cur_ts, []))
+            update_done()
         elif parts:
             # late settle: the watermark may already have passed a
             # pending's horizon (timers can't be armed at/below it)
             settle(state.getCurrentWatermarkMs())
             if done:
-                state.update((True, [], [], [], cur_ts, []))
+                update_done()
             elif parts:
                 state.update(
                     (
@@ -612,6 +661,7 @@ def _make_cep_nfb_fn(pos: list[str], neg: list[tuple[int, str]], within_us: int)
                         [p[2] for p in parts],
                         cur_ts,
                         cur_dead,
+                        None,
                     )
                 )
                 state.setTimeoutTimestamp(min(hz_ms(p[0]) for p in parts))
@@ -635,6 +685,7 @@ def cep_not_followed_by_stream(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tiebreak_col: str = "event_id",
+    done_ttl: str | None = None,
     watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming Flink ``notFollowedBy`` — the live twin of
@@ -647,11 +698,14 @@ def cep_not_followed_by_stream(
     window silent — Flink's deferred-emission shape). In-order arrival
     per key is the contract, as for the other CEP automata; the
     stream ≡ batch test pins completions AND horizon-closed
-    emissions."""
+    emissions. ``done_ttl`` (optional) evicts the done marker once
+    the watermark passes the emitted chain's end + ttl — first match
+    per TTL window, same contract as cep_first_match_stream's."""
     from flink_realtime_edu_spark.operators.cep import _split_negatives
 
     pos, neg = _split_negatives(steps)
     within_us = _parse_within_us(within)
+    ttl_us = None if done_ttl is None else _parse_within_us(done_ttl)
     prepared = events.withWatermark(ts_col, watermark_delay).select(
         F.col(key_col).alias("user_id"),
         F.col(ts_col),
@@ -660,7 +714,7 @@ def cep_not_followed_by_stream(
         F.col(tiebreak_col).alias("__tb"),
     )
     out = prepared.groupBy("user_id").applyInPandasWithState(
-        _make_cep_nfb_fn(pos, neg, within_us),
+        _make_cep_nfb_fn(pos, neg, within_us, ttl_us),
         outputStructType=CEP_OUTPUT_SCHEMA,
         stateStructType=CEP_NFB_STATE_SCHEMA,
         outputMode="append",

@@ -1787,6 +1787,86 @@ def test_cep_nfb_tail_emission_waits_for_silent_horizon(spark, tmp_path):
     ]
 
 
+def test_cep_nfb_done_ttl_evicts_and_rematches(spark, tmp_path):
+    """done_ttl on the notFollowedBy automaton (same contract as
+    cep_first_match_stream's): with a TTL the done marker evicts once
+    the watermark passes emitted_end + ttl, so a later clean chain
+    matches again (first valid match per TTL window); a repeat inside
+    the ttl stays suppressed; the default keeps first-match-ever."""
+    from flink_realtime_edu_spark.streaming.cep import (
+        cep_not_followed_by_stream,
+    )
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    steps = ["view", ("not", "error"), "click", "purchase"]
+    within = "2 hours"
+    rows = {
+        # chunk 0: user 1 completes a clean chain (emits at purchase)
+        0: [
+            (0, "2024-01-01 00:00:00", 1, "view"),
+            (1, "2024-01-01 00:05:00", 1, "click"),
+            (2, "2024-01-01 00:10:00", 1, "purchase"),
+        ],
+        # chunk 1: a repeat INSIDE the ttl (watermark 00:10 < marker
+        # expiry 01:10) -> suppressed either way; bystander then
+        # drives the watermark past the expiry
+        1: [
+            (3, "2024-01-01 00:30:00", 1, "view"),
+            (4, "2024-01-01 00:35:00", 1, "click"),
+            (5, "2024-01-01 00:40:00", 1, "purchase"),
+            (6, "2024-01-01 05:00:00", 99, "purchase"),
+        ],
+        # chunk 2: user 1's chain after eviction -> re-match with ttl
+        2: [
+            (7, "2024-01-01 06:00:00", 1, "view"),
+            (8, "2024-01-01 06:05:00", 1, "click"),
+            (9, "2024-01-01 06:10:00", 1, "purchase"),
+        ],
+    }
+    src = tmp_path / "nfb_ttl_src"
+    src.mkdir()
+    for i, chunk in rows.items():
+        df = spark.createDataFrame(
+            [(e, t, u, ty, 1.0, "{}") for e, t, u, ty in chunk],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    def run(name: str, **kwargs):
+        q = (
+            cep_not_followed_by_stream(
+                load_events_stream(spark, str(src), max_files_per_trigger=1),
+                steps, within, **kwargs,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        run_to_completion(q)
+        return sorted(
+            (r.user_id, r.start_ts.isoformat(), r.end_ts.isoformat())
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    assert run("nfb_ttl", done_ttl="1 hour") == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00"),
+        (1, "2024-01-01T06:00:00", "2024-01-01T06:10:00"),  # re-match
+    ]
+    assert run("nfb_nottl") == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00"),
+    ]
+
+
 def test_broadcast_rules_stream_picks_up_live_updates(spark, sf_dir, tmp_path):
     """Flink broadcast-state parity: the alerting stream evaluates
     each micro-batch against the rules snapshot CURRENT at that batch
