@@ -35,7 +35,11 @@ All five require arrival order to respect event-time order per key
 ACROSS micro-batches (the testable contract: an ordered replay makes
 stream ≡ batch; out-of-order arrivals would need a watermark-deep
 reordering buffer, which Flink CEP also requires for event-time
-patterns). WITHIN a micro-batch no order is assumed: each state fn
+patterns). For the all-matches NFA the contract additionally keeps a
+key's SAME-TIMESTAMP events inside one micro-batch: the batch twin
+treats them as simultaneous (distinct (key, type, ts) identity,
+same-end ties emitted together), which is unobservable if the group
+splits across triggers. WITHIN a micro-batch no order is assumed: each state fn
 concatenates every Arrow chunk of its key and sorts once on
 (ts, tiebreak) — chunk-local sorting would silently consume events
 out of order for keys exceeding arrow.maxRecordsPerBatch rows per
@@ -406,7 +410,7 @@ def cep_with_timeouts_stream(
 
 CEP_NFB_STATE_SCHEMA = (
     "done BOOLEAN, p_t1 ARRAY<LONG>, p_stage ARRAY<INT>, "
-    "p_tprev ARRAY<LONG>, cur_ts LONG, cur_dead ARRAY<LONG>, end_us LONG"
+    "p_tprev ARRAY<LONG>, end_us LONG"
 )
 
 
@@ -438,8 +442,11 @@ def _make_cep_nfb_fn(
     — so a negative sharing its timestamp with the positive that
     closes the gap never kills (the batch interval (t_g, t_{g+1}) is
     open), and a partial that just advanced is immune (ts > tprev is
-    false). ``cur_dead`` remembers same-timestamp killed starts so a
-    duplicate seed event cannot respawn a doomed chain mid-timestamp.
+    false). A same-timestamp kill of a same-timestamp-started partial
+    is impossible for the same reason (a kill needs ts > tprev and
+    tprev >= t1, so t1 < ts always), and duplicate seed events are
+    already absorbed by the parts-list membership check — no
+    per-timestamp kill memory is needed (ADVICE r9).
 
     ``ttl_us`` (optional): evict the done marker once the watermark
     passes emitted_end + ttl — first match per TTL window instead of
@@ -462,14 +469,11 @@ def _make_cep_nfb_fn(
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
-            done, p_t1, p_stage, p_tprev, cur_ts, cur_dead, end_us = (
-                state.get
-            )
+            done, p_t1, p_stage, p_tprev, end_us = state.get
             parts = [
                 [int(a), int(b), int(c)]
                 for a, b, c in zip(p_t1, p_stage, p_tprev)
             ]
-            cur_dead = list(cur_dead)
             if (
                 done
                 and ttl_us is not None
@@ -481,11 +485,9 @@ def _make_cep_nfb_fn(
                 # timer): evict NOW — the no-progress-batch orphan
                 # lesson from _make_cep_fn — and match fresh
                 state.remove()
-                done, parts, cur_ts, cur_dead, end_us = (
-                    False, [], None, [], None
-                )
+                done, parts, end_us = False, [], None
         else:
-            done, parts, cur_ts, cur_dead, end_us = False, [], None, [], None
+            done, parts, end_us = False, [], None
         out: list[tuple] = []
         done_end = [end_us]
 
@@ -502,10 +504,10 @@ def _make_cep_nfb_fn(
                     if state.exists:
                         state.remove()
                     return
-                state.update((True, [], [], [], cur_ts, [], done_end[0]))
+                state.update((True, [], [], [], done_end[0]))
                 state.setTimeoutTimestamp(t)
                 return
-            state.update((True, [], [], [], cur_ts, [], done_end[0]))
+            state.update((True, [], [], [], done_end[0]))
 
         def settle(wm_ms: int) -> None:
             """Resolve pendings whose horizon the watermark passed
@@ -539,8 +541,6 @@ def _make_cep_nfb_fn(
                         [p[0] for p in parts],
                         [p[1] for p in parts],
                         [p[2] for p in parts],
-                        cur_ts,
-                        cur_dead,
                         None,
                     )
                 )
@@ -586,8 +586,6 @@ def _make_cep_nfb_fn(
                 parts = [] if done else new_parts
                 if done:
                     break
-                if ts != cur_ts:
-                    cur_ts, cur_dead = ts, []
                 # POSITIVE phase: advance every awaiting partial, then
                 # seed (a same-ts seed can't advance: strict >)
                 completed_now = False
@@ -604,10 +602,7 @@ def _make_cep_nfb_fn(
                             if p[1] == k and not has_tail:
                                 completed_now = True
                     if etype == pos[0]:
-                        if (
-                            ts not in cur_dead
-                            and not any(p[0] == ts for p in parts)
-                        ):
+                        if not any(p[0] == ts for p in parts):
                             parts.append([ts, 1, ts])
                             if k == 1 and not has_tail:
                                 completed_now = True
@@ -626,20 +621,16 @@ def _make_cep_nfb_fn(
                     gaps = neg_by_type.get(etype)
                     if not gaps:
                         continue
-                    survivors = []
-                    for t1, stg, tp in parts:
-                        killed = any(
+                    parts = [
+                        [t1, stg, tp]
+                        for t1, stg, tp in parts
+                        if not any(
                             stg == g
                             and ts > tp
                             and (g < k or ts <= hz_us(t1))
                             for g in gaps
                         )
-                        if killed:
-                            if t1 == ts:
-                                cur_dead.append(t1)
-                        else:
-                            survivors.append([t1, stg, tp])
-                    parts = survivors
+                    ]
         else:
             for _ in pdf_iter:  # drain — emitted keys ignore new events
                 pass
@@ -659,8 +650,6 @@ def _make_cep_nfb_fn(
                         [p[0] for p in parts],
                         [p[1] for p in parts],
                         [p[2] for p in parts],
-                        cur_ts,
-                        cur_dead,
                         None,
                     )
                 )
@@ -751,10 +740,16 @@ def _make_cep_am_fn(
     exactly the batch enumeration's stop∪extend slot walk. Identical
     chains reachable under several block assignments collapse in the
     partial dict (anchor = min over assignments, as in batch), and a
-    chain's completions all happen at its last event's arrival, so
-    emission-time dedup by chain needs no cross-time memory. Skip
-    strategies are ONLINE by construction — Flink defines them in
-    completion order, which is exactly arrival order here:
+    chain's completions all happen at its last TIMESTAMP — events are
+    processed in same-timestamp GROUPS (distinct types per ts, the
+    batch twin's (key, type, ts) identity), completions dedup by
+    chain across the whole group, and strategy memory judges a
+    group's candidates as one same-end batch (ADVICE r9: one-at-a-time
+    processing double-emitted chains completable through two same-ts
+    events and let the first completion's memory suppress same-end
+    ties the batch walk keeps). Skip strategies are ONLINE by
+    construction — Flink defines them in completion order, which is
+    exactly arrival order here:
     skip_to_next remembers emitted starts, skip_past_last_event a
     resume point, skip_to_first/skip_to_last the discard-interval
     list; each memory self-prunes once the event time passes its
@@ -764,7 +759,10 @@ def _make_cep_am_fn(
     State is bounded by the enumeration fanout inside ONE ``within``
     horizon per key — the same documented explosion as Flink's
     skip-till-any-match NFA — plus the self-pruning strategy memory;
-    an event-time timer sweeps keys whose horizons all closed.
+    an event-time timer sweeps keys whose horizons all closed. With a
+    ``cap``, a key that emitted anything keeps a compact counter row
+    after quiescence (no timer) so the cap stays per-key TOTAL like
+    the batch operator's, not per-activity-burst (ADVICE r9).
     Serialized as one json string (variable-length chains)."""
     import json as _json
 
@@ -826,6 +824,12 @@ def _make_cep_am_fn(
             if parts or st["starts"] or st["ivls"] or st["R"] is not None:
                 state.update((_json.dumps(st),))
                 state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            elif cap is not None and st["n"] > 0:
+                # the batch operator's cap is per-key TOTAL: keep the
+                # emitted-match counter (a compact row, no timer —
+                # nothing left to prune) so a key that reached its cap
+                # cannot emit again after quiescence (ADVICE r9)
+                state.update((_json.dumps(st),))
             else:
                 state.remove()
             return
@@ -837,8 +841,32 @@ def _make_cep_am_fn(
             if chunks
             else pd.DataFrame(columns=["ts_us", "event_type"])
         )
-        for ts_raw, etype in zip(pdf["ts_us"], pdf["event_type"]):
-            ts, etype = int(ts_raw), str(etype)
+        # SAME-TIMESTAMP grouping (ADVICE r9 medium): the batch twin
+        # identifies events by distinct (key, type, ts) and its
+        # completion-order walks emit same-end ties TOGETHER before
+        # their strategy memory applies. Processing same-ts events one
+        # at a time would (a) emit the same ts-chain twice under
+        # no_skip when two same-ts events of different types complete
+        # it through different block assignments (distinct partial
+        # keys, so the per-event chain dedup never sees the pair), and
+        # (b) let the first same-ts completion's starts/R/ivls memory
+        # wrongly suppress same-end ties the batch walk keeps. So:
+        # fork + completion collection run once per distinct
+        # timestamp, chains dedup across the whole group, and the
+        # strategy judges the group's candidates against the memory in
+        # force when the group OPENED. Extensions only ever come from
+        # pre-group partials (chains are strictly increasing, so a
+        # same-ts event can never extend a chain the group created).
+        rows = list(zip(pdf["ts_us"], pdf["event_type"]))
+        i = 0
+        while i < len(rows):
+            ts = int(rows[i][0])
+            group: list[str] = []  # distinct types at this ts
+            while i < len(rows) and int(rows[i][0]) == ts:
+                et = str(rows[i][1])
+                if et not in group:
+                    group.append(et)
+                i += 1
             if cap is not None and st["n"] >= cap:
                 break
             prune_vs_ts(ts)
@@ -870,42 +898,47 @@ def _make_cep_am_fn(
                     return
                 fresh[kk] = anchor
 
-            for s, panchor in list(parts.items()):
-                chain, b, taken = punpack(s)
-                if ts <= chain[-1] or ts > chain[0] + within_us:
-                    continue
-                # epsilon closure: this partial may also stand at the
-                # start of any later block once its own minimum is met
-                bb, tt = b, taken
-                positions = [(bb, tt)]
-                while tt >= mns[bb] and bb + 1 < k_blocks:
-                    bb, tt = bb + 1, 0
-                    positions.append((bb, tt))
-                for pb, pt in positions:
-                    if etype == types[pb] and pt < mxs[pb]:
-                        a = panchor
-                        if anchored and pb + 1 == skip_block:
-                            # "last": every consumed event re-anchors;
-                            # "first": coalesce — only the block's
-                            # first consumed event sets it
-                            a = (
-                                ts
-                                if strategy == "skip_to_last"
-                                or panchor is None
-                                else panchor
-                            )
-                        fork(chain + [ts], pb, pt + 1, a)
-            if etype == types[0]:
-                a = (
-                    ts
-                    if anchored and skip_block == 1
-                    else None
-                )
-                fork([ts], 0, 1, a)
+            for etype in group:
+                for s, panchor in list(parts.items()):
+                    chain, b, taken = punpack(s)
+                    if ts <= chain[-1] or ts > chain[0] + within_us:
+                        continue
+                    # epsilon closure: this partial may also stand at
+                    # the start of any later block once its own
+                    # minimum is met
+                    bb, tt = b, taken
+                    positions = [(bb, tt)]
+                    while tt >= mns[bb] and bb + 1 < k_blocks:
+                        bb, tt = bb + 1, 0
+                        positions.append((bb, tt))
+                    for pb, pt in positions:
+                        if etype == types[pb] and pt < mxs[pb]:
+                            a = panchor
+                            if anchored and pb + 1 == skip_block:
+                                # "last": every consumed event
+                                # re-anchors; "first": coalesce — only
+                                # the block's first consumed event
+                                # sets it
+                                a = (
+                                    ts
+                                    if strategy == "skip_to_last"
+                                    or panchor is None
+                                    else panchor
+                                )
+                            fork(chain + [ts], pb, pt + 1, a)
+                if etype == types[0]:
+                    a = (
+                        ts
+                        if anchored and skip_block == 1
+                        else None
+                    )
+                    fork([ts], 0, 1, a)
             # completions among the NEW forks: minimum met and every
-            # later block optional — dedup identical chains (min
-            # anchor), order chain-lexicographically (same-end batch
-            # ties rank by chain)
+            # later block optional — dedup identical chains across the
+            # WHOLE group (min anchor; two same-ts events of different
+            # types can complete the same ts-chain through different
+            # block assignments), order chain-lexicographically
+            # (same-end batch ties rank by chain)
             comps: dict[tuple, int | None] = {}
             for s, anchor in fresh.items():
                 chain, b, taken = punpack(s)
@@ -988,6 +1021,10 @@ def _make_cep_am_fn(
             ) // 1000 + 1 if parts else state.getCurrentWatermarkMs() + 1
             if horizon_ms > state.getCurrentWatermarkMs():
                 state.setTimeoutTimestamp(horizon_ms)
+        elif cap is not None and st["n"] > 0:
+            # per-key-TOTAL cap memory survives quiescence (see the
+            # timed-out branch) — a compact counter row, no timer
+            state.update((_json.dumps(st),))
         elif state.exists:
             state.remove()
         if out:

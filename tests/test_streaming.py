@@ -1712,6 +1712,169 @@ def test_cep_all_matches_stream_equals_batch(
     assert got == want and len(want) > 0
 
 
+@pytest.mark.parametrize(
+    "strategy,skip_block",
+    [
+        ("no_skip", None),
+        ("skip_to_next", None),
+        ("skip_past_last_event", None),
+        ("skip_to_first", 2),
+        ("skip_to_last", 2),
+    ],
+    ids=lambda v: str(v),
+)
+def test_cep_all_matches_stream_same_timestamp_group(
+    spark, tmp_path, strategy, skip_block
+):
+    """ADVICE r9 medium: two same-timestamp events of DIFFERENT types
+    can complete the same ts-chain through different block assignments
+    — e.g. blocks [(click,1,2), (view,0,1)] with click@t0 then
+    click@t1 AND view@t1: the chain (t0, t1) completes at BOTH
+    arrivals under distinct partial keys. One-at-a-time processing
+    emitted it twice under no_skip and let the first completion's
+    strategy memory suppress same-end ties the batch walk keeps; the
+    fixed NFA processes each distinct timestamp as ONE group with
+    chain-level dedup and pre-group strategy memory. The adversarial
+    stream puts a same-ts group in every user and splits users across
+    micro-batches (groups stay intact per batch, the documented
+    contract)."""
+    import datetime
+
+    from flink_realtime_edu_spark.operators.cep import cep_after_match_skip
+    from flink_realtime_edu_spark.streaming.cep import cep_all_matches_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    blocks = [("click", 1, 2), ("view", 0, 1)]
+    within = "6 hours"
+    t = lambda m: datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1: the ADVICE shape — click@0, then {click, view}@60
+        (0, t(0), 1, "click"),
+        (1, t(60), 1, "click"),
+        (2, t(60), 1, "view"),
+        # u2: two same-ts groups, duplicate events inside one
+        (3, t(0), 2, "click"),
+        (4, t(30), 2, "view"),
+        (5, t(30), 2, "click"),
+        (6, t(30), 2, "view"),  # duplicate (type, ts) — batch distinct
+        (7, t(90), 2, "view"),
+        # u3: same-ts group at the very first event
+        (8, t(10), 3, "click"),
+        (9, t(10), 3, "view"),
+        (10, t(50), 3, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, ts, u, ty, 1.0, "{}") for e, ts, u, ty in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    tag = f"{strategy}_{skip_block}"
+    src = tmp_path / f"amts_src_{tag}"
+    src.mkdir()
+    for i, uids in enumerate([(1,), (2, 3)]):
+        chunk = ev.filter(F.col("user_id").isin(*uids))
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    stream = cep_all_matches_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        blocks,
+        within,
+        strategy=strategy,
+        skip_block=skip_block,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(f"amts_stream_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_amts_{tag}"))
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in spark.sql(f"SELECT * FROM amts_stream_{tag}").collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in cep_after_match_skip(
+            ev,
+            blocks,
+            within,
+            strategy=strategy,
+            max_matches_per_key=10**6,
+            skip_block=skip_block,
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    # the duplicate-emission regression in particular: no chain may
+    # appear twice for a user (matches are distinct event SETS)
+    assert len(got) == len({(g[0], g[4]) for g in got})
+
+
+def test_cep_all_matches_stream_cap_is_per_key_total(spark, tmp_path):
+    """ADVICE r9 low: max_matches_per_key is a per-key TOTAL like the
+    batch operator's — a key that reached its cap must stay capped
+    after its state quiesces (all horizons closed, strategy memory
+    drained), not emit a fresh cap's worth on later activity."""
+    import datetime
+
+    from flink_realtime_edu_spark.streaming.cep import cep_all_matches_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    t = lambda m: datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)  # noqa: E731
+    # burst 1: two completions (cap=2 reached); a sentinel user drives
+    # the watermark far past burst 1's horizons so u1's state drains;
+    # burst 2: another would-be completion that must stay suppressed
+    chunks = [
+        [
+            (0, t(0), 1, "click"),
+            (1, t(5), 1, "purchase"),
+            (2, t(20), 1, "click"),
+            (3, t(25), 1, "purchase"),
+        ],
+        [(4, t(600), 99, "noop")],  # wm -> 10:00, horizons (10m) closed
+        [(5, t(1200), 1, "click"), (6, t(1205), 1, "purchase")],
+        [(7, t(2400), 99, "noop")],
+    ]
+    src = tmp_path / "amcap_src"
+    src.mkdir()
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(e, ts, u, ty, 1.0, "{}") for e, ts, u, ty in rows],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    stream = cep_all_matches_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        ["click", "purchase"],
+        "10 minutes",
+        strategy="no_skip",
+        max_matches_per_key=2,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("amcap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_amcap"))
+        .start()
+    )
+    run_to_completion(q)
+    got = [
+        r
+        for r in spark.sql("SELECT * FROM amcap_stream").collect()
+        if r.user_id == 1
+    ]
+    assert len(got) == 2  # burst 1 only; the quiesced cap holds
+
+
 def test_cep_nfb_tail_emission_waits_for_silent_horizon(spark, tmp_path):
     """The trailing-negative contract in isolation: a completed chain
     must NOT emit while its t1 + within horizon is still open (run A:
