@@ -301,6 +301,8 @@ def cep_all_matches(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    conditions: dict[int, str] | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """ALL-matches enumeration under relaxed contiguity — Flink's
     ``AfterMatchSkipStrategy.skipToNext()`` / skip-till-any-match
@@ -321,6 +323,35 @@ def cep_all_matches(
     chain-lexicographic order emit as (key, start_ts, end_ts,
     n_events, chain_str, match_no).
 
+    ``conditions`` (optional) adds Flink's ITERATIVE CONDITIONS
+    (``IterativeCondition`` / ``ctx.getEventsForPattern``, the one
+    Pattern-API feature where a step's predicate reads the PARTIAL
+    match): a dict mapping a 1-based block index to a SQL boolean
+    expression evaluated for every candidate event that block would
+    consume, over the scalars
+
+    - ``__v``   — the candidate event's ``value_col``;
+    - ``vsum`` / ``vcnt`` / ``vmin`` / ``vmax`` — running aggregates
+      of the chain's ALREADY-CONSUMED events' values (the candidate
+      excluded), e.g. ``"__v > vsum / vcnt"`` = "bigger than the mean
+      of the chain so far".
+
+    The aggregates thread through the enumeration as four scalar
+    columns per partial — the per-slot state the slot joins already
+    carry — so the condition is a plain join conjunct, no Python and
+    no array rebuild per slot; restricting conditions to running
+    aggregates (not the raw prior-event list) is what keeps the
+    oracle exact: the identical expression text evaluates in DuckDB's
+    CTE replay, both engines folding values in chain order. The
+    pattern's very first event has no prior chain and is never
+    conditioned (a value predicate there is Flink's SimpleCondition —
+    pre-filter ``events`` instead); a chain reachable under several
+    block assignments is valid if ANY assignment satisfies every
+    condition, matching the NFA (each branch checks its own
+    assignment). Event identity stays the distinct (key, type, ts)
+    triple; ``value_col`` resolves per triple as MIN(value) so
+    duplicate rows cannot make the condition ambiguous.
+
     Plan: one keyed equi-join per SLOT (sum of block maxima), each
     pruned by the ``within`` horizon AT the join — so per-key fanout
     is bounded by events-inside-one-horizon per step, never the key's
@@ -334,8 +365,21 @@ def cep_all_matches(
     blocks = _normalize_blocks(steps)
     if max_matches_per_key < 1:
         raise ValueError("max_matches_per_key must be >= 1")
+    if conditions:
+        bad = [b for b in conditions if not 1 <= b <= len(blocks)]
+        if bad:
+            raise ValueError(
+                f"condition block indices {bad} outside [1, {len(blocks)}]"
+            )
     matches = _enumerate_matches(
-        events, blocks, within, key_col, ts_col, type_col
+        events,
+        blocks,
+        within,
+        key_col,
+        ts_col,
+        type_col,
+        conditions=conditions or None,
+        value_col=value_col,
     )
     w = Window.partitionBy(key_col).orderBy("chain")
     return (
@@ -381,6 +425,8 @@ def _enumerate_matches(
     type_col: str,
     anchor_block: int | None = None,
     anchor_kind: str = "first",
+    conditions: dict[int, str] | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """The uncapped distinct-event-set match enumeration shared by
     cep_all_matches and cep_after_match_skip: one within-pruned keyed
@@ -394,15 +440,32 @@ def _enumerate_matches(
     assigns to that block — NULL when the chain consumes none of it
     (an optional block skipped). A chain reachable under several
     block assignments (adjacent same-type blocks) takes the MINIMUM
-    defined anchor across assignments, the declared determinism."""
-    ev = events.select(key_col, type_col, ts_col).distinct()
+    defined anchor across assignments, the declared determinism.
+
+    ``conditions`` (1-based block index -> SQL boolean over ``__v``,
+    ``vsum``, ``vcnt``, ``vmin``, ``vmax`` — see cep_all_matches)
+    threads the chain's running value aggregates through the slot
+    walk and applies each block's predicate as an extra join conjunct
+    on every slot of that block (the seed is never conditioned: no
+    prior chain exists)."""
+    valued = bool(conditions)
+    if valued:
+        ev = events.groupBy(key_col, type_col, ts_col).agg(
+            F.min(value_col).alias("__v")
+        )
+    else:
+        ev = events.select(key_col, type_col, ts_col).distinct()
     horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
     anchored = anchor_block is not None
+    _VAL_COLS = ("vsum", "vcnt", "vmin", "vmax")
 
-    def extend(partials: DataFrame, etype: str, in_anchor: bool) -> DataFrame:
-        ev_s = ev.filter(F.col(type_col) == etype).select(
-            F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")
-        )
+    def extend(
+        partials: DataFrame, etype: str, in_anchor: bool, cond: str | None
+    ) -> DataFrame:
+        sel = [F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")]
+        if valued:
+            sel.append(F.col("__v"))
+        ev_s = ev.filter(F.col(type_col) == etype).select(*sel)
         cols = [
             F.col(key_col),
             F.col("t1"),
@@ -418,12 +481,21 @@ def _enumerate_matches(
                 cols.append(F.coalesce("anchor", "__ts").alias("anchor"))
             else:
                 cols.append(F.col("__ts").alias("anchor"))
-        return partials.join(
-            ev_s,
+        if valued:
+            cols += [
+                (F.col("vsum") + F.col("__v")).alias("vsum"),
+                (F.col("vcnt") + F.lit(1)).alias("vcnt"),
+                F.least("vmin", "__v").alias("vmin"),
+                F.greatest("vmax", "__v").alias("vmax"),
+            ]
+        on = (
             (partials[key_col] == ev_s["__k"])
             & (F.col("__ts") > F.col("last"))
-            & (F.col("__ts") <= horizon),
-        ).select(*cols)
+            & (F.col("__ts") <= horizon)
+        )
+        if cond is not None:
+            on = on & F.expr(cond)
+        return partials.join(ev_s, on).select(*cols)
 
     first_type = blocks[0][0]
     seed_cols = [
@@ -438,9 +510,17 @@ def _enumerate_matches(
             if anchor_block == 1
             else F.lit(None).cast("timestamp").alias("anchor")
         )
+    if valued:
+        seed_cols += [
+            F.col("__v").alias("vsum"),
+            F.lit(1).alias("vcnt"),
+            F.col("__v").alias("vmin"),
+            F.col("__v").alias("vmax"),
+        ]
     cur = ev.filter(F.col(type_col) == first_type).select(*seed_cols)
     for b, (etype, mn, mx) in enumerate(blocks):
         in_anchor = anchored and (b + 1) == anchor_block
+        cond = (conditions or {}).get(b + 1)
         stopped: DataFrame | None = None
         for slot in range(1, mx + 1):
             if b == 0 and slot == 1:
@@ -450,10 +530,12 @@ def _enumerate_matches(
                 stopped = (
                     cur if stopped is None else stopped.unionByName(cur)
                 )
-            cur = extend(cur, etype, in_anchor)
+            cur = extend(cur, etype, in_anchor, cond)
         if stopped is not None:
             cur = cur.unionByName(stopped)
 
+    if valued:
+        cur = cur.drop(*_VAL_COLS)
     if not anchored:
         return cur.dropDuplicates([key_col, "chain"])
     # distinct-event-set dedup that keeps the anchor: min over the

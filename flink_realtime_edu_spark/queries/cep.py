@@ -174,6 +174,7 @@ def _enumeration_prefix(
     recursive: bool,
     anchor_block: int | None = None,
     anchor_kind: str = "first",
+    conditions: dict[int, str] | None = None,
 ) -> str:
     """The shared enumeration replay behind all skip strategies:
     cep_all_matches slot-for-slot as chained CTEs — one extension CTE
@@ -187,10 +188,17 @@ def _enumeration_prefix(
     ``anchor_block`` threads the first/last event timestamp of that
     block through the slot walk exactly like the operator's
     enumeration (NULL when the block consumed nothing; MIN over
-    duplicate block assignments of the same chain)."""
+    duplicate block assignments of the same chain).
+    ``conditions`` replays the operator's ITERATIVE CONDITIONS: the
+    per-(key, type, ts) MIN(value) joins each slot, the running
+    vsum/vcnt/vmin/vmax aggregates thread through the CTEs in chain
+    order (the identical left-to-right double arithmetic), and each
+    block's predicate — the very expression string the operator got,
+    rewritten over e.v / p.vsum / ... — filters its slots' joins."""
     horizon = f"p.t1 + INTERVAL {within_sql}"
     with_kw = "WITH RECURSIVE" if recursive else "WITH"
     anchored = anchor_block is not None
+    valued = bool(conditions)
     seed_anchor = (
         ", ts AS anchor"
         if anchored and anchor_block == 1
@@ -198,18 +206,30 @@ def _enumeration_prefix(
         if anchored
         else ""
     )
+    seed_vals = ", v AS vsum, 1 AS vcnt, v AS vmin, v AS vmax" if valued else ""
+    ev_sql = (
+        """SELECT user_id, event_type, ts, MIN(value) AS v
+  FROM events GROUP BY user_id, event_type, ts"""
+        if valued
+        else "SELECT DISTINCT user_id, event_type, ts FROM events"
+    )
     parts = [
         f"""{with_kw} ev AS MATERIALIZED (
-  SELECT DISTINCT user_id, event_type, ts FROM events
+  {ev_sql}
 )""",
         f""", c1 AS MATERIALIZED (
-  SELECT user_id, ts AS t1, ts AS last, [epoch_us(ts)] AS chain{seed_anchor}
+  SELECT user_id, ts AS t1, ts AS last, [epoch_us(ts)] AS chain{seed_anchor}{seed_vals}
   FROM ev WHERE event_type = '{blocks[0][0]}'
 )""",
     ]
     n_cte = 1
 
-    def extend(src: str, etype: str, in_anchor: bool) -> str:
+    def cond_sql(cond: str) -> str:
+        for name in ("vsum", "vcnt", "vmin", "vmax"):
+            cond = cond.replace(name, f"p.{name}")
+        return cond.replace("__v", "e.v")
+
+    def extend(src: str, etype: str, in_anchor: bool, cond: str | None) -> str:
         nonlocal n_cte
         n_cte += 1
         if not anchored:
@@ -220,13 +240,20 @@ def _enumeration_prefix(
             anchor_sql = ", COALESCE(p.anchor, e.ts) AS anchor"
         else:
             anchor_sql = ", e.ts AS anchor"
+        vals_sql = (
+            ",\n         p.vsum + e.v AS vsum, p.vcnt + 1 AS vcnt,"
+            " LEAST(p.vmin, e.v) AS vmin, GREATEST(p.vmax, e.v) AS vmax"
+            if valued
+            else ""
+        )
+        where_sql = f"\n  WHERE {cond_sql(cond)}" if cond is not None else ""
         parts.append(
             f""", c{n_cte} AS MATERIALIZED (
   SELECT p.user_id, p.t1, e.ts AS last,
-         list_append(p.chain, epoch_us(e.ts)) AS chain{anchor_sql}
+         list_append(p.chain, epoch_us(e.ts)) AS chain{anchor_sql}{vals_sql}
   FROM {src} p JOIN ev e
     ON e.user_id = p.user_id AND e.event_type = '{etype}'
-   AND e.ts > p.last AND e.ts <= {horizon}
+   AND e.ts > p.last AND e.ts <= {horizon}{where_sql}
 )"""
         )
         return f"c{n_cte}"
@@ -234,13 +261,14 @@ def _enumeration_prefix(
     cur = "c1"
     for b, (etype, mn, mx) in enumerate(blocks):
         in_anchor = anchored and (b + 1) == anchor_block
+        cond = (conditions or {}).get(b + 1)
         stopped: list[str] = []
         for slot in range(1, mx + 1):
             if b == 0 and slot == 1:
                 continue  # the c1 seed
             if slot > mn:
                 stopped.append(cur)
-            cur = extend(cur, etype, in_anchor)
+            cur = extend(cur, etype, in_anchor, cond)
         if stopped:
             n_cte += 1
             union = "\n  UNION ALL ".join(
@@ -279,6 +307,17 @@ def _all_matches_oracle(
 ) -> str:
     return _enumeration_prefix(
         blocks, within_sql, recursive=False
+    ) + _MATCH_PROJECTION.format(src="dedup", cap=cap)
+
+
+def _iterative_oracle(
+    blocks: list[tuple[str, int, int]],
+    within_sql: str,
+    cap: int,
+    conditions: dict[int, str],
+) -> str:
+    return _enumeration_prefix(
+        blocks, within_sql, recursive=False, conditions=conditions
     ) + _MATCH_PROJECTION.format(src="dedup", cap=cap)
 
 
@@ -619,6 +658,43 @@ def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="skip_to_last",
         max_matches_per_key=_ALL_CAP,
         skip_block=1,
+    )
+
+
+_ITER_BLOCKS: list[tuple[str, int, int]] = [
+    ("click", 1, 2),     # the chain whose running mean the condition reads
+    ("purchase", 1, 1),  # conditioned block
+]
+_ITER_CONDS = {2: "__v > vsum / vcnt"}
+_ITER_WITHIN = "12 hours"
+
+
+@register(
+    "cep_iterative_condition",
+    survey_rows=("T7", "J4", "W1", "F5"),
+    oracle=_iterative_oracle(_ITER_BLOCKS, "12 HOUR", _ALL_CAP, _ITER_CONDS),
+)
+def cep_iterative_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ITERATIVE CONDITION (``IterativeCondition`` /
+    ``ctx.getEventsForPattern`` — the Pattern-API feature where a
+    step's predicate reads the PARTIAL match; VERDICT r8 missing #1):
+    every click[×1..2] → purchase chain within 12 h where the
+    purchase's value EXCEEDS THE RUNNING MEAN of the chain's prior
+    events — 'converted bigger than they browsed'. The running
+    vsum/vcnt aggregates thread through the enumeration's slot joins
+    as scalar columns (the per-slot state the joins already carry),
+    so the condition is one extra join conjunct — no Python, no
+    array rebuild. The oracle replays the identical slot walk with
+    the SAME expression text over the same chain-ordered double
+    arithmetic, value-checking the condition itself (first 5 chains
+    per user, chain-lexicographic)."""
+    ev = load(spark, sf_dir, "events")
+    return cep_all_matches(
+        ev,
+        _ITER_BLOCKS,
+        _ITER_WITHIN,
+        max_matches_per_key=_ALL_CAP,
+        conditions=_ITER_CONDS,
     )
 
 

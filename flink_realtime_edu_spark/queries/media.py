@@ -945,3 +945,130 @@ def audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_df=sig,
         sig_bits=63,
     )
+
+
+def _media_canonicals_oracle() -> str:
+    """Closure oracle for media_dup_canonicals: the two pair oracles
+    verbatim as subqueries (audio asset ids offset by 1000 so the two
+    modality graphs cannot touch), the recursive-CTE transitive
+    closure from dup_cluster_canonicals, the deterministic asset-
+    catalog quality formula, and the same argmax window."""
+    return f"""
+WITH RECURSIVE img_pairs AS (
+  SELECT id_a, id_b FROM ({_phash_oracle()}) tp
+), aud_pairs AS (
+  SELECT id_a + 1000 AS id_a, id_b + 1000 AS id_b
+  FROM ({_AUDIO_FP_ORACLE}) ta
+), apairs AS (
+  SELECT id_a, id_b FROM img_pairs
+  UNION ALL SELECT id_a, id_b FROM aud_pairs
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM apairs
+  UNION SELECT id_b, id_a FROM apairs
+), reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+), comp AS (
+  SELECT node AS asset_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+), scored0 AS (
+  SELECT cluster_id, asset_id,
+         CASE WHEN asset_id >= 1000 THEN 'audio' ELSE 'image' END
+           AS modality,
+         asset_id % 1000 AS media_id,
+         CASE WHEN asset_id >= 1000
+              THEN 1024 * (1 + (asset_id % 1000) // 20)
+              ELSE 230400 * (1 + (asset_id % 1000) // 20)
+                          * (1 + (asset_id % 1000) // 20) END AS quality
+  FROM comp
+), scored AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, asset_id) AS rn
+  FROM scored0
+)
+SELECT modality, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN media_id END) AS BIGINT)
+         AS canonical_media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rn = 1 THEN quality END) AS BIGINT)
+         AS kept_quality,
+       CAST(SUM(CASE WHEN rn > 1 THEN quality ELSE 0 END) AS BIGINT)
+         AS dropped_quality
+FROM scored GROUP BY modality, cluster_id
+"""
+
+
+@register(
+    "media_dup_canonicals",
+    survey_rows=("X8", "X5", "X4", "W1"),
+    oracle=_media_canonicals_oracle(),
+)
+def media_dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL-ASSET SELECTION over the multimodal dup graphs — the
+    de-dup-assets step a training pipeline runs after pHash/audio
+    fingerprinting (VERDICT r8 item 4, bridging r8's two bridges):
+    the pHash image pairs and acoustic-fingerprint audio pairs (both
+    REAL codec round-trips, reused verbatim from phash_dup_stats /
+    audio_fingerprint_dups) union into one asset graph (audio ids
+    offset by 1000 — modality graphs are disjoint by construction),
+    connected components cluster transitive duplicates, and each
+    cluster keeps its best asset by the catalog quality metric —
+    highest source resolution for images (640×360 × scale², scale =
+    1 + media_id//20: the i+20 copies are the hi-res re-encodes),
+    longest clip for audio (1024 ms × scale) — ranked (quality DESC,
+    asset_id) like dup_cluster_canonicals' keep-longest. Plan: two
+    Arrow-batched hash stages + banding joins (the reused pair
+    queries), hash-min label propagation, then ONE window pass by
+    cluster_id — members shuffle, never the assets' payloads. Oracle:
+    both pair oracles verbatim + the recursive-CTE closure + the same
+    argmax window, so a defect anywhere in codec, kernel, banding,
+    clustering, or selection breaks the value match."""
+    from pyspark.sql import Window
+
+    from flink_realtime_edu_spark.operators.graph import connected_components
+
+    img = phash_dup_stats(spark, sf_dir).select("id_a", "id_b")
+    aud = audio_fingerprint_dups(spark, sf_dir).select(
+        (F.col("id_a") + 1000).alias("id_a"),
+        (F.col("id_b") + 1000).alias("id_b"),
+    )
+    pairs = img.unionByName(aud)
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("asset_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    media_id = F.col("asset_id") % 1000
+    scale = (F.lit(1) + F.floor(media_id / 20)).cast("long")
+    quality = (
+        F.when(F.col("asset_id") >= 1000, F.lit(1024) * scale)
+        .otherwise(F.lit(230400) * scale * scale)
+        .cast("long")
+    )
+    scored = (
+        comp.withColumn(
+            "modality",
+            F.when(F.col("asset_id") >= 1000, F.lit("audio")).otherwise(
+                F.lit("image")
+            ),
+        )
+        .withColumn("media_id", media_id.cast("long"))
+        .withColumn("quality", quality)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("asset_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(
+        "modality", F.col("cluster_id").cast("long").alias("cluster_id")
+    ).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("media_id")))
+        .cast("long")
+        .alias("canonical_media_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality")))
+        .cast("long")
+        .alias("kept_quality"),
+        F.sum(F.when(F.col("rn") > 1, F.col("quality")).otherwise(0))
+        .cast("long")
+        .alias("dropped_quality"),
+    )

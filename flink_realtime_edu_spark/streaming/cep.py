@@ -730,6 +730,7 @@ def _make_cep_am_fn(
     strategy: str,
     skip_block: int | None,
     cap: int | None,
+    conditions: dict | None = None,
 ):
     """State fn for streaming ALL-matches CEP with after-match skip
     strategies — the live twin of operators/cep.py::cep_after_match_skip.
@@ -763,13 +764,25 @@ def _make_cep_am_fn(
     ``cap``, a key that emitted anything keeps a compact counter row
     after quiescence (no timer) so the cap stays per-key TOTAL like
     the batch operator's, not per-activity-burst (ADVICE r9).
-    Serialized as one json string (variable-length chains)."""
+    Serialized as one json string (variable-length chains).
+
+    ``conditions`` (1-based block index -> ``(v, vsum, vcnt, vmin,
+    vmax) -> bool``) is the live face of the batch operator's
+    ITERATIVE CONDITIONS: each partial carries the chain's running
+    value aggregates, a candidate consumption checks its block's
+    predicate against them (the seed is never conditioned), and a
+    same-ts group resolves duplicate (type, ts) values MIN-first —
+    the batch identity. Python callables here (the automaton is
+    already per-event Python) mirror the batch side's SQL strings;
+    the stream ≡ batch test passes an equivalent pair."""
     import json as _json
 
     k_blocks = len(blocks)
     types = [b[0] for b in blocks]
     mns = [b[1] for b in blocks]
     mxs = [b[2] for b in blocks]
+    valued = bool(conditions)
+    conditions = conditions or {}
     anchored = strategy in ("skip_to_first", "skip_to_last")
     tail_optional = [False] * k_blocks  # blocks after i all optional?
     opt = True
@@ -782,9 +795,27 @@ def _make_cep_am_fn(
             st = _json.loads(state.get[0])
         else:
             st = {"p": {}, "R": None, "starts": [], "ivls": [], "n": 0}
-        # partials dict: key "b|taken|c1,c2,.." -> anchor (or None)
-        parts: dict[str, int | None] = st["p"]
+        # partials dict: key "b|taken|c1,c2,.." -> anchor (or None);
+        # valued mode stores [anchor, vsum, vcnt, vmin, vmax] instead
+        # (duplicate block assignments of one chain share identical
+        # aggregates — a chain's values are a function of its event
+        # set — so only the anchor ever needs merging)
+        parts: dict = st["p"]
         out: list[tuple] = []
+
+        def val_anchor(val):
+            return val[0] if valued else val
+
+        def merge_anchor(val, anchor):
+            old = val[0] if valued else val
+            m = (
+                anchor
+                if old is None
+                else old
+                if anchor is None
+                else min(old, anchor)
+            )
+            return [m, *val[1:]] if valued else m
 
         def pkey(chain, b, taken):
             return f"{b}|{taken}|{','.join(map(str, chain))}"
@@ -839,7 +870,7 @@ def _make_cep_am_fn(
             pd.concat(chunks, ignore_index=True)
             .sort_values(["ts_us", "__tb"])
             if chunks
-            else pd.DataFrame(columns=["ts_us", "event_type"])
+            else pd.DataFrame(columns=["ts_us", "event_type", "__v"])
         )
         # SAME-TIMESTAMP grouping (ADVICE r9 medium): the batch twin
         # identifies events by distinct (key, type, ts) and its
@@ -857,52 +888,46 @@ def _make_cep_am_fn(
         # force when the group OPENED. Extensions only ever come from
         # pre-group partials (chains are strictly increasing, so a
         # same-ts event can never extend a chain the group created).
-        rows = list(zip(pdf["ts_us"], pdf["event_type"]))
+        if valued:
+            rows = list(zip(pdf["ts_us"], pdf["event_type"], pdf["__v"]))
+        else:
+            rows = list(zip(pdf["ts_us"], pdf["event_type"]))
         i = 0
         while i < len(rows):
             ts = int(rows[i][0])
-            group: list[str] = []  # distinct types at this ts
+            # distinct types at this ts; valued mode resolves duplicate
+            # (type, ts) pairs MIN-first (the batch identity)
+            group: dict[str, float | None] = {}
             while i < len(rows) and int(rows[i][0]) == ts:
                 et = str(rows[i][1])
-                if et not in group:
-                    group.append(et)
+                v = float(rows[i][2]) if valued else None
+                if et not in group or (valued and v < group[et]):
+                    group[et] = v
                 i += 1
             if cap is not None and st["n"] >= cap:
                 break
             prune_vs_ts(ts)
             # FORK extensions of every live partial (the original
             # survives — skip-till-any-match), plus the seed.
-            fresh: dict[str, int | None] = {}
+            fresh: dict = {}
 
-            def fork(chain, b, taken, anchor):
+            def fork(chain, b, taken, anchor, aggs=None):
                 kk = pkey(chain, b, taken)
                 if kk in parts:
-                    old = parts[kk]
-                    parts[kk] = (
-                        anchor
-                        if old is None
-                        else old
-                        if anchor is None
-                        else min(old, anchor)
-                    )
+                    parts[kk] = merge_anchor(parts[kk], anchor)
                     return
                 if kk in fresh:
-                    old = fresh[kk]
-                    fresh[kk] = (
-                        anchor
-                        if old is None
-                        else old
-                        if anchor is None
-                        else min(old, anchor)
-                    )
+                    fresh[kk] = merge_anchor(fresh[kk], anchor)
                     return
-                fresh[kk] = anchor
+                fresh[kk] = [anchor, *aggs] if valued else anchor
 
-            for etype in group:
-                for s, panchor in list(parts.items()):
+            for etype, v in group.items():
+                for s, pval in list(parts.items()):
                     chain, b, taken = punpack(s)
                     if ts <= chain[-1] or ts > chain[0] + within_us:
                         continue
+                    panchor = val_anchor(pval)
+                    aggs = pval[1:] if valued else None
                     # epsilon closure: this partial may also stand at
                     # the start of any later block once its own
                     # minimum is met
@@ -913,6 +938,9 @@ def _make_cep_am_fn(
                         positions.append((bb, tt))
                     for pb, pt in positions:
                         if etype == types[pb] and pt < mxs[pb]:
+                            chk = conditions.get(pb + 1)
+                            if valued and chk and not chk(v, *aggs):
+                                continue  # iterative condition failed
                             a = panchor
                             if anchored and pb + 1 == skip_block:
                                 # "last": every consumed event
@@ -925,14 +953,28 @@ def _make_cep_am_fn(
                                     or panchor is None
                                     else panchor
                                 )
-                            fork(chain + [ts], pb, pt + 1, a)
+                            fork(
+                                chain + [ts],
+                                pb,
+                                pt + 1,
+                                a,
+                                [
+                                    aggs[0] + v,
+                                    aggs[1] + 1,
+                                    min(aggs[2], v),
+                                    max(aggs[3], v),
+                                ]
+                                if valued
+                                else None,
+                            )
                 if etype == types[0]:
                     a = (
                         ts
                         if anchored and skip_block == 1
                         else None
                     )
-                    fork([ts], 0, 1, a)
+                    # the seed is never conditioned (no prior chain)
+                    fork([ts], 0, 1, a, [v, 1, v, v] if valued else None)
             # completions among the NEW forks: minimum met and every
             # later block optional — dedup identical chains across the
             # WHOLE group (min anchor; two same-ts events of different
@@ -940,8 +982,9 @@ def _make_cep_am_fn(
             # block assignments), order chain-lexicographically
             # (same-end batch ties rank by chain)
             comps: dict[tuple, int | None] = {}
-            for s, anchor in fresh.items():
+            for s, val in fresh.items():
                 chain, b, taken = punpack(s)
+                anchor = val_anchor(val)
                 if taken >= mns[b] and tail_optional[b]:
                     c = tuple(chain)
                     old = comps.get(c, "missing")
@@ -955,7 +998,7 @@ def _make_cep_am_fn(
                             if anchor is None
                             else min(old, anchor)
                         )
-                parts[s] = anchor
+                parts[s] = val
             if not comps:
                 continue
             cands = sorted(comps)  # chain-lex among same-end ties
@@ -1050,6 +1093,8 @@ def cep_all_matches_stream(
     type_col: str = "event_type",
     tiebreak_col: str = "event_id",
     watermark_delay: str = "0 seconds",
+    conditions: dict | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """Streaming ALL-matches CEP enumeration with the full after-match
     skip-strategy enum — the live twin of
@@ -1064,7 +1109,11 @@ def cep_all_matches_stream(
     emission order (Flink's runtime behavior; batch's cap is
     chain-lex — pass None to compare against an uncapped batch run).
     In-order arrival per key is the contract, as for the other
-    automata."""
+    automata. ``conditions`` (1-based block index -> ``(v, vsum,
+    vcnt, vmin, vmax) -> bool`` Python callables) adds the batch
+    operator's ITERATIVE CONDITIONS — the live face of
+    cep_all_matches(conditions=...), whose SQL-string predicates a
+    caller mirrors here as callables."""
     from flink_realtime_edu_spark.operators.cep import _normalize_blocks
 
     blocks = _normalize_blocks(steps)
@@ -1084,17 +1133,31 @@ def cep_all_matches_stream(
         raise ValueError("anchored strategies need a valid skip_block")
     if not anchored and skip_block is not None:
         raise ValueError(f"{strategy} does not take skip_block")
+    if conditions:
+        bad = [b for b in conditions if not 1 <= b <= len(blocks)]
+        if bad:
+            raise ValueError(
+                f"condition block indices {bad} outside [1, {len(blocks)}]"
+            )
     within_us = _parse_within_us(within)
-    prepared = events.withWatermark(ts_col, watermark_delay).select(
+    cols = [
         F.col(key_col).alias("user_id"),
         F.col(ts_col),
         F.unix_micros(ts_col).alias("ts_us"),
         F.col(type_col).alias("event_type"),
         F.col(tiebreak_col).alias("__tb"),
-    )
+    ]
+    if conditions:
+        cols.append(F.col(value_col).cast("double").alias("__v"))
+    prepared = events.withWatermark(ts_col, watermark_delay).select(*cols)
     out = prepared.groupBy("user_id").applyInPandasWithState(
         _make_cep_am_fn(
-            blocks, within_us, strategy, skip_block, max_matches_per_key
+            blocks,
+            within_us,
+            strategy,
+            skip_block,
+            max_matches_per_key,
+            conditions,
         ),
         outputStructType=CEP_AM_OUTPUT_SCHEMA,
         stateStructType=CEP_AM_STATE_SCHEMA,

@@ -748,6 +748,119 @@ def test_cep_all_matches_equals_bruteforce_enumeration(
 
 
 @given(
+    n=st.integers(min_value=0, max_value=60),
+    n_users=st.integers(min_value=1, max_value=4),
+    mx1=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_iterative_condition_equals_bruteforce(
+    spark, n, n_users, mx1, seed
+):
+    """Iterative conditions (Flink IterativeCondition) against a
+    brute-force enumeration threading per-assignment running value
+    aggregates on adversarial random streams (duplicate timestamps,
+    duplicate (type, ts) pairs with different values — resolved
+    MIN-per-triple, the declared identity): a chain is kept iff SOME
+    block assignment satisfies every conditioned consumption, the
+    seed is never conditioned, and block-1 conditions apply from its
+    second slot. Identical chain sets, ranks, caps."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+            float(rng.randrange(10)),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    blocks = [("click", 1, mx1), ("view", 0, 1), ("purchase", 1, 1)]
+    conditions = {1: "__v <= vmin + 2", 3: "__v > vsum / vcnt"}
+    checks = {
+        1: lambda v, s, c, mn, mx: v <= mn + 2,
+        3: lambda v, s, c, mn, mx: v > s / c,
+    }
+    within_us, cap = 30 * 1_000_000, 3
+
+    def brute(evs: dict[tuple[int, str], float]) -> list[tuple[str, int]]:
+        chains: set[tuple[int, ...]] = set()
+
+        def rec(bi, taken, last, t1, chain, vsum, vcnt, vmin, vmax):
+            if bi == len(blocks):
+                chains.add(tuple(chain))
+                return
+            etype, mn, mx = blocks[bi]
+            if taken >= mn:
+                rec(bi + 1, 0, last, t1, chain, vsum, vcnt, vmin, vmax)
+            if taken < mx:
+                for (ts, t), v in evs.items():
+                    if t != etype or (last is not None and ts <= last):
+                        continue
+                    if t1 is not None and ts - t1 > within_us:
+                        continue
+                    chk = checks.get(bi + 1)
+                    if chain and chk and not chk(v, vsum, vcnt, vmin, vmax):
+                        continue
+                    rec(
+                        bi,
+                        taken + 1,
+                        ts,
+                        ts if t1 is None else t1,
+                        chain + [ts],
+                        vsum + v,
+                        vcnt + 1,
+                        v if vmin is None else min(vmin, v),
+                        v if vmax is None else max(vmax, v),
+                    )
+
+        rec(0, 0, None, None, [], 0.0, 0, None, None)
+        return [
+            ("|".join(map(str, c)), i + 1)
+            for i, c in enumerate(sorted(chains)[:cap])
+        ]
+
+    epoch_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+    expect = []
+    for uid in range(n_users):
+        evs: dict[tuple[int, str], float] = {}
+        for _, s, u, t, v in rows:
+            if u != uid:
+                continue
+            k = ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            evs[k] = min(evs[k], v) if k in evs else v
+        expect += [(uid, cs, m) for cs, m in brute(evs)]
+    got = sorted(
+        (r.user_id, r.chain_str, r.match_no)
+        for r in cep_all_matches(
+            ev,
+            blocks,
+            "30 seconds",
+            max_matches_per_key=cap,
+            conditions=conditions,
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
+@given(
     n=st.integers(min_value=0, max_value=50),
     n_users=st.integers(min_value=1, max_value=3),
     strategy=st.sampled_from(

@@ -1814,6 +1814,62 @@ def test_cep_all_matches_stream_same_timestamp_group(
     assert len(got) == len({(g[0], g[4]) for g in got})
 
 
+def test_cep_iterative_condition_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming NFA with ITERATIVE CONDITIONS must reproduce the
+    batch cep_all_matches(conditions=...) kept-match set exactly on an
+    ordered replay: the running value aggregates thread through the
+    fork tree across micro-batch boundaries, the predicate gates each
+    candidate consumption, and the seed stays unconditioned. The
+    batch side takes the SQL string, the stream the equivalent Python
+    callable — the pair under test is the documented mirroring."""
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+    from flink_realtime_edu_spark.streaming.cep import cep_all_matches_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    blocks = [("click", 1, 2), ("purchase", 1, 1)]
+    within = "12 hours"
+    sql_conds = {2: "__v > vsum / vcnt"}
+    py_conds = {2: lambda v, s, c, mn, mx: v > s / c}
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    src = tmp_path / "amic_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    stream = cep_all_matches_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        blocks,
+        within,
+        conditions=py_conds,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("amic_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_amic"))
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in spark.sql("SELECT * FROM amic_stream").collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in cep_all_matches(
+            ev, blocks, within, max_matches_per_key=10**6, conditions=sql_conds
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_cep_all_matches_stream_cap_is_per_key_total(spark, tmp_path):
     """ADVICE r9 low: max_matches_per_key is a per-key TOTAL like the
     batch operator's — a key that reached its cap must stay capped
