@@ -351,9 +351,21 @@ def main() -> None:
         if total1 > total0
         else 0.0
     )
+    total = round(sum(spark_times.values()), 3)
+    # In-band box normalization (BASELINE.md round-9 protocol): the
+    # r8 official reading degraded through a mode the parspeed-only
+    # formula missed (single-thread calib DOUBLED while parspeed held
+    # ~17), so the JSON now carries BOTH normalized diagnostics next
+    # to the raw number — raw stays the acceptance metric; these are
+    # the attribution evidence. References = the historically stable
+    # fast-state readings (r1–r7): single-thread sha256 calib
+    # ~0.08 s, 32-thread parallel speedup ~25.
+    CALIB_REF_S, PARSPEED_REF = 0.08, 25.0
+    mean_calib = (calib_pre + calib_post) / 2
+    mean_par = (par_pre + par_post) / 2
     result = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(spark_times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": spark_times,
         "query_spread": spread,
@@ -370,6 +382,18 @@ def main() -> None:
         "spark_calib_s": spark_calib,
         "box_steal_frac": steal_frac,
         "bench_wall_s": round(bench_wall, 1),
+        "normalized_by_calib_s": (
+            round(total * CALIB_REF_S / mean_calib, 3)
+            if mean_calib > 0
+            else None
+        ),
+        "normalized_by_parspeed_s": (
+            round(total * mean_par / PARSPEED_REF, 3) if mean_par > 0 else None
+        ),
+        "calib_refs": {
+            "box_calib_s": CALIB_REF_S,
+            "box_parallel_speedup": PARSPEED_REF,
+        },
     }
     if args.duckdb:
         duck = run_duckdb(names, args.sf_dir, args.repeats)

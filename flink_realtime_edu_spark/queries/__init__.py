@@ -98,84 +98,84 @@ def register(
 # representative (tests/test_registry_order.py pins this), and it
 # ROTATES each round (VERDICT r3 item 3).
 #
-# r8 rotation (VERDICT r7 items 1, 3, 6): first the PINS — the five
-# queries registered after the r7 rotation froze (the skip-strategy
-# pair and the three negative patterns, the ONLY registered queries
-# with no official CORRECTNESS row ever — the r7 verdict's item 1),
-# plus the three NEW r8 queries (skip_to_first / skip_to_last, pHash
-# image dedup), plus re-pins of every query whose SOURCE changed this
-# round (the CEP enumeration grew anchor support, so the all-matches
-# query re-samples on the changed code; duplicated_spans gained the
-# max_df pre-join and in-code gram partition sizing, so both span
-# queries re-sample) — then STALENESS-FIRST refresh: 36 of the 46
-# queries whose last official sample was r5. The 10 spilled r5-stale
-# queries (the ANN/clustering tolerance-oracle family —
-# ann_lsh_topk, ivf_ann_topk, ivf_ann_incremental_topk, pq_ann_topk,
-# kmeans_cluster_profile, kmeans_quality_summary,
-# label_homophily_check — plus video_frame_sample_plan, doc_fingerprint_stats and
-# minhash_signatures_sample, whose winnowing/md5-twin kernels are
-# untouched since r3 and exactly oracled) were chosen
-# because their operators are untouched since r5 and their checks are
-# tolerance/rows-only by design; they rotate FIRST in r9 (pin
-# obligation, same mechanism as the r7→r8 CEP pins). With 151
-# registered queries and a 50-slot window, ~3-round max staleness is
-# the steady state (VERDICT r7 item 8; the generated last-sampled
-# ledger in COVERAGE.md makes it auditable).
+# r9 rotation (VERDICT r8 items 2–4): first the PINS — the two NEW
+# r9 queries (cep_iterative_condition, media_dup_canonicals — the
+# only registered queries with no official CORRECTNESS row, which
+# tests/test_registry_order.py forces into the window), then the 10
+# r5-stale queries the r8 rotation spilled with an explicit r9 pin
+# obligation (the ANN/clustering tolerance-oracle family plus the
+# untouched winnowing/md5-twin kernels — the r8 verdict re-verified
+# all 10 green out-of-band and item 2 says make it official), then
+# re-pins of every query whose SOURCE changed this round (the shared
+# all-matches enumeration gained iterative-condition value threading,
+# so all five skip-strategy queries re-sample on the changed code;
+# their plans diff only in lambda ids, but the official record should
+# come from the new tree) — then STALENESS-FIRST refresh: 32 of the
+# 47 queries last officially sampled r6. The 15 spilled r6 queries
+# (rollup_revenue, running_customer_spend, semi_join_recent_customers,
+# sequence_packing_chunks, session_window_stats, spark_native_hashes,
+# star_join_revenue, string_funcs_part, temporal_join_purchase_state,
+# tfidf_top_terms, top_parts_per_nation, training_shuffle_manifest,
+# union_activity_feed, user_state_intervals, value_percentiles)
+# rotate FIRST in r10 — at r10 they hit the K=4 staleness budget that
+# tests/test_registry_order.py::test_staleness_budget_within_window
+# now pins structurally, so forgetting them fails the suite.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
-    # --- never officially sampled (r7 pins + new r8) ---
-    "cep_skip_to_next",           # T7 J4 W1 — r7 pin obligation
-    "cep_skip_past_last",         # T7 J4 W1 X3 — r7 pin obligation
-    "cep_no_error_funnel",        # T7 J4 J6 — r7 pin obligation
-    "cep_quiet_after_purchase",   # T7 J6 T4 — r7 pin obligation
-    "cep_not_next_error_pair",    # T7 W3 W1 — r7 pin obligation
-    "cep_skip_to_first",          # T7 J4 W1 X3 — NEW r8
-    "cep_skip_to_last",           # T7 J4 W1 X3 — NEW r8
-    "phash_dup_stats",            # X8 X5 X2 F8 — NEW r8
-    "audio_fingerprint_dups",     # X8 X5 X2 F8 — NEW r8
-    "dup_cluster_canonicals",     # X4 X5 W1 A1 — NEW r8
-    # --- source changed this round (re-pins) ---
-    "cep_all_matches_ranges",     # T7 J4 W1 F5 — enumeration grew anchors
-    "dup_span_stats",             # X4 X7 W3 — max_df pre-join + sizing
-    "span_clip_checksums",        # X4 X7 F1 — consumes duplicated_spans
-    # --- last officially sampled r5 (staleness refresh, 36/46) ---
-    "text_normalization_checksum",  # X7 F1
-    "token_budget_sample",        # X7 F8
-    "png_decode_stats",           # X8 X2
-    "wav_decode_stats",           # X8 X2
-    "near_dup_simhash",           # X5
-    "near_dup_incremental",       # X5 X4
-    "grouping_sets_traffic",      # A6
-    "right_join_supplier_nations",  # J2
-    "late_ship_priority_counts",  # J5 A1
-    "small_qty_parts_revenue",    # J1 A5
-    "big_volume_customers",       # J5 A1
-    "nation_revenue_share",       # J1 J3 A1
-    "wealthy_inactive_customers", # J6
-    "volume_shipping_pairs",      # J1 J3
-    "market_share_by_year",       # J1 J3
-    "customer_order_distribution",  # J2 A1
-    "promo_revenue_share",        # J1 A5
-    "part_supplier_diversity",    # J1 J6
-    "disjunctive_predicate_revenue",  # P2 J1
-    "excess_share_suppliers",     # J5
-    "min_cost_supplier_per_part", # J1
-    "unshipped_order_revenue",    # J1 P2
-    "local_supplier_volume",      # J1 J3
-    "forecast_revenue_change",    # P2
-    "state_transition_matrix",    # W3 S2
-    "price_moments_by_flag",      # A2 A8
-    "stratified_split_by_source", # X7 F8
-    "incremental_dedup_delta",    # X4 J6
-    "bpe_merge_learning",         # X1 X7
-    "bpe_encode_stats",           # X1 J1
-    "bpe_sequence_packing",       # X7 W4
-    "bpe_token_budget_sample",    # X7 F8
-    "late_corrected_windows",     # T4
-    "cep_funnel_timeouts",        # T7 T4 J2 A9
-    "cep_funnel_first_match",     # T7 J4 W3 A9
-    "cep_strict_error_runs",      # T7 W3 W1
+    # --- never officially sampled (NEW r9) ---
+    "cep_iterative_condition",    # T7 J4 W1 F5 — NEW r9
+    "media_dup_canonicals",       # X8 X5 X4 W1 — NEW r9
+    # --- last officially sampled r5 (the r8-pinned spill, 10/10) ---
+    "ann_lsh_topk",               # X6
+    "ivf_ann_topk",               # X6
+    "ivf_ann_incremental_topk",   # X6
+    "pq_ann_topk",                # X6
+    "kmeans_quality_summary",     # X6
+    "kmeans_cluster_profile",     # X6 — rows-only BY DESIGN
+    "label_homophily_check",      # X6 J1
+    "minhash_signatures_sample",  # X5
+    "doc_fingerprint_stats",      # X4 X7 F8
+    "video_frame_sample_plan",    # X8 F5 P1
+    # --- source changed this round (re-pins: shared enumeration) ---
+    "cep_all_matches_ranges",     # T7 J4 W1 F5
+    "cep_skip_to_next",           # T7 J4 W1
+    "cep_skip_past_last",         # T7 J4 W1 X3
+    "cep_skip_to_first",          # T7 J4 W1 X3
+    "cep_skip_to_last",           # T7 J4 W1 X3
+    # --- last officially sampled r6 (staleness refresh, 32/47) ---
+    "abandoned_clicks_daily",     # T7 J6 J4
+    "anti_join_no_big_order",     # J6
+    "approx_unique_visitors",     # A4
+    "array_funcs_documents",      # F5 X1
+    "asof_join_purchase_last_click",  # J8 W3
+    "benchmark_contamination",    # X4 X7 J5 F5
+    "cdc_scd2_intervals",         # S2 P3 F7 W3
+    "corpus_curation_pipeline",   # X4 X5 X7 J5 J6
+    "cosine_topk_bruteforce",     # X6 J7 W1
+    "daily_unique_visitors",      # T5 U3
+    "datetime_funcs_orders",      # F2 P5
+    "distinct_users_by_type",     # A3 A1 A2
+    "event_gaps",                 # W3 F2
+    "exact_dedup_docs",           # X4 A9 F8
+    "hash_funcs_documents",       # F8
+    "interval_join_click_purchase",  # J4
+    "jpeg_decode_stats",          # X8 X2 F3 A2
+    "json_props_stats",           # P3 F7 A1
+    "label_centroids",            # X6 F5 A1
+    "late_priority_mix",          # J1 F4 A2
+    "leakage_safe_split",         # X4 X5 X7 J2 F8 A3
+    "left_join_recent_spend",     # J2 P4 A1
+    "math_conditional_orders",    # F3 F4
+    "nations_with_customers_and_suppliers",  # U2
+    "near_dup_clusters",          # X4 X5
+    "near_dup_embeddings",        # X5 X6
+    "near_dup_jaccard",           # X4 X5 F5
+    "near_dup_minhash",           # X5
+    "new_vs_returning_daily",     # T6 A3
+    "pandas_udf_token_stats",     # X2 X7
+    "pii_redaction_stats",        # X7 F1
+    "pivot_daily_activity",       # A1 F2
 )
 
 

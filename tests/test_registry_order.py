@@ -129,6 +129,40 @@ def test_oracle_column_names_alias_discipline():
     assert not offenders, f"unaliased oracle columns: {offenders}"
 
 
+def test_staleness_budget_within_window():
+    """The K=4 staleness budget (VERDICT r8 item 8), the complement of
+    the never-sampled pin: with R the newest recorded official round,
+    any query whose last all-green official sample is round R-3 or
+    older (4+ rounds stale once the NEXT round's window runs) must sit
+    inside the current check-window prefix — so a rotation that plans
+    to spill an overdue query fails the suite instead of silently
+    stretching the ledger. Never-sampled queries (last round 0) are
+    subsumed. With 155 registered queries and a 50-slot window the
+    steady-state staleness is ~3 rounds, so K=4 binds exactly when a
+    rotation forgets its spill obligation."""
+    import json
+    import re
+    from pathlib import Path
+
+    reg = load_registry()
+    last: dict[str, int] = {}
+    newest = 0
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        newest = max(newest, rnd)
+        for name, rec in json.load(f.open()).items():
+            # 'no_oracle' is the driver's documented rows-only check —
+            # a real (weaker) sample, not a failure
+            if isinstance(rec, dict) and rec.get("err") in (None, "no_oracle"):
+                last[name] = max(last.get(name, 0), rnd)
+    window = set(list(reg)[:DRIVER_CHECK_WINDOW])
+    overdue = {
+        n for n in reg if last.get(n, 0) <= newest - 3 and n not in window
+    }
+    assert not overdue, f"queries overdue past the K=4 budget: {sorted(overdue)}"
+
+
 def test_never_sampled_queries_are_inside_the_window():
     """The r7 lesson, pinned structurally: five queries registered
     after the r7 rotation froze missed every official window. A query
