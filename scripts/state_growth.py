@@ -174,6 +174,32 @@ def main() -> None:
                 ev, ["click", "purchase", ("not", "error")], "24 hours"
             ),
         )
+        # r9: the fork-tree ALL-matches NFA per skip strategy (VERDICT
+        # r8 item 5) — the one automaton whose state fans out
+        # combinatorially. The bound: partials = one `within` horizon
+        # of enumeration fanout per key (timer-pruned), plus the
+        # self-pruning strategy memory; no cap here so the curves show
+        # the raw fanout (the cap knob bounds OUTPUT, state drains at
+        # quiescence regardless — pinned by
+        # test_cep_all_matches_stream_state_drains_at_quiescence).
+        from flink_realtime_edu_spark.streaming.cep import (
+            cep_all_matches_stream,
+        )
+
+        am_blocks = [("click", 1, 2), ("view", 0, 1), ("purchase", 1, 1)]
+        for strat, blk in [
+            ("no_skip", None),
+            ("skip_to_next", None),
+            ("skip_past_last_event", None),
+            ("skip_to_first", 2),
+            ("skip_to_last", 1),
+        ]:
+            run(
+                f"cep_am_{strat}",
+                lambda ev, s=strat, b=blk: cep_all_matches_stream(
+                    ev, am_blocks, "6 hours", strategy=s, skip_block=b
+                ),
+            )
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)

@@ -1931,6 +1931,89 @@ def test_cep_all_matches_stream_cap_is_per_key_total(spark, tmp_path):
     assert len(got) == 2  # burst 1 only; the quiesced cap holds
 
 
+@pytest.mark.parametrize(
+    "strategy,skip_block",
+    [
+        ("no_skip", None),
+        ("skip_to_next", None),
+        ("skip_past_last_event", None),
+        ("skip_to_first", 2),
+        ("skip_to_last", 1),
+    ],
+    ids=lambda v: str(v),
+)
+def test_cep_all_matches_stream_state_drains_at_quiescence(
+    spark, tmp_path, strategy, skip_block
+):
+    """The NFA's state BOUND, pinned as a census (VERDICT r8 item 5):
+    without a cap, once the watermark passes every chain's horizon and
+    every strategy memory's relevance, the store must drain to ZERO
+    rows — partials are horizon-pruned by the timer sweep and the
+    emitted-starts / resume-point / discard-interval memories
+    self-prune (a future start can never land inside stale memory).
+    Mid-stream state is bounded by one `within` horizon's enumeration
+    fanout plus that memory; this test pins the drain side, the
+    state-growth curves in BASELINE.md record the mid-stream side."""
+    import datetime
+
+    from flink_realtime_edu_spark.streaming.cep import cep_all_matches_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    t = lambda m: datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=m)  # noqa: E731
+    chunks = [
+        [
+            (0, t(0), 1, "click"),
+            (1, t(10), 1, "view"),
+            (2, t(20), 1, "purchase"),
+            (3, t(5), 2, "click"),
+            (4, t(15), 2, "click"),
+        ],
+        # two sentinel batches: the first advances the watermark past
+        # every horizon/memory, the second lets the armed timers fire
+        [(5, t(600), 99, "noop")],
+        [(6, t(1200), 99, "noop")],
+    ]
+    tag = f"{strategy}_{skip_block}"
+    src = tmp_path / f"amdrain_src_{tag}"
+    src.mkdir()
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(e, ts, u, ty, 1.0, "{}") for e, ts, u, ty in rows],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    q = (
+        cep_all_matches_stream(
+            load_events_stream(spark, str(src), max_files_per_trigger=1),
+            [("click", 1, 2), ("view", 0, 1), ("purchase", 1, 1)],
+            "1 hour",
+            strategy=strategy,
+            skip_block=skip_block,
+        )
+        .writeStream.format("memory")
+        .queryName(f"amdrain_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_amdrain_{tag}"))
+        .start()
+    )
+    q.processAllAvailable()
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    run_to_completion(q)
+    got = spark.sql(f"SELECT * FROM amdrain_{tag}").collect()
+    assert len(got) > 0  # the pattern really matched before draining
+    assert state_rows and max(state_rows) > 0  # state really existed
+    assert state_rows[-1] == 0, state_rows  # full drain at quiescence
+
+
 def test_cep_nfb_tail_emission_waits_for_silent_horizon(spark, tmp_path):
     """The trailing-negative contract in isolation: a completed chain
     must NOT emit while its t1 + within horizon is still open (run A:
