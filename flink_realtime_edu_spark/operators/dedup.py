@@ -850,14 +850,24 @@ def duplicated_spans(
     k-char gram — bit-identical to a SQL oracle with no collision
     caveat (the two are pinned equivalent by tests). ``max_df`` drops
     grams occurring more than that many times BEFORE positions are
-    grouped: the document frequency is pre-computed with a
-    partially-aggregable count and applied as a left-semi join on the
-    gram key, so a corpus-wide boilerplate gram never ships its
-    positions to one reduce task just to be discarded (the
-    jaccard_pairs_exact pattern; the count branch and the positions
-    branch read the SAME exchange, so the guard costs no extra
-    corpus-wide shuffle). None = exact Lee-et-al semantics, single
-    shuffle, no pre-pass.
+    grouped — the guard against an ultra-hot boilerplate gram piling
+    df ≈ corpus occurrences into one reduce task's collect_list (the
+    OOM mode; a moderate hot gram is harmless — 150k positions is a
+    ~2 MB list). Mechanism (r9, redesigned after the adversarial A/B
+    in BASELINE.md): hot keys with df > max_df are STRUCTURALLY FEW
+    (≤ total_grams / max_df), so they are counted in a slim
+    partial-aggregated pre-pass, localCheckpointed (tiny — AQE does
+    not stage-reuse duplicated subtrees, the r3 lesson), and removed
+    from the corpus-sized probe side with a BROADCAST left-anti join
+    — the positions frame keeps its single shuffle. The r8 left-semi
+    keep-join shape measured ~2x SLOWER than even the naive
+    post-collect filter at sf1 with 30% planted boilerplate, because
+    the sort-merge semi join re-shuffled the corpus-sized probe and
+    the un-reused count branch re-derived it; it survives only as the
+    fallback when the hot set is abnormally large (> 4M keys, where a
+    broadcast would strain the driver). Note max_df mode is EAGER:
+    the hot-key pre-pass runs at call time. None = exact Lee-et-al
+    semantics, single shuffle, no pre-pass.
 
     ``keep_first=True`` exempts each gram's globally-first occurrence
     (min (doc_id, p) — deterministic, order-free) from flagging, so
@@ -906,17 +916,22 @@ def duplicated_spans(
         if n_tasks > session_parts:
             grams = grams.repartition(n_tasks, "g")
     if max_df is not None:
-        # Hot-gram guard BEFORE the positions shuffle: prune grams
-        # whose document frequency falls outside [2, max_df] with a
-        # partial-aggregable count + left-semi join, so boilerplate
-        # positions never pile onto one reduce task. (df >= 2 rides
-        # along for free — most grams are unique, so the semi join
-        # also shrinks the collect_list input dramatically.)
+        # Hot-gram guard BEFORE the positions shuffle (see docstring):
+        # count document frequencies in a slim partial-aggregated
+        # pass, materialize the FEW hot keys, and broadcast-anti them
+        # off the probe side so the positions frame keeps its single
+        # corpus-wide shuffle.
         counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        keep = counts.filter(
-            (F.col("df") >= 2) & (F.col("df") <= max_df)
-        ).select("g")
-        grams = grams.join(keep, on="g", how="left_semi")
+        hot = counts.filter(F.col("df") > max_df).select("g").localCheckpoint()
+        if hot.count() <= 4_000_000:  # ~32 MB of 8-byte keys
+            grams = grams.join(F.broadcast(hot), on="g", how="left_anti")
+        else:
+            # pathological corpus (hot keys at broadcast-straining
+            # volume): fall back to the shuffled keep-semi shape
+            keep = counts.filter(
+                (F.col("df") >= 2) & (F.col("df") <= max_df)
+            ).select("g")
+            grams = grams.join(keep, on="g", how="left_semi")
     occurrences = F.count(F.lit(1))
     grouped = grams.groupBy("g").agg(
         occurrences.alias("df"),

@@ -29,7 +29,9 @@ stream ≡ batch by tests/test_streaming.py + property tests:
   the full after-match skip enum (r8): the partial set IS the batch
   enumeration's fork tree, strategies apply online in completion
   order, and state is bounded by one horizon's enumeration fanout
-  plus self-pruning strategy memory.
+  plus self-pruning strategy memory; r9 adds ITERATIVE CONDITIONS
+  (per-block predicates over the chain's running value aggregates,
+  the live face of ``cep_all_matches(conditions=...)``).
 
 All five require arrival order to respect event-time order per key
 ACROSS micro-batches (the testable contract: an ordered replay makes

@@ -620,6 +620,13 @@ def main() -> None:
         "cep_no_error_funnel",
         "phash_dup_stats",
         "audio_fingerprint_dups",
+        # r9: iterative conditions (the value-threaded enumeration —
+        # the ratio pins that the condition conjunct does not change
+        # the horizon-bounded join shape) and canonical-asset
+        # selection over the fixed-asset fingerprint graphs (flat by
+        # construction, like its two inputs)
+        "cep_iterative_condition",
+        "media_dup_canonicals",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)

@@ -1,27 +1,32 @@
 #!/usr/bin/env python
 """Skewed-gram adversarial A/B for ``duplicated_spans`` (VERDICT r8
-item 6): the r8 ``max_df`` hot-gram guard is a left-semi pre-join
-BEFORE the positions shuffle; at test scale it is pinned result-
-identical to the naive post-filter, but its REASON is skew — a
-boilerplate gram shared by 30% of a corpus ships every occurrence to
-one reduce task just to be discarded. This harness measures that on
-the native-sf1 corpus with a planted template paragraph:
+item 6): measure the ``max_df`` hot-gram guard on a boilerplate-heavy
+corpus. The measurement REDESIGNED the guard: the r8 left-semi
+keep-join shape clocked guarded 223.8/203.2 s vs naive post-filter
+179.9/89.8 s (warm) — the sort-merge semi join re-shuffled the
+corpus-sized probe side and the un-reused count branch re-derived it
+(AQE does not stage-reuse duplicated subtrees, the r3 lesson), while
+the skew it avoided was harmless at this shape (a df=150k gram's
+collect_list is ~2 MB). The r9 guard counts the STRUCTURALLY FEW hot
+keys (df > max_df ⇒ at most grams/max_df of them), localCheckpoints
+them, and broadcast-ANTI-joins them off the probe — keeping the
+single corpus shuffle while still guarding the real failure (an
+ultra-hot gram with df ≈ corpus collecting an unbounded list on one
+task).
 
   * corpus: .scratch/sf1native documents with a fixed ~400-char
     boilerplate paragraph PREPENDED to every doc_id % 10 < 3 (30% of
     docs) — each of its ~360 overlapping 40-grams then has document
     frequency ≈ 0.3 × n_docs, the legal-footer/crawler-banner shape.
-  * variant A (shipped): duplicated_spans(max_df=N) — the pre-join
-    drops boilerplate grams before their positions shuffle.
+  * variant A (shipped): duplicated_spans(max_df=N) — broadcast-anti
+    hot-key guard before the positions shuffle.
   * variant B (naive): the identical gram pipeline with the df filter
-    applied AFTER the corpus-wide collect_list groupBy (the pre-r8
-    shape) — hot-gram positions all travel and pile onto the few
-    tasks owning those keys.
+    applied AFTER the corpus-wide collect_list groupBy — correct and
+    fast at moderate skew, an OOM at ultra-hot skew.
 
 Both variants share the in-code gram-shuffle sizing so the ONLY
-difference is where the df guard sits. Results are asserted
-row-identical before timings are reported. Prints ONE JSON line for
-BASELINE.md. Usage:
+difference is the guard. Results are asserted row-identical before
+timings are reported. Prints ONE JSON line for BASELINE.md. Usage:
     python scripts/skewed_grams.py [--sf-dir DIR] [--max-df 200]
 """
 

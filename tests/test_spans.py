@@ -253,21 +253,23 @@ def test_max_df_drops_boilerplate(spark):
 
 def test_max_df_prunes_before_positions_are_grouped(spark):
     """The max_df flood guard must act BEFORE the collect_list shuffle
-    (ADVICE r8): the plan carries a LeftSemi join on the gram key
-    feeding the positions aggregate — a boilerplate gram's positions
-    are dropped map-side, never piled onto one reduce task — and the
-    guard-free path keeps its original single-shuffle plan (no semi
-    join, no count pre-pass)."""
+    (ADVICE r8; r9 broadcast-anti redesign after the adversarial A/B):
+    the plan removes hot grams from the corpus-sized probe side with a
+    BROADCAST left-anti join on the gram key — the positions frame
+    keeps its single shuffle, and a boilerplate gram's positions are
+    dropped map-side, never piled onto one reduce task. The guard-free
+    path keeps its original single-shuffle plan (no anti join, no
+    count pre-pass)."""
     df = spark.createDataFrame(
         [(i, f"shared-prefix-block body {i}") for i in range(6)],
         "doc_id long, text string",
     )
     guarded = duplicated_spans(df, k=10, max_df=4)
     plan = guarded._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
+    assert "LeftAnti, BuildRight" in plan and "Broadcast" in plan
     plain = duplicated_spans(df, k=10)
     plain_plan = plain._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" not in plain_plan
+    assert "LeftAnti" not in plain_plan and "LeftSemi" not in plain_plan
 
 
 def test_gram_partition_sizing_scales_up_in_code(spark):
