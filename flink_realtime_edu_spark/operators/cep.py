@@ -303,6 +303,7 @@ def cep_all_matches(
     type_col: str = "event_type",
     conditions: dict[int, str] | None = None,
     value_col: str = "value",
+    consecutive: set[int] | None = None,
 ) -> DataFrame:
     """ALL-matches enumeration under relaxed contiguity — Flink's
     ``AfterMatchSkipStrategy.skipToNext()`` / skip-till-any-match
@@ -352,6 +353,21 @@ def cep_all_matches(
     triple; ``value_col`` resolves per triple as MIN(value) so
     duplicate rows cannot make the condition ambiguous.
 
+    ``consecutive`` (optional, a set of 1-based block indices) applies
+    Flink's ``consecutive()`` looping contiguity to those blocks: the
+    block's 2nd..nth occurrences must be the key's IMMEDIATELY-next
+    events — any intervening event of the key (any type) breaks the
+    run, exactly the documented strict-within-loop semantics. The
+    relation between the block's first occurrence and the previous
+    block stays relaxed (followedBy), as in Flink. Event positions
+    come from one per-key rank over the distinct (key, type, ts)
+    event set ordered by (ts, type) — the declared same-timestamp
+    determinism — threaded through the slot joins like the other
+    per-slot state, so a consecutive slot is one extra equality
+    conjunct (rank = previous rank + 1); blocks NOT listed default to
+    ``allowCombinations()`` (skip-till-any), the enumeration's native
+    mode.
+
     Plan: one keyed equi-join per SLOT (sum of block maxima), each
     pruned by the ``within`` horizon AT the join — so per-key fanout
     is bounded by events-inside-one-horizon per step, never the key's
@@ -371,6 +387,12 @@ def cep_all_matches(
             raise ValueError(
                 f"condition block indices {bad} outside [1, {len(blocks)}]"
             )
+    if consecutive:
+        bad = [b for b in consecutive if not 1 <= b <= len(blocks)]
+        if bad:
+            raise ValueError(
+                f"consecutive block indices {bad} outside [1, {len(blocks)}]"
+            )
     matches = _enumerate_matches(
         events,
         blocks,
@@ -380,6 +402,7 @@ def cep_all_matches(
         type_col,
         conditions=conditions or None,
         value_col=value_col,
+        consecutive=consecutive or None,
     )
     w = Window.partitionBy(key_col).orderBy("chain")
     return (
@@ -427,6 +450,7 @@ def _enumerate_matches(
     anchor_kind: str = "first",
     conditions: dict[int, str] | None = None,
     value_col: str = "value",
+    consecutive: set[int] | None = None,
 ) -> DataFrame:
     """The uncapped distinct-event-set match enumeration shared by
     cep_all_matches and cep_after_match_skip: one within-pruned keyed
@@ -447,24 +471,41 @@ def _enumerate_matches(
     threads the chain's running value aggregates through the slot
     walk and applies each block's predicate as an extra join conjunct
     on every slot of that block (the seed is never conditioned: no
-    prior chain exists)."""
+    prior chain exists). ``consecutive`` (1-based block indices — see
+    cep_all_matches) threads the last consumed event's per-key RANK
+    (row_number over (ts, type) on the distinct event set) and
+    requires rank = prev rank + 1 on those blocks' 2nd..nth slots."""
     valued = bool(conditions)
+    ranked = bool(consecutive)
     if valued:
         ev = events.groupBy(key_col, type_col, ts_col).agg(
             F.min(value_col).alias("__v")
         )
     else:
         ev = events.select(key_col, type_col, ts_col).distinct()
+    if ranked:
+        ev = ev.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(ts_col, type_col)
+            ),
+        )
     horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
     anchored = anchor_block is not None
     _VAL_COLS = ("vsum", "vcnt", "vmin", "vmax")
 
     def extend(
-        partials: DataFrame, etype: str, in_anchor: bool, cond: str | None
+        partials: DataFrame,
+        etype: str,
+        in_anchor: bool,
+        cond: str | None,
+        consec_slot: bool,
     ) -> DataFrame:
         sel = [F.col(key_col).alias("__k"), F.col(ts_col).alias("__ts")]
         if valued:
             sel.append(F.col("__v"))
+        if ranked:
+            sel.append(F.col("__r"))
         ev_s = ev.filter(F.col(type_col) == etype).select(*sel)
         cols = [
             F.col(key_col),
@@ -488,6 +529,8 @@ def _enumerate_matches(
                 F.least("vmin", "__v").alias("vmin"),
                 F.greatest("vmax", "__v").alias("vmax"),
             ]
+        if ranked:
+            cols.append(F.col("__r").alias("lastr"))
         on = (
             (partials[key_col] == ev_s["__k"])
             & (F.col("__ts") > F.col("last"))
@@ -495,6 +538,8 @@ def _enumerate_matches(
         )
         if cond is not None:
             on = on & F.expr(cond)
+        if consec_slot:
+            on = on & (F.col("__r") == F.col("lastr") + 1)
         return partials.join(ev_s, on).select(*cols)
 
     first_type = blocks[0][0]
@@ -517,10 +562,13 @@ def _enumerate_matches(
             F.col("__v").alias("vmin"),
             F.col("__v").alias("vmax"),
         ]
+    if ranked:
+        seed_cols.append(F.col("__r").alias("lastr"))
     cur = ev.filter(F.col(type_col) == first_type).select(*seed_cols)
     for b, (etype, mn, mx) in enumerate(blocks):
         in_anchor = anchored and (b + 1) == anchor_block
         cond = (conditions or {}).get(b + 1)
+        consec = ranked and (b + 1) in consecutive
         stopped: DataFrame | None = None
         for slot in range(1, mx + 1):
             if b == 0 and slot == 1:
@@ -530,12 +578,17 @@ def _enumerate_matches(
                 stopped = (
                     cur if stopped is None else stopped.unionByName(cur)
                 )
-            cur = extend(cur, etype, in_anchor, cond)
+            # consecutive binds a block's 2nd..nth occurrences to the
+            # key's immediately-next events; the block's FIRST
+            # occurrence relates to the previous block relaxedly
+            cur = extend(cur, etype, in_anchor, cond, consec and slot > 1)
         if stopped is not None:
             cur = cur.unionByName(stopped)
 
     if valued:
         cur = cur.drop(*_VAL_COLS)
+    if ranked:
+        cur = cur.drop("lastr")
     if not anchored:
         return cur.dropDuplicates([key_col, "chain"])
     # distinct-event-set dedup that keeps the anchor: min over the

@@ -119,13 +119,16 @@ def register(
 # union_activity_feed, user_state_intervals, value_percentiles)
 # rotate FIRST in r10 — at r10 they hit the K=4 staleness budget that
 # tests/test_registry_order.py::test_staleness_budget_within_window
-# now pins structurally, so forgetting them fails the suite.
+# now pins structurally, so forgetting them fails the suite. (The
+# late-r9 cep_consecutive_clicks addition took the 32nd r6 slot, so
+# pivot_daily_activity joins that r10 spill list too.)
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 — entry()
     # --- never officially sampled (NEW r9) ---
     "cep_iterative_condition",    # T7 J4 W1 F5 — NEW r9
     "media_dup_canonicals",       # X8 X5 X4 W1 — NEW r9
+    "cep_consecutive_clicks",     # T7 J4 W1 W3 — NEW r9
     # --- last officially sampled r5 (the r8-pinned spill, 10/10) ---
     "ann_lsh_topk",               # X6
     "ivf_ann_topk",               # X6
@@ -175,7 +178,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "new_vs_returning_daily",     # T6 A3
     "pandas_udf_token_stats",     # X2 X7
     "pii_redaction_stats",        # X7 F1
-    "pivot_daily_activity",       # A1 F2
 )
 
 

@@ -175,6 +175,7 @@ def _enumeration_prefix(
     anchor_block: int | None = None,
     anchor_kind: str = "first",
     conditions: dict[int, str] | None = None,
+    consecutive: set[int] | None = None,
 ) -> str:
     """The shared enumeration replay behind all skip strategies:
     cep_all_matches slot-for-slot as chained CTEs — one extension CTE
@@ -194,11 +195,15 @@ def _enumeration_prefix(
     vsum/vcnt/vmin/vmax aggregates thread through the CTEs in chain
     order (the identical left-to-right double arithmetic), and each
     block's predicate — the very expression string the operator got,
-    rewritten over e.v / p.vsum / ... — filters its slots' joins."""
+    rewritten over e.v / p.vsum / ... — filters its slots' joins.
+    ``consecutive`` replays the looping-contiguity constraint: the
+    same per-key (ts, type) row_number rank, rank = prev + 1 on the
+    listed blocks' 2nd..nth slots."""
     horizon = f"p.t1 + INTERVAL {within_sql}"
     with_kw = "WITH RECURSIVE" if recursive else "WITH"
     anchored = anchor_block is not None
     valued = bool(conditions)
+    ranked = bool(consecutive)
     seed_anchor = (
         ", ts AS anchor"
         if anchored and anchor_block == 1
@@ -207,18 +212,22 @@ def _enumeration_prefix(
         else ""
     )
     seed_vals = ", v AS vsum, 1 AS vcnt, v AS vmin, v AS vmax" if valued else ""
-    ev_sql = (
-        """SELECT user_id, event_type, ts, MIN(value) AS v
+    seed_rank = ", r AS lastr" if ranked else ""
+    if valued:
+        ev_sql = """SELECT user_id, event_type, ts, MIN(value) AS v
   FROM events GROUP BY user_id, event_type, ts"""
-        if valued
-        else "SELECT DISTINCT user_id, event_type, ts FROM events"
-    )
+    else:
+        ev_sql = "SELECT DISTINCT user_id, event_type, ts FROM events"
+    if ranked:
+        ev_sql = f"""SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts, event_type) AS r
+  FROM ({ev_sql})"""
     parts = [
         f"""{with_kw} ev AS MATERIALIZED (
   {ev_sql}
 )""",
         f""", c1 AS MATERIALIZED (
-  SELECT user_id, ts AS t1, ts AS last, [epoch_us(ts)] AS chain{seed_anchor}{seed_vals}
+  SELECT user_id, ts AS t1, ts AS last, [epoch_us(ts)] AS chain{seed_anchor}{seed_vals}{seed_rank}
   FROM ev WHERE event_type = '{blocks[0][0]}'
 )""",
     ]
@@ -229,7 +238,13 @@ def _enumeration_prefix(
             cond = cond.replace(name, f"p.{name}")
         return cond.replace("__v", "e.v")
 
-    def extend(src: str, etype: str, in_anchor: bool, cond: str | None) -> str:
+    def extend(
+        src: str,
+        etype: str,
+        in_anchor: bool,
+        cond: str | None,
+        consec_slot: bool,
+    ) -> str:
         nonlocal n_cte
         n_cte += 1
         if not anchored:
@@ -246,11 +261,17 @@ def _enumeration_prefix(
             if valued
             else ""
         )
-        where_sql = f"\n  WHERE {cond_sql(cond)}" if cond is not None else ""
+        rank_sql = ", e.r AS lastr" if ranked else ""
+        conj = []
+        if cond is not None:
+            conj.append(cond_sql(cond))
+        if consec_slot:
+            conj.append("e.r = p.lastr + 1")
+        where_sql = f"\n  WHERE {' AND '.join(conj)}" if conj else ""
         parts.append(
             f""", c{n_cte} AS MATERIALIZED (
   SELECT p.user_id, p.t1, e.ts AS last,
-         list_append(p.chain, epoch_us(e.ts)) AS chain{anchor_sql}{vals_sql}
+         list_append(p.chain, epoch_us(e.ts)) AS chain{anchor_sql}{vals_sql}{rank_sql}
   FROM {src} p JOIN ev e
     ON e.user_id = p.user_id AND e.event_type = '{etype}'
    AND e.ts > p.last AND e.ts <= {horizon}{where_sql}
@@ -262,13 +283,14 @@ def _enumeration_prefix(
     for b, (etype, mn, mx) in enumerate(blocks):
         in_anchor = anchored and (b + 1) == anchor_block
         cond = (conditions or {}).get(b + 1)
+        consec = ranked and (b + 1) in consecutive
         stopped: list[str] = []
         for slot in range(1, mx + 1):
             if b == 0 and slot == 1:
                 continue  # the c1 seed
             if slot > mn:
                 stopped.append(cur)
-            cur = extend(cur, etype, in_anchor, cond)
+            cur = extend(cur, etype, in_anchor, cond, consec and slot > 1)
         if stopped:
             n_cte += 1
             union = "\n  UNION ALL ".join(
@@ -318,6 +340,17 @@ def _iterative_oracle(
 ) -> str:
     return _enumeration_prefix(
         blocks, within_sql, recursive=False, conditions=conditions
+    ) + _MATCH_PROJECTION.format(src="dedup", cap=cap)
+
+
+def _consecutive_oracle(
+    blocks: list[tuple[str, int, int]],
+    within_sql: str,
+    cap: int,
+    consecutive: set[int],
+) -> str:
+    return _enumeration_prefix(
+        blocks, within_sql, recursive=False, consecutive=consecutive
     ) + _MATCH_PROJECTION.format(src="dedup", cap=cap)
 
 
@@ -695,6 +728,44 @@ def cep_iterative_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ITER_WITHIN,
         max_matches_per_key=_ALL_CAP,
         conditions=_ITER_CONDS,
+    )
+
+
+_CONSEC_BLOCKS: list[tuple[str, int, int]] = [
+    ("click", 2, 3),     # times(2,3).consecutive() — back-to-back run
+    ("purchase", 1, 1),  # relaxed follow-up
+]
+_CONSEC_SET = {1}
+_CONSEC_WITHIN = "24 hours"
+
+
+@register(
+    "cep_consecutive_clicks",
+    survey_rows=("T7", "J4", "W1", "W3"),
+    oracle=_consecutive_oracle(
+        _CONSEC_BLOCKS, "24 HOUR", _ALL_CAP, _CONSEC_SET
+    ),
+)
+def cep_consecutive_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``times(2,3).consecutive()`` — looping-block CONTIGUITY,
+    the quantifier modifier the enumeration's native skip-till-any
+    (``allowCombinations()``) mode doesn't express: a run of 2–3
+    BACK-TO-BACK clicks (the user's immediately-successive events —
+    any intervening event of any type breaks the run) followed
+    relaxedly by a purchase within 24 h, 'rage-clicked then bought'.
+    Positions come from one per-key (ts, event_type) row_number rank
+    threaded through the slot joins; a consecutive slot is one extra
+    rank = prev + 1 equality conjunct, so the plan keeps the
+    horizon-pruned keyed-join shape. The oracle replays the identical
+    rank and slot walk; brute-force property test on adversarial
+    streams covers the rank tie order."""
+    ev = load(spark, sf_dir, "events")
+    return cep_all_matches(
+        ev,
+        _CONSEC_BLOCKS,
+        _CONSEC_WITHIN,
+        max_matches_per_key=_ALL_CAP,
+        consecutive=_CONSEC_SET,
     )
 
 

@@ -733,6 +733,7 @@ def _make_cep_am_fn(
     skip_block: int | None,
     cap: int | None,
     conditions: dict | None = None,
+    consecutive: set[int] | None = None,
 ):
     """State fn for streaming ALL-matches CEP with after-match skip
     strategies — the live twin of operators/cep.py::cep_after_match_skip.
@@ -776,7 +777,18 @@ def _make_cep_am_fn(
     same-ts group resolves duplicate (type, ts) values MIN-first —
     the batch identity. Python callables here (the automaton is
     already per-event Python) mirror the batch side's SQL strings;
-    the stream ≡ batch test passes an equivalent pair."""
+    the stream ≡ batch test passes an equivalent pair.
+
+    ``consecutive`` (1-based block indices) is the live face of the
+    batch looping contiguity: the state carries a per-key arrival
+    SEQUENCE counter over distinct (type, ts) events (same-ts group
+    members numbered in type order — exactly the batch rank's
+    (ts, type) order under the in-order arrival contract), each
+    partial remembers its last consumed sequence number, and a
+    consecutive block's 2nd..nth consumption requires seq = last + 1.
+    The counter lives only while the key's row does; an era restart
+    after full quiescence is sound because adjacency is a DIFFERENCE
+    and no live chain can span a fully-drained gap."""
     import json as _json
 
     k_blocks = len(blocks)
@@ -785,6 +797,9 @@ def _make_cep_am_fn(
     mxs = [b[2] for b in blocks]
     valued = bool(conditions)
     conditions = conditions or {}
+    ranked = bool(consecutive)
+    consecutive = consecutive or set()
+    composite = valued or ranked  # partial values are lists
     anchored = strategy in ("skip_to_first", "skip_to_last")
     tail_optional = [False] * k_blocks  # blocks after i all optional?
     opt = True
@@ -798,18 +813,20 @@ def _make_cep_am_fn(
         else:
             st = {"p": {}, "R": None, "starts": [], "ivls": [], "n": 0}
         # partials dict: key "b|taken|c1,c2,.." -> anchor (or None);
-        # valued mode stores [anchor, vsum, vcnt, vmin, vmax] instead
-        # (duplicate block assignments of one chain share identical
-        # aggregates — a chain's values are a function of its event
-        # set — so only the anchor ever needs merging)
+        # composite modes store a LIST instead — [anchor(, vsum, vcnt,
+        # vmin, vmax)(, lastr)] — and only the anchor ever needs
+        # merging: a chain's value aggregates and last-event sequence
+        # are functions of its event set, identical across duplicate
+        # block assignments.
         parts: dict = st["p"]
+        st.setdefault("q", 0)  # arrival-sequence counter (ranked mode)
         out: list[tuple] = []
 
         def val_anchor(val):
-            return val[0] if valued else val
+            return val[0] if composite else val
 
         def merge_anchor(val, anchor):
-            old = val[0] if valued else val
+            old = val[0] if composite else val
             m = (
                 anchor
                 if old is None
@@ -817,7 +834,7 @@ def _make_cep_am_fn(
                 if anchor is None
                 else min(old, anchor)
             )
-            return [m, *val[1:]] if valued else m
+            return [m, *val[1:]] if composite else m
 
         def pkey(chain, b, taken):
             return f"{b}|{taken}|{','.join(map(str, chain))}"
@@ -909,11 +926,18 @@ def _make_cep_am_fn(
             if cap is not None and st["n"] >= cap:
                 break
             prune_vs_ts(ts)
+            if ranked:
+                # arrival sequence numbers for this ts-group, assigned
+                # in TYPE order (the batch rank's (ts, type) order)
+                seqs = {
+                    et: st["q"] + 1 + j for j, et in enumerate(sorted(group))
+                }
+                st["q"] += len(group)
             # FORK extensions of every live partial (the original
             # survives — skip-till-any-match), plus the seed.
             fresh: dict = {}
 
-            def fork(chain, b, taken, anchor, aggs=None):
+            def fork(chain, b, taken, anchor, extras=()):
                 kk = pkey(chain, b, taken)
                 if kk in parts:
                     parts[kk] = merge_anchor(parts[kk], anchor)
@@ -921,15 +945,17 @@ def _make_cep_am_fn(
                 if kk in fresh:
                     fresh[kk] = merge_anchor(fresh[kk], anchor)
                     return
-                fresh[kk] = [anchor, *aggs] if valued else anchor
+                fresh[kk] = [anchor, *extras] if composite else anchor
 
             for etype, v in group.items():
+                seq = seqs[etype] if ranked else None
                 for s, pval in list(parts.items()):
                     chain, b, taken = punpack(s)
                     if ts <= chain[-1] or ts > chain[0] + within_us:
                         continue
                     panchor = val_anchor(pval)
-                    aggs = pval[1:] if valued else None
+                    aggs = pval[1:5] if valued else None
+                    lastr = pval[-1] if ranked else None
                     # epsilon closure: this partial may also stand at
                     # the start of any later block once its own
                     # minimum is met
@@ -943,6 +969,13 @@ def _make_cep_am_fn(
                             chk = conditions.get(pb + 1)
                             if valued and chk and not chk(v, *aggs):
                                 continue  # iterative condition failed
+                            if (
+                                ranked
+                                and pt >= 1
+                                and (pb + 1) in consecutive
+                                and seq != lastr + 1
+                            ):
+                                continue  # looping contiguity broken
                             a = panchor
                             if anchored and pb + 1 == skip_block:
                                 # "last": every consumed event
@@ -955,20 +988,17 @@ def _make_cep_am_fn(
                                     or panchor is None
                                     else panchor
                                 )
-                            fork(
-                                chain + [ts],
-                                pb,
-                                pt + 1,
-                                a,
-                                [
+                            extras = []
+                            if valued:
+                                extras += [
                                     aggs[0] + v,
                                     aggs[1] + 1,
                                     min(aggs[2], v),
                                     max(aggs[3], v),
                                 ]
-                                if valued
-                                else None,
-                            )
+                            if ranked:
+                                extras.append(seq)
+                            fork(chain + [ts], pb, pt + 1, a, extras)
                 if etype == types[0]:
                     a = (
                         ts
@@ -976,7 +1006,12 @@ def _make_cep_am_fn(
                         else None
                     )
                     # the seed is never conditioned (no prior chain)
-                    fork([ts], 0, 1, a, [v, 1, v, v] if valued else None)
+                    extras = []
+                    if valued:
+                        extras += [v, 1, v, v]
+                    if ranked:
+                        extras.append(seq)
+                    fork([ts], 0, 1, a, extras)
             # completions among the NEW forks: minimum met and every
             # later block optional — dedup identical chains across the
             # WHOLE group (min anchor; two same-ts events of different
@@ -1097,6 +1132,7 @@ def cep_all_matches_stream(
     watermark_delay: str = "0 seconds",
     conditions: dict | None = None,
     value_col: str = "value",
+    consecutive: set[int] | None = None,
 ) -> DataFrame:
     """Streaming ALL-matches CEP enumeration with the full after-match
     skip-strategy enum — the live twin of
@@ -1115,7 +1151,10 @@ def cep_all_matches_stream(
     vcnt, vmin, vmax) -> bool`` Python callables) adds the batch
     operator's ITERATIVE CONDITIONS — the live face of
     cep_all_matches(conditions=...), whose SQL-string predicates a
-    caller mirrors here as callables."""
+    caller mirrors here as callables. ``consecutive`` (1-based block
+    indices) adds the looping contiguity of
+    cep_all_matches(consecutive=...) via a per-key arrival-sequence
+    counter in state (see _make_cep_am_fn)."""
     from flink_realtime_edu_spark.operators.cep import _normalize_blocks
 
     blocks = _normalize_blocks(steps)
@@ -1141,6 +1180,12 @@ def cep_all_matches_stream(
             raise ValueError(
                 f"condition block indices {bad} outside [1, {len(blocks)}]"
             )
+    if consecutive:
+        bad = [b for b in consecutive if not 1 <= b <= len(blocks)]
+        if bad:
+            raise ValueError(
+                f"consecutive block indices {bad} outside [1, {len(blocks)}]"
+            )
     within_us = _parse_within_us(within)
     cols = [
         F.col(key_col).alias("user_id"),
@@ -1160,6 +1205,7 @@ def cep_all_matches_stream(
             skip_block,
             max_matches_per_key,
             conditions,
+            consecutive,
         ),
         outputStructType=CEP_AM_OUTPUT_SCHEMA,
         stateStructType=CEP_AM_STATE_SCHEMA,

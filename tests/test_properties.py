@@ -861,6 +861,109 @@ def test_cep_iterative_condition_equals_bruteforce(
 
 
 @given(
+    n=st.integers(min_value=0, max_value=60),
+    n_users=st.integers(min_value=1, max_value=4),
+    mx1=st.integers(min_value=2, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_consecutive_equals_bruteforce(spark, n, n_users, mx1, seed):
+    """Looping-block contiguity (Flink times(m,n).consecutive())
+    against a brute-force enumeration threading per-assignment event
+    RANKS on adversarial random streams (duplicate timestamps — the
+    rank's (ts, type) tie order is the declared determinism): a
+    consecutive block's 2nd..nth occurrences must have rank exactly
+    prev + 1, the block's first occurrence relates to the previous
+    block relaxedly, and a chain is kept iff SOME assignment
+    satisfies the contiguity. Identical chain sets, ranks, caps."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type"
+    )
+    blocks = [("click", 2, mx1), ("purchase", 1, 1)]
+    consecutive = {1}
+    within_us, cap = 30 * 1_000_000, 3
+
+    def brute(evs: set[tuple[int, str]]) -> list[tuple[str, int]]:
+        ranked = {
+            e: i + 1 for i, e in enumerate(sorted(evs))  # (ts, type) order
+        }
+        chains: set[tuple[int, ...]] = set()
+
+        def rec(bi, taken, last, t1, chain, lastr):
+            if bi == len(blocks):
+                chains.add(tuple(chain))
+                return
+            etype, mn, mx = blocks[bi]
+            if taken >= mn:
+                rec(bi + 1, 0, last, t1, chain, lastr)
+            if taken < mx:
+                for e in evs:
+                    ts, t = e
+                    if t != etype or (last is not None and ts <= last):
+                        continue
+                    if t1 is not None and ts - t1 > within_us:
+                        continue
+                    if (
+                        bi + 1 in consecutive
+                        and taken >= 1
+                        and ranked[e] != lastr + 1
+                    ):
+                        continue
+                    rec(
+                        bi,
+                        taken + 1,
+                        ts,
+                        ts if t1 is None else t1,
+                        chain + [ts],
+                        ranked[e],
+                    )
+
+        rec(0, 0, None, None, [], None)
+        return [
+            ("|".join(map(str, c)), i + 1)
+            for i, c in enumerate(sorted(chains)[:cap])
+        ]
+
+    epoch_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+    expect = []
+    for uid in range(n_users):
+        evs = {
+            ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            for _, s, u, t in rows
+            if u == uid
+        }
+        expect += [(uid, cs, m) for cs, m in brute(evs)]
+    got = sorted(
+        (r.user_id, r.chain_str, r.match_no)
+        for r in cep_all_matches(
+            ev,
+            blocks,
+            "30 seconds",
+            max_matches_per_key=cap,
+            consecutive=consecutive,
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
+@given(
     n=st.integers(min_value=0, max_value=50),
     n_users=st.integers(min_value=1, max_value=3),
     strategy=st.sampled_from(

@@ -1870,6 +1870,62 @@ def test_cep_iterative_condition_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_cep_consecutive_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming NFA's looping contiguity (consecutive blocks via
+    the per-key arrival-sequence counter) must reproduce the batch
+    rank-threaded enumeration exactly on an ordered replay — the
+    sequence counter carries across micro-batch boundaries, same-ts
+    groups number their members in type order (the batch rank's
+    (ts, type) tie), and any intervening event of any type breaks a
+    run."""
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+    from flink_realtime_edu_spark.streaming.cep import cep_all_matches_stream
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    blocks = [("click", 2, 3), ("purchase", 1, 1)]
+    within = "24 hours"
+    consecutive = {1}
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    src = tmp_path / "amcs_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+
+    stream = cep_all_matches_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        blocks,
+        within,
+        consecutive=consecutive,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("amcs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_amcs"))
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in spark.sql("SELECT * FROM amcs_stream").collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in cep_all_matches(
+            ev, blocks, within, max_matches_per_key=10**6,
+            consecutive=consecutive,
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_cep_all_matches_stream_cap_is_per_key_total(spark, tmp_path):
     """ADVICE r9 low: max_matches_per_key is a per-key TOTAL like the
     batch operator's — a key that reached its cap must stay capped
