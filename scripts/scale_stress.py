@@ -301,6 +301,7 @@ def bench_at(spark, sf_dir: str, names, repeats: int = 2) -> dict[str, float]:
     registry = load_registry()
     timings = {}
     for name in names:
+        print(f"[sweep] {sf_dir} {name}", file=sys.stderr, flush=True)
         registry[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()  # warmup
@@ -627,6 +628,7 @@ def main() -> None:
         # construction, like its two inputs)
         "cep_iterative_condition",
         "media_dup_canonicals",
+        "cep_consecutive_clicks",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
