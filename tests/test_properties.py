@@ -966,6 +966,120 @@ def test_cep_consecutive_equals_bruteforce(spark, n, n_users, mx1, seed):
 @given(
     n=st.integers(min_value=0, max_value=50),
     n_users=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_iterative_and_consecutive_compose(spark, n, n_users, seed):
+    """Iterative conditions AND looping contiguity on the SAME
+    pattern: both thread per-slot state (value aggregates, ranks)
+    through the same joins and the stop∪extend unions are positional
+    in the oracle — a column-ordering or state-crosstalk bug shows up
+    only when they compose. Brute force threads both."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+            float(rng.randrange(8)),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    blocks = [("click", 2, 3), ("purchase", 1, 1)]
+    consecutive = {1}
+    conditions = {2: "__v >= vmax"}
+    chk2 = lambda v, s, c, mn, mx: v >= mx  # noqa: E731
+    within_us, cap = 30 * 1_000_000, 3
+
+    def brute(evs: dict[tuple[int, str], float]) -> list[tuple[str, int]]:
+        ranked = {e: i + 1 for i, e in enumerate(sorted(evs))}
+        chains: set[tuple[int, ...]] = set()
+
+        def rec(bi, taken, last, t1, chain, lastr, vsum, vcnt, vmn, vmx):
+            if bi == len(blocks):
+                chains.add(tuple(chain))
+                return
+            etype, mn, mx = blocks[bi]
+            if taken >= mn:
+                rec(bi + 1, 0, last, t1, chain, lastr, vsum, vcnt, vmn, vmx)
+            if taken < mx:
+                for e, v in evs.items():
+                    ts, t = e
+                    if t != etype or (last is not None and ts <= last):
+                        continue
+                    if t1 is not None and ts - t1 > within_us:
+                        continue
+                    if (
+                        bi + 1 in consecutive
+                        and taken >= 1
+                        and ranked[e] != lastr + 1
+                    ):
+                        continue
+                    if chain and bi + 1 == 2 and not chk2(v, vsum, vcnt, vmn, vmx):
+                        continue
+                    rec(
+                        bi,
+                        taken + 1,
+                        ts,
+                        ts if t1 is None else t1,
+                        chain + [ts],
+                        ranked[e],
+                        vsum + v,
+                        vcnt + 1,
+                        v if vmn is None else min(vmn, v),
+                        v if vmx is None else max(vmx, v),
+                    )
+
+        rec(0, 0, None, None, [], None, 0.0, 0, None, None)
+        return [
+            ("|".join(map(str, c)), i + 1)
+            for i, c in enumerate(sorted(chains)[:cap])
+        ]
+
+    epoch_2024 = 1704067200
+    expect = []
+    for uid in range(n_users):
+        evs: dict[tuple[int, str], float] = {}
+        for _, s, u, t, v in rows:
+            if u != uid:
+                continue
+            k = ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            evs[k] = min(evs[k], v) if k in evs else v
+        expect += [(uid, cs, m) for cs, m in brute(evs)]
+    got = sorted(
+        (r.user_id, r.chain_str, r.match_no)
+        for r in cep_all_matches(
+            ev,
+            blocks,
+            "30 seconds",
+            max_matches_per_key=cap,
+            conditions=conditions,
+            consecutive=consecutive,
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=50),
+    n_users=st.integers(min_value=1, max_value=3),
     strategy=st.sampled_from(
         [
             ("skip_to_next", None),
