@@ -132,14 +132,17 @@ def test_oracle_column_names_alias_discipline():
 def test_staleness_budget_within_window():
     """The K=4 staleness budget (VERDICT r8 item 8), the complement of
     the never-sampled pin: with R the newest recorded official round,
-    any query whose last all-green official sample is round R-3 or
-    older (4+ rounds stale once the NEXT round's window runs) must sit
-    inside the current check-window prefix — so a rotation that plans
-    to spill an overdue query fails the suite instead of silently
-    stretching the ledger. Never-sampled queries (last round 0) are
-    subsumed. With 155 registered queries and a 50-slot window the
-    steady-state staleness is ~3 rounds, so K=4 binds exactly when a
-    rotation forgets its spill obligation."""
+    any query whose last all-green official sample is round R-4 or
+    older must sit inside the current check-window prefix — so a
+    rotation that plans to spill an overdue query fails the suite
+    instead of silently stretching the ledger. Never-sampled queries
+    (last round 0) are subsumed. With ~156 registered queries and a
+    50-slot window the steady-state staleness is slightly over 3
+    rounds (156/50 = 3.12), so a threshold of R-3 trips on EVERY
+    correct rotation the moment the new ledger lands (the r9 lesson —
+    ADVICE r9 item 1); R-4 binds exactly when a rotation forgets its
+    spill obligation and stays green across the round boundary when
+    the rotation honored it."""
     import json
     import re
     from pathlib import Path
@@ -158,7 +161,7 @@ def test_staleness_budget_within_window():
                 last[name] = max(last.get(name, 0), rnd)
     window = set(list(reg)[:DRIVER_CHECK_WINDOW])
     overdue = {
-        n for n in reg if last.get(n, 0) <= newest - 3 and n not in window
+        n for n in reg if last.get(n, 0) <= newest - 4 and n not in window
     }
     assert not overdue, f"queries overdue past the K=4 budget: {sorted(overdue)}"
 
