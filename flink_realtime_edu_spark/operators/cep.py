@@ -478,8 +478,16 @@ def _enumerate_matches(
     valued = bool(conditions)
     ranked = bool(consecutive)
     if valued:
-        ev = events.groupBy(key_col, type_col, ts_col).agg(
-            F.min(value_col).alias("__v")
+        # valued-mode event identity EXCLUDES NULL-valued rows (the
+        # declared contract shared with the streaming twin, ADVICE
+        # r10): MIN over the non-null duplicates resolves the triple's
+        # value, and a triple with only NULL values is not a valued
+        # event at all — otherwise it would poison vsum downstream in
+        # batch while crashing the streaming NFA's float() coercion.
+        ev = (
+            events.filter(F.col(value_col).isNotNull())
+            .groupBy(key_col, type_col, ts_col)
+            .agg(F.min(value_col).alias("__v"))
         )
     else:
         ev = events.select(key_col, type_col, ts_col).distinct()

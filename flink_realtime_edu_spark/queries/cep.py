@@ -10,6 +10,8 @@ lead-conjunction window replays ``cep_strict_matches`` exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_realtime_edu_spark.operators.cep import (
@@ -215,7 +217,8 @@ def _enumeration_prefix(
     seed_rank = ", r AS lastr" if ranked else ""
     if valued:
         ev_sql = """SELECT user_id, event_type, ts, MIN(value) AS v
-  FROM events GROUP BY user_id, event_type, ts"""
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, event_type, ts"""
     else:
         ev_sql = "SELECT DISTINCT user_id, event_type, ts FROM events"
     if ranked:
@@ -234,9 +237,11 @@ def _enumeration_prefix(
     n_cte = 1
 
     def cond_sql(cond: str) -> str:
-        for name in ("vsum", "vcnt", "vmin", "vmax"):
-            cond = cond.replace(name, f"p.{name}")
-        return cond.replace("__v", "e.v")
+        # word-boundary rewrites (ADVICE r9): naive str.replace would
+        # corrupt conditions embedding these names inside longer
+        # identifiers or literals
+        cond = re.sub(r"\b(vsum|vcnt|vmin|vmax)\b", r"p.\1", cond)
+        return re.sub(r"\b__v\b", "e.v", cond)
 
     def extend(
         src: str,

@@ -410,6 +410,12 @@ def cep_with_timeouts_stream(
     )
 
 
+# STATE-SCHEMA BREAK (r9, ADVICE r10 note): cur_ts/cur_dead were
+# dropped from this schema in r9 (dead code — a kill provably
+# requires t1 < ts), which INVALIDATES streaming checkpoints taken by
+# cep_no_followed_by_stream queries on r8 trees: state rows no longer
+# deserialize on restart. Running queries need fresh checkpoint
+# directories after upgrading across r8 -> r9.
 CEP_NFB_STATE_SCHEMA = (
     "done BOOLEAN, p_t1 ARRAY<LONG>, p_stage ARRAY<INT>, "
     "p_tprev ARRAY<LONG>, end_us LONG"
@@ -1196,6 +1202,12 @@ def cep_all_matches_stream(
     ]
     if conditions:
         cols.append(F.col(value_col).cast("double").alias("__v"))
+        # valued-mode event identity excludes NULL-valued rows on BOTH
+        # engines (ADVICE r10: float(None) would crash the NFA here,
+        # while the batch twin's MIN(value) silently ignored them —
+        # the shared contract is now an explicit IS NOT NULL on the
+        # valued event set, see operators/cep.py::_enumerate_matches)
+        events = events.filter(F.col(value_col).isNotNull())
     prepared = events.withWatermark(ts_col, watermark_delay).select(*cols)
     out = prepared.groupBy("user_id").applyInPandasWithState(
         _make_cep_am_fn(

@@ -155,6 +155,11 @@ def main() -> None:
     t_guarded2, _ = timed(guarded)
     t_naive2, _ = timed(naive)
     assert n_naive == n_guarded, (n_naive, n_guarded)
+    # content equality, not just counts (ADVICE r9): both directions
+    # of exceptAll must be empty for the A/B claim to hold
+    extra = naive.exceptAll(guarded).count()
+    missing = guarded.exceptAll(naive).count()
+    assert extra == 0 and missing == 0, (extra, missing)
 
     print(
         json.dumps(

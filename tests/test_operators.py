@@ -1059,3 +1059,44 @@ def test_cep_all_matches_dedup_cap_and_validation(spark):
         cep_all_matches(ev, [("A", 1, 1)], "1 hour")
     with pytest.raises(ValueError, match="max_matches_per_key"):
         cep_all_matches(ev, [("A", 1, 2)], "1 hour", max_matches_per_key=0)
+
+
+def test_cep_valued_mode_excludes_null_values(spark):
+    """The valued-mode event identity EXCLUDES NULL-valued rows on
+    both engines (ADVICE r10): a (key, type, ts) triple with some
+    non-null duplicates resolves to MIN of the non-nulls, and a
+    triple whose every value is NULL is not a valued event at all —
+    it can neither seed nor extend a conditioned chain (batch would
+    otherwise poison vsum; the streaming NFA would crash coercing
+    None)."""
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rows = [
+        (0, "2024-01-01 00:00:01", 1, "click", 5.0),
+        (1, "2024-01-01 00:00:02", 1, "click", None),  # all-NULL triple
+        (2, "2024-01-01 00:00:03", 1, "purchase", 9.0),
+        (3, "2024-01-01 00:00:03", 1, "purchase", None),  # mixed dup
+        (4, "2024-01-01 00:00:01", 2, "click", None),  # NULL seed
+        (5, "2024-01-01 00:00:02", 2, "purchase", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, "
+        "event_type string, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = cep_all_matches(
+        ev,
+        [("click", 1, 2), ("purchase", 1, 1)],
+        "1 hour",
+        conditions={2: "__v > vmax"},
+    ).collect()
+    # user 1: the NULL click at :02 is NOT an event, so the only
+    # chain is click@:01 -> purchase@:03 with __v = MIN(non-null) = 9
+    # satisfying 9 > 5; user 2's only click is all-NULL -> no seed.
+    assert [(r.user_id, r.n_events) for r in out] == [(1, 2)]
