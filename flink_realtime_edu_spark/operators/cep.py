@@ -34,8 +34,32 @@ checks, not smoke tests.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# does an until() stop expression read the event's value? (decides
+# whether the valued event identity — NULL-excluded MIN-per-triple —
+# applies even without iterative conditions)
+_UNTIL_VALUE_REF = re.compile(r"\b__v\b")
+
+
+def _parse_within_us(within: str) -> int:
+    """'<n> hours' / '<n> minutes' style horizon → microseconds (the
+    same grammar the streaming NFA accepts)."""
+    qty, unit = within.split()
+    mult = {
+        "second": 1,
+        "seconds": 1,
+        "minute": 60,
+        "minutes": 60,
+        "hour": 3600,
+        "hours": 3600,
+        "day": 86400,
+        "days": 86400,
+    }[unit.lower()]
+    return int(qty) * mult * 1_000_000
 
 
 def cep_first_match(
@@ -295,7 +319,7 @@ def cep_times(
 
 def cep_all_matches(
     events: DataFrame,
-    steps: list[str | tuple[str, int, int]],
+    steps: list[str | tuple[str, int, int | None]],
     within: str,
     max_matches_per_key: int = 100,
     key_col: str = "user_id",
@@ -304,6 +328,9 @@ def cep_all_matches(
     conditions: dict[int, str] | None = None,
     value_col: str = "value",
     consecutive: set[int] | None = None,
+    until: dict[int, str] | None = None,
+    greedy: set[int] | None = None,
+    max_loop_slots: int = 64,
 ) -> DataFrame:
     """ALL-matches enumeration under relaxed contiguity — Flink's
     ``AfterMatchSkipStrategy.skipToNext()`` / skip-till-any-match
@@ -368,16 +395,72 @@ def cep_all_matches(
     ``allowCombinations()`` (skip-till-any), the enumeration's native
     mode.
 
+    UNBOUNDED LOOPING blocks — Flink's ``oneOrMore()`` /
+    ``timesOrMore(m)`` — are ``(type, m, None)``: no declared upper
+    bound. Their loop contiguity is Flink's DEFAULT for looping
+    patterns, RELAXED: the block consumes a CONTIGUOUS run of the
+    key's candidates of its type (events of other types are skipped;
+    a same-type candidate is never skipped mid-run), starting at any
+    candidate — on input b1 b2 b3, ``b.oneOrMore()`` matches {b1},
+    {b1 b2}, {b1 b2 b3}, {b2}, {b2 b3}, {b3}, exactly the documented
+    Flink relaxed-loop expansion (allowCombinations' subset expansion
+    applies only to FINITE ``times(m,n)`` blocks here, as before).
+    Listing an unbounded block in ``consecutive`` tightens its runs
+    to strict contiguity as usual. Iterative ``conditions`` are NOT
+    supported on unbounded blocks (candidacy must be branch-
+    independent for the run encoding; ``until`` is the supported way
+    to stop a loop on data) — a condition there raises.
+
+    ``until`` (1-based block index -> SQL boolean over ``__v`` and
+    the type column) is Flink's ``until()`` loop-stop condition,
+    restricted to unbounded blocks as in Flink: an event satisfying
+    the expression is a STOP event. Declared semantics (the NFA's
+    blocked take+ignore transitions, oracle-exact): the loop never
+    consumes a stop event, and a stop event strictly between the
+    chain's last pre-loop event and the loop's first consumed event,
+    between two consumed loop events, or between the last consumed
+    loop event and the chain's next consumed event KILLS the chain —
+    branches that already proceeded past the loop are unaffected,
+    and a stop event AT the very timestamp of a consumed event does
+    not kill (same-ts events carry no order, the declared tie rule).
+    When the expression reads ``__v`` the valued event identity
+    applies (MIN over non-NULL duplicates, NULL-only triples
+    excluded) even without ``conditions``.
+
+    ``greedy`` (a set of 1-based UNBOUNDED block indices) is Flink's
+    ``greedy()`` quantifier preference: the loop consumes the
+    MAXIMAL run before the pattern may proceed — a chain is kept
+    only if, at its first consumption after the loop at timestamp n,
+    the run could not have extended: the candidate following the
+    run's last event does not exist, lies beyond the chain's
+    ``within`` horizon, or arrives at-or-after n. Like Flink, a
+    greedy block must not be the pattern's last element, and
+    combining greedy with ``consecutive`` on one block is not
+    supported.
+
     Plan: one keyed equi-join per SLOT (sum of block maxima), each
     pruned by the ``within`` horizon AT the join — so per-key fanout
     is bounded by events-inside-one-horizon per step, never the key's
     history; optional slots fork via unionByName (stop ∪ extend), a
-    plan-width cost only. The combinatorial intermediate is the
-    SEMANTICS of all-matches enumeration (Flink pays it as NFA branch
-    state); the cap bounds the output via one window rank per key.
-    Callers with dense keys should bound ``within`` first — exactly
-    as in Flink, where an unbounded skip-till-any pattern is a
-    documented state explosion."""
+    plan-width cost only. An UNBOUNDED block's slot count is
+    DATA-DEPENDENT, resolved before planning by one scalar aggregate:
+    the maximum contiguous-candidate run length inside any single
+    ``within`` window (stop events segment the candidate stream
+    first, so an effective ``until`` directly shrinks the plan — the
+    horizon is the hard backstop, ``until`` the data-dependent
+    bound). A resolved bound above ``max_loop_slots`` raises rather
+    than silently truncating — the same state explosion an unbounded
+    skip-till-any pattern is documented to be in Flink. All loop
+    constraints (run contiguity via one per-(key, type) rank,
+    stop-gap via one per-key next-stop timestamp, greedy maximality
+    via one per-(key, type) lead) thread through the slot joins as
+    scalar columns and plain join conjuncts — no Python in the batch
+    path. The combinatorial intermediate is the SEMANTICS of
+    all-matches enumeration (Flink pays it as NFA branch state); the
+    cap bounds the output via one window rank per key. Callers with
+    dense keys should bound ``within`` first — exactly as in Flink,
+    where an unbounded skip-till-any pattern is a documented state
+    explosion."""
     blocks = _normalize_blocks(steps)
     if max_matches_per_key < 1:
         raise ValueError("max_matches_per_key must be >= 1")
@@ -393,6 +476,37 @@ def cep_all_matches(
             raise ValueError(
                 f"consecutive block indices {bad} outside [1, {len(blocks)}]"
             )
+    unbounded = {i for i, (_, _, mx) in enumerate(blocks, 1) if mx is None}
+    if until:
+        bad = [b for b in until if b not in unbounded]
+        if bad:
+            raise ValueError(
+                f"until applies only to unbounded looping blocks "
+                f"(oneOrMore/timesOrMore); {bad} are bounded"
+            )
+    if conditions and unbounded & set(conditions):
+        raise ValueError(
+            f"iterative conditions are not supported on unbounded blocks "
+            f"{sorted(unbounded & set(conditions))}; use until to stop a "
+            f"loop on data"
+        )
+    if greedy:
+        bad = [g for g in greedy if g not in unbounded]
+        if bad:
+            raise ValueError(
+                f"greedy applies only to unbounded looping blocks; "
+                f"{bad} are bounded"
+            )
+        if len(blocks) in greedy:
+            raise ValueError(
+                "a greedy block must not be the pattern's last element "
+                "(Flink parity)"
+            )
+        if consecutive and greedy & consecutive:
+            raise ValueError(
+                f"greedy + consecutive on one block is not supported: "
+                f"{sorted(greedy & consecutive)}"
+            )
     matches = _enumerate_matches(
         events,
         blocks,
@@ -403,6 +517,9 @@ def cep_all_matches(
         conditions=conditions or None,
         value_col=value_col,
         consecutive=consecutive or None,
+        until=until or None,
+        greedy=greedy or None,
+        max_loop_slots=max_loop_slots,
     )
     w = Window.partitionBy(key_col).orderBy("chain")
     return (
@@ -422,26 +539,35 @@ def cep_all_matches(
 
 
 def _normalize_blocks(
-    steps: list[str | tuple[str, int, int]],
-) -> list[tuple[str, int, int]]:
-    blocks: list[tuple[str, int, int]] = [
-        (s, 1, 1) if isinstance(s, str) else (s[0], int(s[1]), int(s[2]))
+    steps: list[str | tuple[str, int, int | None]],
+) -> list[tuple[str, int, int | None]]:
+    """``max = None`` declares an UNBOUNDED looping block — Flink's
+    ``oneOrMore()`` is ``(t, 1, None)`` and ``timesOrMore(m)`` is
+    ``(t, m, None)``."""
+    blocks: list[tuple[str, int, int | None]] = [
+        (s, 1, 1)
+        if isinstance(s, str)
+        else (s[0], int(s[1]), None if s[2] is None else int(s[2]))
         for s in steps
     ]
     if not blocks:
         raise ValueError("a CEP pattern needs at least one block")
-    if any(m < 0 or n < max(m, 1) for _, m, n in blocks):
+    if any(
+        m < 0 or (n is not None and n < max(m, 1)) for _, m, n in blocks
+    ):
         raise ValueError("each block needs 0 <= min and max >= max(min, 1)")
     if blocks[0][1] < 1:
         raise ValueError("the first block must be non-optional (min >= 1)")
-    if sum(n for _, _, n in blocks) < 2:
+    if all(n is not None for _, _, n in blocks) and (
+        sum(n for _, _, n in blocks) < 2
+    ):
         raise ValueError("a CEP pattern needs >= 2 total possible events")
     return blocks
 
 
 def _enumerate_matches(
     events: DataFrame,
-    blocks: list[tuple[str, int, int]],
+    blocks: list[tuple[str, int, int | None]],
     within: str,
     key_col: str,
     ts_col: str,
@@ -451,6 +577,9 @@ def _enumerate_matches(
     conditions: dict[int, str] | None = None,
     value_col: str = "value",
     consecutive: set[int] | None = None,
+    until: dict[int, str] | None = None,
+    greedy: set[int] | None = None,
+    max_loop_slots: int = 64,
 ) -> DataFrame:
     """The uncapped distinct-event-set match enumeration shared by
     cep_all_matches and cep_after_match_skip: one within-pruned keyed
@@ -474,9 +603,32 @@ def _enumerate_matches(
     prior chain exists). ``consecutive`` (1-based block indices — see
     cep_all_matches) threads the last consumed event's per-key RANK
     (row_number over (ts, type) on the distinct event set) and
-    requires rank = prev rank + 1 on those blocks' 2nd..nth slots."""
-    valued = bool(conditions)
+    requires rank = prev rank + 1 on those blocks' 2nd..nth slots.
+
+    ``until`` / ``greedy`` / unbounded blocks (``mx = None`` — see
+    cep_all_matches for the declared semantics) thread three more
+    per-event scalars through the slot walk: the per-(key, type)
+    candidate rank (``__tr``, run contiguity: rank = prev + 1 on an
+    unbounded block's 2nd..nth slots), the first stop timestamp
+    strictly after each event (``__nstop{i}``, one per until block —
+    consuming at-or-before it is the no-stop-in-gap constraint,
+    reset to NULL once the chain consumes past the loop), and the
+    next same-type candidate timestamp (``__lead``, greedy blocks —
+    the proceed conjunct keeps only maximal runs). An unbounded
+    block's slot count resolves FIRST via one scalar aggregate (max
+    stop-segmented candidate run per within window) and raises above
+    ``max_loop_slots``."""
+    valued = bool(conditions) or any(
+        _UNTIL_VALUE_REF.search(s) for s in (until or {}).values()
+    )
     ranked = bool(consecutive)
+    until = until or {}
+    greedy = greedy or set()
+    unbounded = {i for i, (_, _, mx) in enumerate(blocks, 1) if mx is None}
+    # run contiguity via the per-(key, type) candidate rank applies to
+    # unbounded blocks unless `consecutive` already pins the stricter
+    # all-events contiguity there
+    tr_blocks = unbounded - set(consecutive or ())
     if valued:
         # valued-mode event identity EXCLUDES NULL-valued rows (the
         # declared contract shared with the streaming twin, ADVICE
@@ -498,12 +650,115 @@ def _enumerate_matches(
                 Window.partitionBy(key_col).orderBy(ts_col, type_col)
             ),
         )
+    for i, stop_sql in until.items():
+        ev = ev.withColumn(
+            f"__stop{i}",
+            F.coalesce(F.expr(stop_sql).cast("boolean"), F.lit(False)),
+        )
+    if until:
+        ev = ev.withColumn("__us", F.unix_micros(ts_col))
+        w_after = (
+            Window.partitionBy(key_col)
+            .orderBy("__us")
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        for i in until:
+            ev = ev.withColumn(
+                f"__nstop{i}",
+                F.min(F.when(F.col(f"__stop{i}"), F.col(ts_col))).over(
+                    w_after
+                ),
+            )
+        ev = ev.drop("__us")
+    if tr_blocks:
+        ev = ev.withColumn(
+            "__tr",
+            F.row_number().over(
+                Window.partitionBy(key_col, type_col).orderBy(ts_col)
+            ),
+        )
+    if greedy:
+        ev = ev.withColumn(
+            "__lead",
+            F.lead(ts_col).over(
+                Window.partitionBy(key_col, type_col).orderBy(ts_col)
+            ),
+        )
+    # resolve each unbounded block's slot count from the data: the
+    # longest contiguous candidate run inside one within-window, the
+    # candidate stream segmented at stop events first (one scalar
+    # aggregate per unbounded block — the documented bounded collect)
+    loop_slots: dict[int, int] = {}
+    if unbounded:
+        within_us = _parse_within_us(within)
+        for i in sorted(unbounded):
+            etype, mn, _ = blocks[i - 1]
+            ev_b = ev.withColumn("__cus", F.unix_micros(ts_col))
+            if i in until:
+                # a stop SEGMENTS the candidate stream only when no
+                # consumable same-type candidate shares its exact
+                # timestamp: a tied candidate lets a run cross (the
+                # declared same-ts no-kill rule — the gap conjunct is
+                # strict on both ends), so counting tied stops here
+                # would UNDERCOUNT the slot bound and silently drop
+                # long runs (caught by the property test's fixpoint
+                # brute force and the oracle's true recursion)
+                w_tie = Window.partitionBy(key_col, "__cus")
+                ev_b = ev_b.withColumn(
+                    "__brk",
+                    F.col(f"__stop{i}")
+                    & (
+                        F.max(
+                            F.when(
+                                (F.col(type_col) == etype)
+                                & ~F.col(f"__stop{i}"),
+                                F.lit(1),
+                            ).otherwise(F.lit(0))
+                        ).over(w_tie)
+                        == 0
+                    ),
+                )
+                w_seg = (
+                    Window.partitionBy(key_col)
+                    .orderBy("__cus")
+                    .rangeBetween(Window.unboundedPreceding, -1)
+                )
+                ev_b = ev_b.withColumn(
+                    "__seg",
+                    F.count(F.when(F.col("__brk"), F.lit(1))).over(w_seg),
+                )
+            else:
+                ev_b = ev_b.withColumn("__seg", F.lit(0))
+            cand = ev_b.filter(F.col(type_col) == etype)
+            if i in until:
+                cand = cand.filter(~F.col(f"__stop{i}"))
+            w_run = (
+                Window.partitionBy(key_col, "__seg")
+                .orderBy("__cus")
+                .rangeBetween(0, within_us)
+            )
+            row = (
+                cand.select(F.count(F.lit(1)).over(w_run).alias("__rl"))
+                .agg(F.max("__rl").alias("b"))
+                .first()
+            )
+            bound = int(row["b"] or 0)
+            if bound > max_loop_slots:
+                raise ValueError(
+                    f"unbounded block {i} ({etype!r}) resolves to runs of "
+                    f"up to {bound} candidates inside one '{within}' "
+                    f"window (> max_loop_slots={max_loop_slots}); tighten "
+                    f"within, add/strengthen until, or raise max_loop_slots"
+                )
+            loop_slots[i] = max(bound, mn, 1)
     horizon = F.col("t1") + F.expr(f"INTERVAL {within}")
     anchored = anchor_block is not None
     _VAL_COLS = ("vsum", "vcnt", "vmin", "vmax")
 
     def extend(
         partials: DataFrame,
+        b1: int,
+        slot: int,
         etype: str,
         in_anchor: bool,
         cond: str | None,
@@ -514,6 +769,15 @@ def _enumerate_matches(
             sel.append(F.col("__v"))
         if ranked:
             sel.append(F.col("__r"))
+        if b1 in tr_blocks:
+            sel.append(F.col("__tr"))
+        for i in until:
+            if b1 == i:
+                sel.append(F.col(f"__stop{i}"))
+            if b1 <= i:
+                sel.append(F.col(f"__nstop{i}"))
+        if b1 in greedy:
+            sel.append(F.col("__lead"))
         ev_s = ev.filter(F.col(type_col) == etype).select(*sel)
         cols = [
             F.col(key_col),
@@ -539,6 +803,32 @@ def _enumerate_matches(
             ]
         if ranked:
             cols.append(F.col("__r").alias("lastr"))
+        # loop-state threading: set while the constraint can still
+        # bind, reset to NULL the moment the chain consumes past it
+        if tr_blocks:
+            cols.append(
+                (
+                    F.col("__tr")
+                    if b1 in tr_blocks
+                    else F.lit(None).cast("integer")
+                ).alias("lasttr")
+            )
+        for i in until:
+            cols.append(
+                (
+                    F.col(f"__nstop{i}")
+                    if b1 <= i
+                    else F.lit(None).cast("timestamp")
+                ).alias(f"lastns{i}")
+            )
+        for g in sorted(greedy):
+            cols.append(
+                (
+                    F.col("__lead")
+                    if b1 == g
+                    else F.lit(None).cast("timestamp")
+                ).alias(f"lastlead{g}")
+            )
         on = (
             (partials[key_col] == ev_s["__k"])
             & (F.col("__ts") > F.col("last"))
@@ -548,6 +838,31 @@ def _enumerate_matches(
             on = on & F.expr(cond)
         if consec_slot:
             on = on & (F.col("__r") == F.col("lastr") + 1)
+        if b1 in tr_blocks and slot > 1:
+            # relaxed-loop run contiguity: never skip a same-type
+            # candidate mid-run
+            on = on & (F.col("__tr") == F.col("lasttr") + 1)
+        for i in until:
+            if b1 == i:
+                # the loop never consumes a stop event
+                on = on & ~F.col(f"__stop{i}")
+            if b1 >= i:
+                # no stop event strictly inside the gap (<= keeps the
+                # declared same-ts tie rule: an equal-ts stop has no
+                # order against the consumed event)
+                on = on & (
+                    F.col(f"lastns{i}").isNull()
+                    | (F.col("__ts") <= F.col(f"lastns{i}"))
+                )
+        for g in sorted(greedy):
+            if b1 > g:
+                # greedy maximality at proceed: the run's next
+                # candidate must not have been consumable
+                on = on & (
+                    F.col(f"lastlead{g}").isNull()
+                    | (F.col(f"lastlead{g}") > horizon)
+                    | (F.col(f"lastlead{g}") >= F.col("__ts"))
+                )
         return partials.join(ev_s, on).select(*cols)
 
     first_type = blocks[0][0]
@@ -572,13 +887,36 @@ def _enumerate_matches(
         ]
     if ranked:
         seed_cols.append(F.col("__r").alias("lastr"))
-    cur = ev.filter(F.col(type_col) == first_type).select(*seed_cols)
+    if tr_blocks:
+        seed_cols.append(
+            (
+                F.col("__tr") if 1 in tr_blocks else F.lit(None).cast("integer")
+            ).alias("lasttr")
+        )
+    for i in until:
+        # the seed consumes block 1 <= i, so the next-stop boundary is
+        # live from the very first event
+        seed_cols.append(F.col(f"__nstop{i}").alias(f"lastns{i}"))
+    for g in sorted(greedy):
+        seed_cols.append(
+            (
+                F.col("__lead") if g == 1 else F.lit(None).cast("timestamp")
+            ).alias(f"lastlead{g}")
+        )
+    seed_src = ev.filter(F.col(type_col) == first_type)
+    if 1 in until:
+        # an unbounded first block's seed is its loop's first take —
+        # a stop event is never consumable
+        seed_src = seed_src.filter(~F.col("__stop1"))
+    cur = seed_src.select(*seed_cols)
     for b, (etype, mn, mx) in enumerate(blocks):
-        in_anchor = anchored and (b + 1) == anchor_block
-        cond = (conditions or {}).get(b + 1)
-        consec = ranked and (b + 1) in consecutive
+        b1 = b + 1
+        in_anchor = anchored and b1 == anchor_block
+        cond = (conditions or {}).get(b1)
+        consec = ranked and b1 in consecutive
+        mx_eff = loop_slots[b1] if mx is None else mx
         stopped: DataFrame | None = None
-        for slot in range(1, mx + 1):
+        for slot in range(1, mx_eff + 1):
             if b == 0 and slot == 1:
                 continue  # consumed by the seed projection above
             if slot > mn:
@@ -589,7 +927,9 @@ def _enumerate_matches(
             # consecutive binds a block's 2nd..nth occurrences to the
             # key's immediately-next events; the block's FIRST
             # occurrence relates to the previous block relaxedly
-            cur = extend(cur, etype, in_anchor, cond, consec and slot > 1)
+            cur = extend(
+                cur, b1, slot, etype, in_anchor, cond, consec and slot > 1
+            )
         if stopped is not None:
             cur = cur.unionByName(stopped)
 
@@ -597,6 +937,12 @@ def _enumerate_matches(
         cur = cur.drop(*_VAL_COLS)
     if ranked:
         cur = cur.drop("lastr")
+    if tr_blocks:
+        cur = cur.drop("lasttr")
+    for i in until:
+        cur = cur.drop(f"lastns{i}")
+    for g in sorted(greedy):
+        cur = cur.drop(f"lastlead{g}")
     if not anchored:
         return cur.dropDuplicates([key_col, "chain"])
     # distinct-event-set dedup that keeps the anchor: min over the
@@ -699,6 +1045,12 @@ def cep_after_match_skip(
             type_col=type_col,
         )
     blocks = _normalize_blocks(steps)
+    if any(mx is None for _, _, mx in blocks):
+        raise ValueError(
+            "unbounded looping blocks (oneOrMore/timesOrMore) are "
+            "supported through cep_all_matches (the no_skip strategy) "
+            "only; pass a finite times(m, n) here"
+        )
     if max_matches_per_key < 1:
         raise ValueError("max_matches_per_key must be >= 1")
     if anchored:

@@ -1100,3 +1100,59 @@ def test_cep_valued_mode_excludes_null_values(spark):
     # chain is click@:01 -> purchase@:03 with __v = MIN(non-null) = 9
     # satisfying 9 > 5; user 2's only click is all-NULL -> no seed.
     assert [(r.user_id, r.n_events) for r in out] == [(1, 2)]
+
+
+def test_cep_unbounded_until_greedy_validation(spark):
+    """Parameter contracts for the unbounded-loop surface: until only
+    on unbounded blocks, no iterative conditions there, greedy only
+    on unbounded non-last blocks, greedy+consecutive rejected, the
+    walk strategies reject unbounded blocks, and a resolved slot
+    bound above max_loop_slots raises instead of silently truncating
+    the enumeration."""
+    import pytest
+
+    from flink_realtime_edu_spark.operators.cep import (
+        cep_after_match_skip,
+        cep_all_matches,
+    )
+
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", 1, "click", 1.0) for i in range(6)
+    ] + [(9, "2024-01-01 00:00:09", 1, "purchase", 1.0)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    loop = [("click", 1, None), ("purchase", 1, 1)]
+    with pytest.raises(ValueError, match="until applies only"):
+        cep_all_matches(ev, loop, "1 hour", until={2: "__v > 1"})
+    with pytest.raises(ValueError, match="not supported on unbounded"):
+        cep_all_matches(ev, loop, "1 hour", conditions={1: "__v > vsum"})
+    with pytest.raises(ValueError, match="greedy applies only"):
+        cep_all_matches(ev, loop, "1 hour", greedy={2})
+    with pytest.raises(ValueError, match="last element"):
+        cep_all_matches(ev, [("a", 1, 1), ("b", 1, None)], "1 hour",
+                        greedy={2})
+    with pytest.raises(ValueError, match="greedy \\+ consecutive"):
+        cep_all_matches(ev, loop, "1 hour", greedy={1}, consecutive={1})
+    with pytest.raises(ValueError, match="supported through cep_all_matches"):
+        cep_after_match_skip(ev, loop, "1 hour", strategy="skip_to_next")
+    # 6 clicks inside one hour -> resolved bound 6 > max_loop_slots=4
+    with pytest.raises(ValueError, match="max_loop_slots"):
+        cep_all_matches(ev, loop, "1 hour", max_loop_slots=4).collect()
+    # ...and the same pattern succeeds when until segments the run
+    out = cep_all_matches(
+        ev,
+        loop,
+        "1 hour",
+        until={1: "__v > 0.5"},  # every click is a stop -> no loop seeds
+        max_loop_slots=4,
+    ).collect()
+    assert out == []

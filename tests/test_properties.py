@@ -1588,3 +1588,271 @@ def test_cep_not_next_equals_bruteforce(spark, n, n_users, cfg, seed):
         .collect()
     )
     assert got == sorted(expect)
+
+
+def _brute_unbounded(
+    evs: dict[tuple[int, str], float],
+    blocks,
+    within_us: int,
+    cap: int,
+    until_block: int | None = None,
+    stop_thr: float | None = None,
+    greedy_block: int | None = None,
+) -> list[tuple[str, int]]:
+    """Independent enumeration of the unbounded-loop declared
+    semantics: stops/contiguity/leads computed by direct scans over
+    sorted per-type lists (no windows, no joins, no slot bound — the
+    recursion runs to the data's own fixpoint, so an operator bound
+    bug that dropped long runs would diverge here)."""
+    stops = sorted(
+        ts
+        for (ts, _), v in evs.items()
+        if stop_thr is not None and v > stop_thr
+    )
+    by_type: dict[str, list[int]] = {}
+    for ts, t in evs:
+        by_type.setdefault(t, []).append(ts)
+    for t in by_type:
+        by_type[t].sort()
+
+    def gap_clear(a: int, b: int) -> bool:
+        return not any(a < u < b for u in stops)
+
+    def next_of_type(t: str, ts: int) -> int | None:
+        lst = by_type.get(t, [])
+        for x in lst:
+            if x > ts:
+                return x
+        return None
+
+    chains: set[tuple[int, ...]] = set()
+
+    def rec(bi, taken, last, t1, chain, gap_from, lead_set, lead_ts):
+        if bi == len(blocks):
+            chains.add(tuple(chain))
+            return
+        etype, mn, mx = blocks[bi]
+        b1 = bi + 1
+        if taken >= mn:
+            rec(bi + 1, 0, last, t1, chain, gap_from, lead_set, lead_ts)
+        if mx is not None and taken >= mx:
+            return
+        for (ts, t), v in evs.items():
+            if t != etype or (last is not None and ts <= last):
+                continue
+            if t1 is not None and ts - t1 > within_us:
+                continue
+            if until_block is not None:
+                # stop-ness is a property of the EVENT, not its
+                # timestamp — a loop candidate may share a ts with a
+                # stop event of another type and stay consumable
+                if b1 == until_block and stop_thr is not None and v > stop_thr:
+                    continue  # the loop never consumes a stop
+                if (
+                    b1 >= until_block
+                    and gap_from is not None
+                    and not gap_clear(gap_from, ts)
+                ):
+                    continue
+            if (
+                greedy_block is not None
+                and b1 > greedy_block
+                and lead_set
+                and lead_ts is not None
+                and lead_ts <= (t1 + within_us)
+                and lead_ts < ts
+            ):
+                continue  # a consumable loop candidate was skipped
+            if mx is None and taken >= 1:
+                # relaxed-loop run contiguity: the immediately-next
+                # same-type event must be this one
+                if next_of_type(etype, last) != ts:
+                    continue
+            rec(
+                bi,
+                taken + 1,
+                ts,
+                ts if t1 is None else t1,
+                chain + [ts],
+                ts
+                if (until_block is not None and b1 <= until_block)
+                else None,
+                greedy_block is not None and b1 == greedy_block,
+                next_of_type(etype, ts)
+                if (greedy_block is not None and b1 == greedy_block)
+                else None,
+            )
+
+    rec(0, 0, None, None, [], None, False, None)
+    return [
+        ("|".join(map(str, c)), i + 1)
+        for i, c in enumerate(sorted(chains)[:cap])
+    ]
+
+
+@given(
+    n=st.integers(min_value=0, max_value=55),
+    n_users=st.integers(min_value=1, max_value=3),
+    mn=st.integers(min_value=1, max_value=2),
+    loop_first=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_until_unbounded_equals_bruteforce(
+    spark, n, n_users, mn, loop_first, seed
+):
+    """Flink oneOrMore()/timesOrMore(m) + until() against a brute
+    force that recurses to the data's own fixpoint on adversarial
+    random streams (duplicate timestamps — ties exercise the
+    strictly-after next-stop rule and the same-ts no-kill rule):
+    runs are contiguous same-type candidates, the loop never consumes
+    a stop, a stop strictly inside any gap from the last pre-loop
+    event through the first post-loop consumption kills the chain,
+    and the operator's DATA-DEPENDENT slot bound must reach every
+    run the unbounded recursion reaches."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+            float(rng.randrange(8)),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    if loop_first:
+        blocks = [("click", mn, None), ("purchase", 1, 1)]
+        until_block = 1
+    else:
+        blocks = [("view", 1, 1), ("click", mn, None), ("purchase", 1, 1)]
+        until_block = 2
+    until = {until_block: "__v > 5"}
+    within_us, cap = 30 * 1_000_000, 4
+
+    epoch_2024 = 1704067200
+    expect = []
+    for uid in range(n_users):
+        evs: dict[tuple[int, str], float] = {}
+        for _, s, u, t, v in rows:
+            if u != uid:
+                continue
+            k = ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            evs[k] = min(evs[k], v) if k in evs else v
+        expect += [
+            (uid, cs, m)
+            for cs, m in _brute_unbounded(
+                evs,
+                blocks,
+                within_us,
+                cap,
+                until_block=until_block,
+                stop_thr=5.0,
+            )
+        ]
+    got = sorted(
+        (r.user_id, r.chain_str, r.match_no)
+        for r in cep_all_matches(
+            ev,
+            blocks,
+            "30 seconds",
+            max_matches_per_key=cap,
+            until=until,
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=55),
+    n_users=st.integers(min_value=1, max_value=3),
+    with_until=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_cep_greedy_equals_bruteforce(spark, n, n_users, with_until, seed):
+    """Flink oneOrMore().greedy() — alone and COMPOSED with until()
+    — against the fixpoint brute force: only maximal runs survive
+    (the run's next candidate is absent, beyond the chain's horizon,
+    or at-or-after the proceed event), with stop events composing
+    through the same gap rule rather than a special case."""
+    import random
+
+    from flink_realtime_edu_spark.operators.cep import cep_all_matches
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase"]
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:00:{rng.randrange(40):02d}",
+            rng.randrange(n_users),
+            rng.choice(types),
+            float(rng.randrange(8)),
+        )
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    blocks = [("view", 1, None), ("purchase", 1, 1)]
+    until = {1: "__v > 5"} if with_until else None
+    within_us, cap = 30 * 1_000_000, 4
+
+    epoch_2024 = 1704067200
+    expect = []
+    for uid in range(n_users):
+        evs: dict[tuple[int, str], float] = {}
+        for _, s, u, t, v in rows:
+            if u != uid:
+                continue
+            k = ((epoch_2024 + int(s[-2:])) * 1_000_000, t)
+            evs[k] = min(evs[k], v) if k in evs else v
+        expect += [
+            (uid, cs, m)
+            for cs, m in _brute_unbounded(
+                evs,
+                blocks,
+                within_us,
+                cap,
+                until_block=1 if with_until else None,
+                stop_thr=5.0 if with_until else None,
+                greedy_block=1,
+            )
+        ]
+    got = sorted(
+        (r.user_id, r.chain_str, r.match_no)
+        for r in cep_all_matches(
+            ev,
+            blocks,
+            "30 seconds",
+            max_matches_per_key=cap,
+            until=until,
+            greedy={1},
+        ).collect()
+    )
+    assert got == sorted(expect)
