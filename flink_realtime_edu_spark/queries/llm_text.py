@@ -713,3 +713,125 @@ def text_normalization_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("norm_hash_sum"),
     )
+
+
+@register(
+    "doc_bigram_perplexity",
+    survey_rows=("X7", "X1", "A1", "F3"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), big AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM (SELECT * FROM toks WHERE len(w) >= 2),
+       unnest(generate_series(1, len(w) - 1)) t(i)
+), tf AS (
+  SELECT doc_id, prev, cur, COUNT(*) AS tf FROM big GROUP BY 1, 2, 3
+), bc AS (
+  SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS bc FROM tf GROUP BY 1, 2
+), pc AS (
+  SELECT prev, CAST(SUM(bc) AS BIGINT) AS pc FROM bc GROUP BY 1
+), voc AS (
+  SELECT COUNT(DISTINCT term) AS v
+  FROM (SELECT UNNEST(w) AS term FROM toks)
+), scored AS (
+  SELECT tf.doc_id,
+    CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+    ROUND(CAST(SUM(CAST(
+        tf.tf * ROUND(LN((pc.pc + 0.5 * voc.v) / (bc.bc + 0.5)), 6)
+      AS DECIMAL(30,8))) AS DOUBLE) / SUM(tf.tf), 6) AS mean_nll_nats
+  FROM tf
+  JOIN bc ON tf.prev = bc.prev AND tf.cur = bc.cur
+  JOIN pc ON tf.prev = pc.prev
+  CROSS JOIN voc
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_bigrams, mean_nll_nats,
+       ROUND(EXP(mean_nll_nats), 6) AS perplexity
+FROM scored
+""",
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained BIGRAM add-k
+    language model (k = 0.5) — the standard pretraining quality gate
+    beyond unigram surprisal (VERDICT r9 item 5): low perplexity =
+    templated/boilerplate text, high = noise, the two tails a
+    perplexity filter drops before training.
+
+    Model: p(cur | prev) = (c(prev, cur) + k) / (c(prev) + k·V),
+    trained on the WHOLE corpus in one (prev, cur) hash aggregate;
+    context counts c(prev) fold from the bigram counts (no second
+    corpus pass) and V is the corpus vocabulary size, a one-row
+    broadcast. Scoring is one pass over per-doc bigram frequencies:
+    join the model on (prev, cur) — dictionary-sized, AQE broadcasts
+    it — then the per-bigram −ln p rounded to 6 dp (the tfidf ln-ulp
+    rule) folds through the exact DECIMAL(30,8) mean discipline;
+    perplexity = exp of the ROUNDED mean, so both engines exponentiate
+    the identical double. Tokens are whitespace words with empties
+    dropped BEFORE pairing (adjacency is defined on the filtered
+    list, both engines); docs with fewer than two tokens carry no
+    bigram and are excluded by construction. Scale: two hash
+    aggregates over bigrams (corpus + per-doc), vocabulary-sized
+    joins, one scalar broadcast — the tfidf/surprisal shape, no new
+    shuffle class."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    )
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)").alias("p"),
+                    F.expr("slice(w, 2, size(w) - 1)").alias("c"),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g.p").alias("prev"),
+            F.col("g.c").alias("cur"),
+        )
+    )
+    # tf feeds both the model aggregates and the scoring join —
+    # materialize once (the tfidf AQE no-reuse rationale)
+    tf = _materialize(
+        big.groupBy("doc_id", "prev", "cur").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+    bc = tf.groupBy("prev", "cur").agg(F.sum("tf").alias("bc"))
+    pc = bc.groupBy("prev").agg(F.sum("bc").alias("pc"))
+    voc = (
+        toks.select(F.explode("w").alias("term"))
+        .agg(F.count_distinct("term").alias("v"))
+    )
+    nll = F.round(
+        F.log(
+            (F.col("pc") + 0.5 * F.col("v")) / (F.col("bc") + F.lit(0.5))
+        ),
+        6,
+    )
+    w_nll = (F.col("tf") * nll).cast("decimal(30,8)")
+    scored = (
+        tf.join(bc, ["prev", "cur"])
+        .join(pc, "prev")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(w_nll).cast("double") / F.sum("tf"), 6).alias(
+                "mean_nll_nats"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_nll_nats",
+        F.round(F.exp("mean_nll_nats"), 6).alias("perplexity"),
+    )

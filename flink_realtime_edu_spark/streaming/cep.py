@@ -68,6 +68,7 @@ memory — bounded by per-key batch volume, not stream length.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -733,13 +734,16 @@ CEP_AM_STATE_SCHEMA = "js STRING"  # json-encoded NFA state, see fn
 
 
 def _make_cep_am_fn(
-    blocks: list[tuple[str, int, int]],
+    blocks: list[tuple[str, int, int | None]],
     within_us: int,
     strategy: str,
     skip_block: int | None,
     cap: int | None,
     conditions: dict | None = None,
     consecutive: set[int] | None = None,
+    until: dict | None = None,
+    greedy: set[int] | None = None,
+    until_reads_value: bool = False,
 ):
     """State fn for streaming ALL-matches CEP with after-match skip
     strategies — the live twin of operators/cep.py::cep_after_match_skip.
@@ -801,11 +805,26 @@ def _make_cep_am_fn(
     types = [b[0] for b in blocks]
     mns = [b[1] for b in blocks]
     mxs = [b[2] for b in blocks]
-    valued = bool(conditions)
+    valued = bool(conditions) or until_reads_value
     conditions = conditions or {}
     ranked = bool(consecutive)
     consecutive = consecutive or set()
-    composite = valued or ranked  # partial values are lists
+    until = until or {}
+    greedy = greedy or set()
+    # unbounded blocks under default (relaxed) loop contiguity carry a
+    # per-(key, type) candidate sequence — the live face of the batch
+    # __tr rank; consecutive pins the stricter all-events rank instead
+    tranked = any(
+        mx is None and (i + 1) not in consecutive
+        for i, mx in enumerate(mxs)
+    )
+    has_greedy = bool(greedy)
+    composite = valued or ranked or tranked or has_greedy
+    # positional extras layout: [anchor][vsum vcnt vmin vmax][lastr]
+    # [lasttq][dl]
+    _LASTR_AT = 1 + 4 * valued
+    _LASTTQ_AT = _LASTR_AT + (1 if ranked else 0)
+    _DL_AT = _LASTTQ_AT + (1 if tranked else 0)
     anchored = strategy in ("skip_to_first", "skip_to_last")
     tail_optional = [False] * k_blocks  # blocks after i all optional?
     opt = True
@@ -826,6 +845,8 @@ def _make_cep_am_fn(
         # block assignments.
         parts: dict = st["p"]
         st.setdefault("q", 0)  # arrival-sequence counter (ranked mode)
+        st.setdefault("tq", {})  # per-type candidate sequences (unbounded)
+        st.setdefault("stops", {})  # per-until-block stop timestamps
         out: list[tuple] = []
 
         def val_anchor(val):
@@ -867,8 +888,26 @@ def _make_cep_am_fn(
             dead = [
                 s for s in parts if punpack(s)[0][0] + within_us < ts
             ]
+            if has_greedy:
+                # a greedy partial whose exit deadline passed can
+                # neither extend (its run's next candidate took the
+                # sequence slot) nor proceed (exits must be <= dl)
+                dead += [
+                    s
+                    for s, val in parts.items()
+                    if s not in dead
+                    and val[_DL_AT] is not None
+                    and val[_DL_AT] < ts
+                ]
             for s in dead:
                 del parts[s]
+            for i in list(st["stops"]):
+                # a stop matters only while some live partial's last
+                # event precedes it; any such partial's horizon covers
+                # it, so stops older than one horizon are dead weight
+                st["stops"][i] = [
+                    u for u in st["stops"][i] if u + within_us >= ts
+                ]
             st["starts"] = [x for x in st["starts"] if x >= ts]
             st["ivls"] = [iv for iv in st["ivls"] if iv[1] > ts]
             if st["R"] is not None and st["R"] < ts:
@@ -939,6 +978,20 @@ def _make_cep_am_fn(
                     et: st["q"] + 1 + j for j, et in enumerate(sorted(group))
                 }
                 st["q"] += len(group)
+            if tranked:
+                # per-TYPE candidate sequences — the live face of the
+                # batch __tr rank (every distinct (type, ts) event of
+                # a type increments that type's counter)
+                tseqs = {et: st["tq"].get(et, 0) + 1 for et in group}
+                for et in group:
+                    st["tq"][et] = tseqs[et]
+            for ui, ufn in until.items():
+                # record stop timestamps BEFORE forking: gap checks
+                # compare strictly, so a same-group stop never kills a
+                # consumption at its own timestamp (the declared tie
+                # rule), while later groups see it
+                if any(ufn(v, et) for et, v in group.items()):
+                    st["stops"].setdefault(str(ui), []).append(ts)
             # FORK extensions of every live partial (the original
             # survives — skip-till-any-match), plus the seed.
             fresh: dict = {}
@@ -961,7 +1014,9 @@ def _make_cep_am_fn(
                         continue
                     panchor = val_anchor(pval)
                     aggs = pval[1:5] if valued else None
-                    lastr = pval[-1] if ranked else None
+                    lastr = pval[_LASTR_AT] if ranked else None
+                    lasttq = pval[_LASTTQ_AT] if tranked else None
+                    dl = pval[_DL_AT] if has_greedy else None
                     # epsilon closure: this partial may also stand at
                     # the start of any later block once its own
                     # minimum is met
@@ -971,7 +1026,9 @@ def _make_cep_am_fn(
                         bb, tt = bb + 1, 0
                         positions.append((bb, tt))
                     for pb, pt in positions:
-                        if etype == types[pb] and pt < mxs[pb]:
+                        if etype == types[pb] and (
+                            mxs[pb] is None or pt < mxs[pb]
+                        ):
                             chk = conditions.get(pb + 1)
                             if valued and chk and not chk(v, *aggs):
                                 continue  # iterative condition failed
@@ -982,6 +1039,29 @@ def _make_cep_am_fn(
                                 and seq != lastr + 1
                             ):
                                 continue  # looping contiguity broken
+                            if (
+                                mxs[pb] is None
+                                and pt >= 1
+                                and (pb + 1) not in consecutive
+                                and tseqs[etype] != lasttq + 1
+                            ):
+                                continue  # loop run contiguity broken
+                            ufn = until.get(pb + 1)
+                            if ufn is not None and ufn(v, etype):
+                                continue  # the loop never takes a stop
+                            if has_greedy and dl is not None and ts > dl:
+                                # greedy: an unconsumed run candidate
+                                # forced the exit deadline
+                                continue
+                            if any(
+                                pb + 1 >= ui and b + 1 <= ui
+                                and any(
+                                    chain[-1] < u < ts
+                                    for u in st["stops"].get(str(ui), ())
+                                )
+                                for ui in until
+                            ):
+                                continue  # stop strictly inside a gap
                             a = panchor
                             if anchored and pb + 1 == skip_block:
                                 # "last": every consumed event
@@ -1004,8 +1084,21 @@ def _make_cep_am_fn(
                                 ]
                             if ranked:
                                 extras.append(seq)
+                            if tranked:
+                                extras.append(
+                                    tseqs[etype]
+                                    if (
+                                        mxs[pb] is None
+                                        and (pb + 1) not in consecutive
+                                    )
+                                    else None
+                                )
+                            if has_greedy:
+                                extras.append(None)  # dl: run alive
                             fork(chain + [ts], pb, pt + 1, a, extras)
-                if etype == types[0]:
+                if etype == types[0] and not (
+                    1 in until and until[1](v, etype)
+                ):
                     a = (
                         ts
                         if anchored and skip_block == 1
@@ -1017,6 +1110,14 @@ def _make_cep_am_fn(
                         extras += [v, 1, v, v]
                     if ranked:
                         extras.append(seq)
+                    if tranked:
+                        extras.append(
+                            tseqs[etype]
+                            if (mxs[0] is None and 1 not in consecutive)
+                            else None
+                        )
+                    if has_greedy:
+                        extras.append(None)
                     fork([ts], 0, 1, a, extras)
             # completions among the NEW forks: minimum met and every
             # later block optional — dedup identical chains across the
@@ -1042,6 +1143,28 @@ def _make_cep_am_fn(
                             else min(old, anchor)
                         )
                 parts[s] = val
+            if has_greedy:
+                # an unconsumed run candidate ends every live run it
+                # immediately follows: the partial's future exits must
+                # happen at-or-before the candidate (the batch lastlead
+                # conjunct); candidates beyond the chain's horizon are
+                # exempt (the run could not have extended anyway).
+                # Fresh forks that consumed the candidate carry its
+                # sequence, so lasttq == tseq - 1 never flags them.
+                for g in sorted(greedy):
+                    gt = types[g - 1]
+                    if gt not in group:
+                        continue
+                    for s, val in parts.items():
+                        chain, b, taken = punpack(s)
+                        if (
+                            b + 1 == g
+                            and taken >= 1
+                            and val[_DL_AT] is None
+                            and val[_LASTTQ_AT] == tseqs[gt] - 1
+                            and ts <= chain[0] + within_us
+                        ):
+                            val[_DL_AT] = ts
             if not comps:
                 continue
             cands = sorted(comps)  # chain-lex among same-end ties
@@ -1139,6 +1262,8 @@ def cep_all_matches_stream(
     conditions: dict | None = None,
     value_col: str = "value",
     consecutive: set[int] | None = None,
+    until: dict[int, str] | None = None,
+    greedy: set[int] | None = None,
 ) -> DataFrame:
     """Streaming ALL-matches CEP enumeration with the full after-match
     skip-strategy enum — the live twin of
@@ -1153,15 +1278,33 @@ def cep_all_matches_stream(
     emission order (Flink's runtime behavior; batch's cap is
     chain-lex — pass None to compare against an uncapped batch run).
     In-order arrival per key is the contract, as for the other
-    automata. ``conditions`` (1-based block index -> ``(v, vsum,
-    vcnt, vmin, vmax) -> bool`` Python callables) adds the batch
-    operator's ITERATIVE CONDITIONS — the live face of
-    cep_all_matches(conditions=...), whose SQL-string predicates a
-    caller mirrors here as callables. ``consecutive`` (1-based block
-    indices) adds the looping contiguity of
+    automata. ``conditions`` (1-based block index -> the batch
+    operator's SQL condition STRING, compiled here through the shared
+    restricted grammar — one spec drives both engines, VERDICT r9
+    item 4 — or a ``(v, vsum, vcnt, vmin, vmax) -> bool`` callable)
+    adds the batch operator's ITERATIVE CONDITIONS. ``consecutive``
+    (1-based block indices) adds the looping contiguity of
     cep_all_matches(consecutive=...) via a per-key arrival-sequence
-    counter in state (see _make_cep_am_fn)."""
-    from flink_realtime_edu_spark.operators.cep import _normalize_blocks
+    counter in state (see _make_cep_am_fn).
+
+    UNBOUNDED looping blocks (``(type, m, None)`` — oneOrMore /
+    timesOrMore), ``until`` (1-based unbounded block index -> stop
+    SQL string over ``__v`` / ``event_type``, the SAME string the
+    batch operator takes) and ``greedy`` mirror
+    cep_all_matches(until=..., greedy=...) under the no_skip
+    strategy: loop-run contiguity rides a per-(key, type) candidate
+    sequence in state, stop timestamps accumulate per key (pruned
+    past one horizon) and kill exactly the chains whose loop gaps
+    they fall strictly inside, and a greedy partial picks up an exit
+    DEADLINE the moment a consumable run candidate passes unconsumed.
+    The NFA never needs the batch side's data-dependent slot bound —
+    it loops as long as the data does, so the stream ≡ batch test
+    independently cross-checks that bound."""
+    from flink_realtime_edu_spark.operators.cep import (
+        _normalize_blocks,
+        compile_condition,
+        compile_stop,
+    )
 
     blocks = _normalize_blocks(steps)
     strategies = (
@@ -1192,6 +1335,52 @@ def cep_all_matches_stream(
             raise ValueError(
                 f"consecutive block indices {bad} outside [1, {len(blocks)}]"
             )
+    unbounded = {i for i, (_, _, mx) in enumerate(blocks, 1) if mx is None}
+    if unbounded and strategy != "no_skip":
+        raise ValueError(
+            "unbounded looping blocks are supported under the no_skip "
+            "strategy only (batch parity)"
+        )
+    if until:
+        bad = [b for b in until if b not in unbounded]
+        if bad:
+            raise ValueError(
+                f"until applies only to unbounded looping blocks; {bad} "
+                f"are bounded"
+            )
+    if conditions and unbounded & set(conditions):
+        raise ValueError(
+            "iterative conditions are not supported on unbounded blocks; "
+            "use until to stop a loop on data"
+        )
+    if greedy:
+        bad = [g for g in greedy if g not in unbounded]
+        if bad:
+            raise ValueError(
+                f"greedy applies only to unbounded looping blocks; {bad} "
+                f"are bounded"
+            )
+        if len(blocks) in greedy:
+            raise ValueError(
+                "a greedy block must not be the pattern's last element "
+                "(Flink parity)"
+            )
+        if consecutive and greedy & consecutive:
+            raise ValueError(
+                "greedy + consecutive on one block is not supported"
+            )
+    # one spec string drives both engines: strings compile through the
+    # shared restricted grammar, callables pass through (legacy)
+    conditions = {
+        b: compile_condition(c) if isinstance(c, str) else c
+        for b, c in (conditions or {}).items()
+    } or None
+    until_reads_value = any(
+        re.search(r"\b__v\b", s) for s in (until or {}).values()
+    )
+    until_fns = {
+        b: compile_stop(s) for b, s in (until or {}).items()
+    } or None
     within_us = _parse_within_us(within)
     cols = [
         F.col(key_col).alias("user_id"),
@@ -1200,7 +1389,7 @@ def cep_all_matches_stream(
         F.col(type_col).alias("event_type"),
         F.col(tiebreak_col).alias("__tb"),
     ]
-    if conditions:
+    if conditions or until_reads_value:
         cols.append(F.col(value_col).cast("double").alias("__v"))
         # valued-mode event identity excludes NULL-valued rows on BOTH
         # engines (ADVICE r10: float(None) would crash the NFA here,
@@ -1218,6 +1407,9 @@ def cep_all_matches_stream(
             max_matches_per_key,
             conditions,
             consecutive,
+            until=until_fns,
+            greedy=greedy,
+            until_reads_value=until_reads_value,
         ),
         outputStructType=CEP_AM_OUTPUT_SCHEMA,
         stateStructType=CEP_AM_STATE_SCHEMA,

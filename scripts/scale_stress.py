@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import shutil
 import sys
@@ -543,6 +544,25 @@ def main() -> None:
     sf_label = f"{args.native_sf:g}"
     if args.native and args.out == str(REPO / ".scratch" / "sf1d"):
         args.out = str(REPO / ".scratch" / f"sf{sf_label}native")
+
+    # The 47-query sweep OOMs the 8 GiB default driver in GC storms
+    # (BASELINE.md "sweep infra note"); pin the requirement in code
+    # instead of the operator's memory (VERDICT r9 item 8). Set
+    # BEFORE any JVM starts — get_spark reads this env var.
+    if not args.skew:
+        cur = os.environ.get("SPARK_DRIVER_MEMORY")
+        need_gib = 24
+        cur_gib = None
+        if cur:
+            m = re.fullmatch(r"(\d+)\s*([gG])", cur.strip())
+            cur_gib = int(m.group(1)) if m else None
+        if cur is None or (cur_gib is not None and cur_gib < need_gib):
+            os.environ["SPARK_DRIVER_MEMORY"] = f"{need_gib}g"
+            print(
+                f"scale_stress: SPARK_DRIVER_MEMORY={cur!r} -> "
+                f"{need_gib}g (the full sweep needs it; see BASELINE.md)",
+                file=sys.stderr,
+            )
 
     if args.skew:
         from flink_realtime_edu_spark.session import get_spark

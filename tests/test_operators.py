@@ -1156,3 +1156,52 @@ def test_cep_unbounded_until_greedy_validation(spark):
         max_loop_slots=4,
     ).collect()
     assert out == []
+
+
+def test_cep_group_times_all_or_nothing(spark):
+    """Pattern GROUPS semantics: (A -> B).times(1, 2) accepts one or
+    two FULL passes over the sub-sequence and nothing in between —
+    A B A (a half second repetition) and A B B (which per-block
+    flattening into A B A? B? would wrongly accept) must NOT add
+    matches beyond their A B prefixes, while A B A B yields the full
+    4-event chain plus every 1-repetition sub-match; chains reachable
+    at several repeat counts dedup by event set."""
+    from flink_realtime_edu_spark.operators.cep import cep_group_times
+
+    def ev_of(seq):
+        rows = [
+            (i, f"2024-01-01 00:00:{i:02d}", 1, t)
+            for i, t in enumerate(seq, start=1)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+
+    group = [("A", 1, 1), ("B", 1, 1)]
+
+    def lens(seq):
+        out = cep_group_times(ev_of(seq), group, (1, 2), "1 hour").collect()
+        return sorted(r.n_events for r in out)
+
+    # A B A: only the A..B 1-rep chains (A1 B2, A3 cannot finish)
+    assert lens(["A", "B", "A"]) == [2]
+    # A B B: 1-rep chains only — A1B2 and A1B3 (relaxed contiguity)
+    assert lens(["A", "B", "B"]) == [2, 2]
+    # A B A B: four 1-rep chains (A1B2, A1B4, A3B4 — A1 pairs with
+    # either B, A3 with B4) plus exactly one full 2-rep chain
+    assert lens(["A", "B", "A", "B"]) == [2, 2, 2, 4]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="1 <= m <= n"):
+        cep_group_times(ev_of(["A", "B"]), group, (0, 2), "1 hour")
+    with pytest.raises(ValueError, match="unbounded blocks inside"):
+        cep_group_times(
+            ev_of(["A", "B"]), [("A", 1, None), ("B", 1, 1)], (1, 2), "1 hour"
+        )
