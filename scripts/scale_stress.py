@@ -649,6 +649,16 @@ def main() -> None:
         "cep_iterative_condition",
         "media_dup_canonicals",
         "cep_consecutive_clicks",
+        # r10: unbounded loops (the data-dependent slot bound — the
+        # ratio pins that candidate-run density, not corpus size,
+        # drives the plan), the stop/greedy conjunct variants over the
+        # same shape, the group-repetition union, and the bigram LM
+        # (two corpus hash aggregates + dictionary joins — the most
+        # data-proportional r10 addition)
+        "cep_one_or_more_until",
+        "cep_greedy_views",
+        "cep_group_times_funnel",
+        "doc_bigram_perplexity",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
