@@ -65,7 +65,7 @@ def _compile_predicate(cond: str, names: tuple[str, ...]):
     src = re.sub(r"\bNOT\b", " not ", src, flags=re.I)
     src = re.sub(r"\bTRUE\b", " True ", src, flags=re.I)
     src = re.sub(r"\bFALSE\b", " False ", src, flags=re.I)
-    tree = ast.parse(src, mode="eval")
+    tree = ast.parse(src.strip(), mode="eval")
     allowed = (
         ast.Expression, ast.BoolOp, ast.And, ast.Or, ast.UnaryOp,
         ast.Not, ast.USub, ast.BinOp, ast.Add, ast.Sub, ast.Mult,

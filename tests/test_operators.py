@@ -1205,3 +1205,35 @@ def test_cep_group_times_all_or_nothing(spark):
         cep_group_times(
             ev_of(["A", "B"]), [("A", 1, None), ("B", 1, 1)], (1, 2), "1 hour"
         )
+
+
+def test_cep_condition_compiler_grammar():
+    """The shared restricted-grammar compiler (one spec string drives
+    both engines): SQL spellings (=, <>, AND/OR/NOT, TRUE/FALSE) map
+    onto Python semantics, identifiers are positional, and anything
+    outside the grammar — calls, attributes, subscripts, unknown
+    names — raises at COMPILE time instead of evaluating."""
+    import pytest
+
+    from flink_realtime_edu_spark.operators.cep import (
+        compile_condition,
+        compile_stop,
+    )
+
+    c = compile_condition("__v > vsum / vcnt AND NOT (vmin = vmax)")
+    assert c(5.0, 6.0, 2, 1.0, 4.0) is True   # 5 > 3 and 1 != 4
+    assert c(2.0, 6.0, 2, 1.0, 4.0) is False  # 2 > 3 fails
+    assert c(5.0, 6.0, 2, 3.0, 3.0) is False  # vmin = vmax
+    s = compile_stop("__v > 200 OR event_type = 'error'")
+    assert s(300.0, "view") and s(10.0, "error") and not s(10.0, "view")
+    assert compile_stop("event_type <> 'x'")(0.0, "y") is True
+    assert compile_condition("TRUE")(0, 0, 0, 0, 0) is True
+    for bad in (
+        "__import__('os').system('x')",
+        "__v > unknown_name",
+        "(lambda: 1)()",
+        "__v.__class__",
+        "[1][0]",
+    ):
+        with pytest.raises((ValueError, SyntaxError)):
+            compile_condition(bad)
