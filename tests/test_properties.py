@@ -1783,10 +1783,13 @@ def test_cep_until_unbounded_equals_bruteforce(
     n=st.integers(min_value=0, max_value=55),
     n_users=st.integers(min_value=1, max_value=3),
     with_until=st.booleans(),
+    loop_first=st.booleans(),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @SET
-def test_cep_greedy_equals_bruteforce(spark, n, n_users, with_until, seed):
+def test_cep_greedy_equals_bruteforce(
+    spark, n, n_users, with_until, loop_first, seed
+):
     """Flink oneOrMore().greedy() — alone and COMPOSED with until()
     — against the fixpoint brute force: only maximal runs survive
     (the run's next candidate is absent, beyond the chain's horizon,
@@ -1819,8 +1822,13 @@ def test_cep_greedy_equals_bruteforce(spark, n, n_users, with_until, seed):
         "event_type",
         "value",
     )
-    blocks = [("view", 1, None), ("purchase", 1, 1)]
-    until = {1: "__v > 5"} if with_until else None
+    if loop_first:
+        blocks = [("view", 1, None), ("purchase", 1, 1)]
+        g = 1
+    else:
+        blocks = [("click", 1, 1), ("view", 1, None), ("purchase", 1, 1)]
+        g = 2
+    until = {g: "__v > 5"} if with_until else None
     within_us, cap = 30 * 1_000_000, 4
 
     epoch_2024 = 1704067200
@@ -1839,9 +1847,9 @@ def test_cep_greedy_equals_bruteforce(spark, n, n_users, with_until, seed):
                 blocks,
                 within_us,
                 cap,
-                until_block=1 if with_until else None,
+                until_block=g if with_until else None,
                 stop_thr=5.0 if with_until else None,
-                greedy_block=1,
+                greedy_block=g,
             )
         ]
     got = sorted(
@@ -1852,7 +1860,7 @@ def test_cep_greedy_equals_bruteforce(spark, n, n_users, with_until, seed):
             "30 seconds",
             max_matches_per_key=cap,
             until=until,
-            greedy={1},
+            greedy={g},
         ).collect()
     )
     assert got == sorted(expect)
