@@ -31,7 +31,14 @@ stream ≡ batch by tests/test_streaming.py + property tests:
   order, and state is bounded by one horizon's enumeration fanout
   plus self-pruning strategy memory; r9 adds ITERATIVE CONDITIONS
   (per-block predicates over the chain's running value aggregates,
-  the live face of ``cep_all_matches(conditions=...)``).
+  the live face of ``cep_all_matches(conditions=...)``); r10 adds
+  UNBOUNDED looping blocks with ``until`` stop conditions and
+  ``greedy`` maximal-run selection (per-(key, type) candidate
+  sequences, horizon-pruned stop timestamp lists, and lazy exit
+  deadlines in the same state row — the NFA loops as long as the
+  data does, cross-checking the batch side's data-dependent slot
+  bound), with condition/stop SQL strings compiled through the
+  shared restricted grammar so one spec drives both engines.
 
 All five require arrival order to respect event-time order per key
 ACROSS micro-batches (the testable contract: an ordered replay makes
@@ -798,7 +805,29 @@ def _make_cep_am_fn(
     consecutive block's 2nd..nth consumption requires seq = last + 1.
     The counter lives only while the key's row does; an era restart
     after full quiescence is sound because adjacency is a DIFFERENCE
-    and no live chain can span a fully-drained gap."""
+    and no live chain can span a fully-drained gap.
+
+    ``until`` (1-based unbounded block index -> ``(v, event_type) ->
+    bool``) / ``greedy`` / unbounded blocks (``mx = None``) are the
+    live faces of the r10 batch features: an unbounded block's run
+    contiguity rides per-(key, TYPE) candidate sequences (``st["tq"]``
+    — same era-restart argument as the all-events counter); stop
+    timestamps accumulate per until block (``st["stops"]``, pruned
+    once older than one horizon: any partial that could still need
+    one would contradict its own within window) and a consumption in
+    block >= i from a partial whose last event sits in block <= i is
+    rejected when a stop falls STRICTLY between — the batch lastns
+    conjunct, with the same same-ts tie rule; a greedy partial picks
+    up an exit DEADLINE (``dl`` in its extras) the moment a
+    consumable run candidate passes unconsumed (within the chain's
+    horizon), after which it may exit at-or-before the deadline and
+    is pruned once the clock passes it. Extras are positional:
+    [anchor][vsum vcnt vmin vmax][lastr][lasttq][dl].
+
+    STATE-SCHEMA NOTE (r10): pre-r10 checkpoints deserialize fine —
+    the json state only GAINS optional keys (tq/stops, setdefault'd)
+    and extras lists only lengthen for queries that opt into the new
+    features, which no pre-r10 query could have."""
     import json as _json
 
     k_blocks = len(blocks)
