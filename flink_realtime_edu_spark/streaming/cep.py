@@ -751,6 +751,7 @@ def _make_cep_am_fn(
     until: dict | None = None,
     greedy: set[int] | None = None,
     until_reads_value: bool = False,
+    complete_at: set[int] | None = None,
 ):
     """State fn for streaming ALL-matches CEP with after-match skip
     strategies — the live twin of operators/cep.py::cep_after_match_skip.
@@ -1153,12 +1154,20 @@ def _make_cep_am_fn(
             # WHOLE group (min anchor; two same-ts events of different
             # types can complete the same ts-chain through different
             # block assignments), order chain-lexicographically
-            # (same-end batch ties rank by chain)
+            # (same-end batch ties rank by chain). With complete_at
+            # (pattern GROUPS), emission happens EXCLUSIVELY at the
+            # listed repetition-boundary blocks — all-or-nothing per
+            # repetition; the partial still survives to consume the
+            # next repetition (skip-till-any).
             comps: dict[tuple, int | None] = {}
             for s, val in fresh.items():
                 chain, b, taken = punpack(s)
                 anchor = val_anchor(val)
-                if taken >= mns[b] and tail_optional[b]:
+                if taken >= mns[b] and (
+                    b in complete_at
+                    if complete_at is not None
+                    else tail_optional[b]
+                ):
                     c = tuple(chain)
                     old = comps.get(c, "missing")
                     if old == "missing":
@@ -1293,6 +1302,7 @@ def cep_all_matches_stream(
     consecutive: set[int] | None = None,
     until: dict[int, str] | None = None,
     greedy: set[int] | None = None,
+    _complete_at: set[int] | None = None,
 ) -> DataFrame:
     """Streaming ALL-matches CEP enumeration with the full after-match
     skip-strategy enum — the live twin of
@@ -1439,6 +1449,7 @@ def cep_all_matches_stream(
             until=until_fns,
             greedy=greedy,
             until_reads_value=until_reads_value,
+            complete_at=_complete_at,
         ),
         outputStructType=CEP_AM_OUTPUT_SCHEMA,
         stateStructType=CEP_AM_STATE_SCHEMA,
@@ -1451,6 +1462,63 @@ def cep_all_matches_stream(
         F.timestamp_micros("end_us").alias("end_ts"),
         "n_events",
         "chain_str",
+    )
+
+
+def cep_group_times_stream(
+    events: DataFrame,
+    group: list[str | tuple[str, int, int]],
+    times: tuple[int, int],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming PATTERN GROUPS — the live twin of
+    operators/cep.py::cep_group_times (``Pattern.begin(sub)
+    .times(m, n)``). Where the batch operator unions one flattened
+    enumeration per repeat count, the stream runs ONE NFA over the
+    fully-flattened ``group × n`` block list whose completions fire
+    exclusively at REPETITION BOUNDARIES reachable after ``m`` full
+    passes — the same all-or-nothing semantics without parallel
+    stateful branches (Spark restricts unions of stateful operators).
+    A partial that emits at boundary r survives to consume repetition
+    r + 1, exactly the batch union's longer chains; identical event
+    sets dedup in the per-group completion dict as usual.
+
+    Restriction: the group's LAST block must be non-optional
+    (``mn >= 1``) — a skipped trailing optional would complete with
+    its last consumption outside the boundary block, which the
+    boundary rule cannot see; the batch operator keeps full
+    generality."""
+    from flink_realtime_edu_spark.operators.cep import _normalize_blocks
+
+    m, n = times
+    if not 1 <= m <= n:
+        raise ValueError(f"group times needs 1 <= m <= n, got {times}")
+    base = _normalize_blocks(group)
+    if any(mx is None for _, _, mx in base):
+        raise ValueError(
+            "unbounded blocks inside a repeated group are not supported"
+        )
+    if base[-1][1] < 1:
+        raise ValueError(
+            "the streaming group twin needs a non-optional last block "
+            "in the group (min >= 1)"
+        )
+    complete_at = {len(base) * r - 1 for r in range(m, n + 1)}
+    return cep_all_matches_stream(
+        events,
+        list(base) * n,
+        within,
+        key_col=key_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        tiebreak_col=tiebreak_col,
+        watermark_delay=watermark_delay,
+        _complete_at=complete_at,
     )
 
 

@@ -2701,3 +2701,82 @@ def test_cep_ttl_evicts_stale_partial_chains(spark, tmp_path):
         # user 2: stale t1 makes the 06:10 completion over-horizon —
         # done with no output, the first-match-ever price
     ]
+
+
+def test_cep_group_times_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming GROUP-pattern twin (one NFA over the flattened
+    group x n list, completions fired exclusively at repetition
+    boundaries) must reproduce the batch union-of-enumerations
+    exactly on an ordered replay, using the registered query's own
+    spec — in particular a partial that emits the r = 1 chain must
+    SURVIVE to emit its r = 2 extension, and half-repetitions must
+    never emit."""
+    from flink_realtime_edu_spark.operators.cep import cep_group_times
+    from flink_realtime_edu_spark.streaming.cep import (
+        cep_group_times_stream,
+    )
+    from flink_realtime_edu_spark.streaming.jobs import load_events_stream
+
+    group = [("signup", 1, 1), ("click", 1, 1)]
+    times = (1, 2)
+    within = "12 hours"
+    base = load(spark, sf_dir, "events")
+    n0 = base.count()
+    # sf0.001 carries no 2-repetition chain — plant one synthetic user
+    # (ids past the real range so the chunks stay event-time ordered)
+    planted = spark.createDataFrame(
+        [
+            (n0 + i, f"2024-02-01 0{2 * i}:00:00", 99999, t, 1.0, "{}")
+            for i, t in enumerate(["signup", "click", "signup", "click"])
+        ],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev = base.select(*planted.columns).unionByName(planted)
+    n = n0 + 4
+    src = tmp_path / "amgt_src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        chunk = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage")
+        )
+        for f in (tmp_path / "stage").glob("*.parquet"):
+            shutil.copy(f, src / f"chunk-{i}.parquet")
+        time.sleep(1.1)
+    stream = cep_group_times_stream(
+        load_events_stream(spark, str(src), max_files_per_trigger=1),
+        group,
+        times,
+        within,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("amgt_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_amgt"))
+        .start()
+    )
+    run_to_completion(q)
+    got = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in spark.sql("SELECT * FROM amgt_stream").collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.chain_str)
+        for r in cep_group_times(
+            ev, group, times, within, max_matches_per_key=10**6
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    # both repetition counts must actually be exercised
+    assert {g[3] for g in got} == {2, 4}
