@@ -159,6 +159,65 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_SD_COS = (
+    "list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+_SD_THRESHOLD = 0.35
+
+
+@register(
+    "semdedup_label_blocks",
+    survey_rows=("X5", "X6", "J7"),
+    oracle=f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), p AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND({_SD_COS}, 6) >= {_SD_THRESHOLD}
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM p UNION SELECT idb, ida FROM p
+), reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+), comp AS (
+  SELECT node, MIN(lab) AS cluster FROM reach GROUP BY 1
+)
+SELECT v.vec_id, v.label AS block,
+       COALESCE(comp.cluster, v.vec_id) AS sem_cluster,
+       (v.vec_id = COALESCE(comp.cluster, v.vec_id)) AS keep
+FROM v LEFT JOIN comp ON comp.node = v.vec_id
+""",
+)
+def semdedup_label_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023) over the
+    embeddings, blocked by `label` — the deterministic stand-in for
+    the paper's k-means cluster assignment (which is iterative, hence
+    not SQL-replayable; the k-means contract itself is oracled via
+    kmeans_quality_summary, and `operators.similarity.semantic_dedup`
+    takes ANY block column, so wiring `kmeans_fit`'s cluster id in
+    production is a one-line change). Within-block pairs at rounded
+    cos ≥ 0.35 (chosen to be NONEMPTY on this corpus — random 64-dim
+    vectors top out near 0.47 within labels, so the threshold
+    exercises the component/keep logic instead of vacuously passing
+    an empty graph) chain into semantic components; one survivor per
+    component keeps `keep = true`.
+
+    Oracle: exact — DuckDB replays the within-block pairs with the
+    identical sequential-fold cosine, closes the duplicate graph with
+    a recursive CTE (the media_dup_canonicals pattern), and re-derives
+    min-id survivors. Scale: quadratic only within blocks (bounded by
+    construction — the SemDeDup recipe), linear across; components
+    via hash-min label propagation, singletons never enter the
+    graph."""
+    from flink_realtime_edu_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, block_col="label", threshold=_SD_THRESHOLD)
+
+
 @register("pq_ann_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (m=16 subspaces × 256-entry codebooks

@@ -209,3 +209,178 @@ def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — DSIR data selection (hashed-n-gram importance weights)
+# ---------------------------------------------------------------------------
+_DSIR_B = 4096  # hash-feature buckets (the paper uses 10k; 4096 keeps
+                # the model table broadcast-trivial at every SF)
+_DSIR_K = 0.5   # add-k smoothing, matching doc_bigram_perplexity
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+_DSIR_TGT_SQL = "('src0', 'src1', 'src2', 'src3')"
+
+
+@register(
+    "dsir_importance_weights",
+    survey_rows=("X7", "X1", "A1", "F3", "F8"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source IN {_DSIR_TGT_SQL} AS is_t,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id, is_t,
+         {_H60.format(expr="w[i] || ' ' || w[i + 1]")} % {_DSIR_B} AS f
+  FROM (SELECT * FROM toks WHERE len(w) >= 2),
+       unnest(generate_series(1, len(w) - 1)) t(i)
+), df AS (
+  SELECT doc_id, f, COUNT(*) AS c FROM feat GROUP BY 1, 2
+), model AS (
+  SELECT f, CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM feat GROUP BY f
+), tots AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+  FROM model
+), wts AS (
+  SELECT model.f,
+    ROUND(LN((model.ct + {_DSIR_K}) / (tots.tt + {_DSIR_K} * {_DSIR_B}))
+        - LN((model.cr + {_DSIR_K}) / (tots.tr + {_DSIR_K} * {_DSIR_B})),
+      6) AS lw
+  FROM model CROSS JOIN tots
+)
+SELECT df.doc_id, CAST(SUM(df.c) AS BIGINT) AS n_feats,
+  ROUND(CAST(SUM(CAST(df.c * wts.lw AS DECIMAL(30,8))) AS DOUBLE), 6)
+    AS log_weight,
+  (ROUND(CAST(SUM(CAST(df.c * wts.lw AS DECIMAL(30,8))) AS DOUBLE), 6) > 0)
+    AS target_like
+FROM df JOIN wts ON df.f = wts.f
+GROUP BY df.doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every document's importance weight for resampling a raw corpus
+    toward a target distribution. Features are hashed bigrams (the
+    paper's hashed n-gram generative model): whitespace bigrams →
+    md5-60bit → mod 4096 buckets; two bag-of-features multinomials
+    with add-k smoothing (k = 0.5) are trained in ONE corpus-wide
+    hash aggregate — `target` = docs from sources src0–src3 (the
+    high-quality-exemplar stand-in), `raw` = the non-target remainder
+    (the paper's two DISJOINT corpora; training raw on the union
+    instead makes every weight systematically negative because target
+    counts are then a subset of raw counts) — and
+    the per-doc log importance weight is
+    Σ_f c_doc(f) · (ln p_target(f) − ln p_raw(f)).
+    `target_like` (log_weight > 0) is the resampling gate a selection
+    pass keys on; the full weight column feeds weighted/top-p
+    sampling downstream (mixture_sample_by_source territory).
+
+    Exact oracle: per-feature ln terms rounded to 6 dp (the tfidf
+    ln-ulp rule), weighted sums folded through DECIMAL(30,8) — the
+    doc_bigram_perplexity discipline verbatim; both engines hash the
+    identical md5-60bit buckets. Docs with < 2 tokens carry no bigram
+    and are excluded by construction (same contract as perplexity).
+
+    Scale: the model table is exactly B = 4096 rows regardless of
+    corpus size (broadcast by AQE into the scoring join), totals are
+    one 4096-row aggregate, and scoring is one hash aggregate over
+    per-doc feature counts — two shuffles total, both on 8-byte keys;
+    text never shuffles."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_weights(docs, F.col("source").isin(*_DSIR_TARGET))
+
+
+def dsir_features(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, f, *carry) hashed-bigram feature OCCURRENCES for
+    DSIR — whitespace bigrams → md5-60bit → mod 4096 buckets. One row
+    per bigram token; docs with < 2 tokens emit nothing. `carry`
+    columns (e.g. the is_t target tag at fit time) ride the explode
+    map-side — no join, nothing doc-count-sized ever broadcasts."""
+    toks = docs.select(
+        "doc_id",
+        *carry,
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    )
+    return (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            *carry,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)").alias("p"),
+                    F.expr("slice(w, 2, size(w) - 1)").alias("c"),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            (
+                md5_hash60(F.concat_ws(" ", F.col("g.p"), F.col("g.c")))
+                % F.lit(_DSIR_B)
+            ).alias("f"),
+        )
+    )
+
+
+def dsir_fit(feat_t: DataFrame) -> DataFrame:
+    """Fit the DSIR per-feature log-ratio table from tagged feature
+    occurrences (doc_id, f, is_t): target and raw (non-target)
+    add-k multinomials fold from ONE hash aggregate; returns the
+    B-row (f, lw) model — broadcast-sized regardless of corpus."""
+    model = feat_t.groupBy("f").agg(
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    tots = model.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    kb = F.lit(_DSIR_K * _DSIR_B)
+    return model.crossJoin(F.broadcast(tots)).select(
+        "f",
+        F.round(
+            F.log((F.col("ct") + _DSIR_K) / (F.col("tt") + kb))
+            - F.log((F.col("cr") + _DSIR_K) / (F.col("tr") + kb)),
+            6,
+        ).alias("lw"),
+    )
+
+
+def dsir_score(feat: DataFrame, wts: DataFrame) -> DataFrame:
+    """Score (doc_id, f) feature occurrences against a FROZEN (f, lw)
+    model: per-doc Σ c·lw through the DECIMAL(30,8) fold. The model
+    join broadcasts (≤ B rows); the only shuffle is the per-doc hash
+    aggregate — the shape a streaming micro-batch scorer reuses
+    verbatim (streaming/scoring.py)."""
+    df = feat.groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c"))
+    lw_sum = F.round(
+        F.sum((F.col("c") * F.col("lw")).cast("decimal(30,8)")).cast("double"),
+        6,
+    )
+    return (
+        df.join(F.broadcast(wts), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            lw_sum.alias("log_weight"),
+            (lw_sum > 0).alias("target_like"),
+        )
+    )
+
+
+def dsir_weights(docs: DataFrame, is_target) -> DataFrame:
+    """DSIR scoring core over any (doc_id, text) frame: `is_target` is
+    a boolean Column marking the target-distribution exemplars. See
+    dsir_importance_weights for semantics and the oracle contract."""
+    from flink_realtime_edu_spark.session import materialize as _materialize
+
+    tagged = docs.select("doc_id", is_target.alias("is_t"), "text")
+    # features feed both the model aggregate and the per-doc counts —
+    # materialize once (AQE does not stage-reuse the subtree)
+    feat = _materialize(dsir_features(tagged, carry=("is_t",)))
+    wts = dsir_fit(feat)
+    return dsir_score(feat.drop("is_t"), wts)

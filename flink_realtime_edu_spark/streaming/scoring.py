@@ -1,0 +1,67 @@
+"""Streaming DSIR scoring — the X7 quality-gate twin for ingest.
+
+The production shape for data selection at 100 TB: the DSIR model
+(the B-row per-feature log-ratio table, queries/training.py::
+dsir_fit) is fit ONCE on the reference corpus in batch and frozen to
+parquet; newly-crawled documents are scored as they arrive, each
+micro-batch through the identical batch scorer (dsir_score) against
+the frozen broadcast model. Stateless per batch — no streaming
+aggregation state, no watermark: a document's weight depends only on
+its own bigrams and the frozen model, so stream ≡ batch holds
+per-document by construction and replaying a batch is a pure
+overwrite (the deterministic per-batch output path, the
+streaming_exact_dedup discipline).
+
+Refreshing the model is a batch-side concern (refit, write to a new
+path, restart the stream pointing at it) — exactly how a Flink job
+would swap a broadcast-state model snapshot [R — family pattern].
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_dsir_model(wts: DataFrame, model_dir: str) -> None:
+    """Freeze a fitted (f, lw) model table to parquet. Tiny by
+    construction (≤ B = 4096 rows) — one file, no partitioning."""
+    wts.coalesce(1).write.mode("overwrite").parquet(model_dir)
+
+
+def streaming_dsir_scorer(
+    model_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Build the foreachBatch function: score each micro-batch of
+    (id, text) documents against the frozen DSIR model at
+    ``model_dir`` and write (doc_id, n_feats, log_weight,
+    target_like) under a deterministic per-batch path (replay-safe
+    overwrite). Docs with < 2 tokens score NULL-free as zero-feature
+    rows are simply absent — same contract as the batch query."""
+    from flink_realtime_edu_spark.queries.training import (
+        dsir_features,
+        dsir_score,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        wts = spark.read.parquet(model_dir)
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        scored = dsir_score(dsir_features(docs), wts)
+        scored.write.mode("overwrite").parquet(
+            str(Path(out_dir) / f"batch_id={batch_id}")
+        )
+
+    return write
+
+
+def read_scored_output(spark, out_dir: str) -> DataFrame:
+    """Read back the per-batch scores (plus the batch_id partition)."""
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -659,6 +659,16 @@ def main() -> None:
         "cep_greedy_views",
         "cep_group_times_funnel",
         "doc_bigram_perplexity",
+        # late-r10: DSIR scoring (two 8-byte-key hash aggregates over
+        # bigram volume ≈ corpus tokens — the tfidf/perplexity shape).
+        # semdedup_label_blocks is deliberately NOT swept: its blocks
+        # are the 10 labels, which at native sf1 are 50k vectors wide
+        # — 12.5B within-block pairs, a documented violation of the
+        # operator's bounded-block contract (SemDeDup's k-means blocks
+        # are ~10k; the label stand-in only holds that bound at the
+        # oracle scales). Sweeping it would measure the contract
+        # violation, not the operator.
+        "dsir_importance_weights",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)

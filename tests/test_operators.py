@@ -1237,3 +1237,62 @@ def test_cep_condition_compiler_grammar():
     ):
         with pytest.raises((ValueError, SyntaxError)):
             compile_condition(bad)
+
+
+def test_semantic_dedup_blocks_transitivity_and_singletons(spark):
+    """SemDeDup contract on a constructed corpus: (a) pairs form only
+    WITHIN a block — identical vectors in different blocks both
+    survive; (b) components are transitive — a chain 1~2~3 where the
+    1–3 cosine is BELOW threshold still collapses to one survivor via
+    2; (c) singletons keep themselves as their own cluster."""
+    from flink_realtime_edu_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, 1, [1.0, 0.0, 0.0, 0.0]),
+        (2, 1, [1.0, 0.05, 0.0, 0.0]),   # cos(1,2) ≈ 0.99875
+        (3, 1, [1.0, 0.1, 0.0, 0.0]),    # cos(2,3) ≈ 0.99876, cos(1,3) ≈ 0.99504
+        (4, 2, [1.0, 0.0, 0.0, 0.0]),    # identical to 1 but another block
+        (5, 1, [0.0, 1.0, 0.0, 0.0]),    # orthogonal singleton
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.sem_cluster, r.keep)
+        for r in semantic_dedup(corpus, "label", threshold=0.998).collect()
+    }
+    assert got == {
+        1: (1, True),   # survivor of the 1-2-3 chain
+        2: (1, False),
+        3: (1, False),  # linked to 1 only THROUGH 2 (cos(1,3) < 0.998)
+        4: (4, True),   # same direction as 1, different block → untouched
+        5: (5, True),   # singleton
+    }
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR property (Xie et al. 2023): a raw doc written in the
+    target distribution's bigrams outscores raw docs written in the
+    raw distribution's bigrams, targets themselves score highest, and
+    n_feats counts bigram tokens (docs under 2 tokens drop out)."""
+    from flink_realtime_edu_spark.queries.training import dsir_weights
+
+    rows = [
+        (1, "tgt", "alpha beta alpha beta alpha beta"),
+        (2, "tgt", "alpha beta gamma alpha beta"),
+        (3, "raw", "noise junk noise junk noise junk"),
+        (4, "raw", "junk noise junk noise"),
+        (5, "raw", "alpha beta alpha beta"),  # target-like content, raw source
+        (6, "raw", "single"),                 # < 2 tokens → no bigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r
+        for r in dsir_weights(docs, F.col("source") == "tgt").collect()
+    }
+    assert 6 not in got and len(got) == 5
+    assert got[5].log_weight > got[3].log_weight
+    assert got[5].log_weight > got[4].log_weight
+    assert got[1].target_like and got[5].target_like
+    assert not got[3].target_like and not got[4].target_like
+    assert got[1].n_feats == 5 and got[5].n_feats == 3

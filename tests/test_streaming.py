@@ -2780,3 +2780,67 @@ def test_cep_group_times_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
     # both repetition counts must actually be exercised
     assert {g[3] for g in got} == {2, 4}
+
+
+def test_streaming_dsir_scores_equal_batch_and_replay_safe(spark, sf_dir, tmp_path):
+    """X7 streaming twin: documents streamed in micro-batches and
+    scored against a FROZEN DSIR model reproduce the batch scorer's
+    per-document weights exactly (stateless per doc ⇒ stream ≡ batch
+    by construction — this pins the plumbing: model freeze/reload,
+    per-batch paths, schema), and replaying a batch is idempotent."""
+    from flink_realtime_edu_spark.queries.training import (
+        dsir_features,
+        dsir_fit,
+        dsir_score,
+    )
+    from flink_realtime_edu_spark.streaming.scoring import (
+        read_scored_output,
+        streaming_dsir_scorer,
+        write_dsir_model,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # Fit on the full corpus batch-side and freeze.
+    feat_t = dsir_features(
+        docs.select("doc_id", (F.col("source") == "src0").alias("is_t"), "text"),
+        carry=("is_t",),
+    )
+    wts = dsir_fit(feat_t)
+    model_dir = str(tmp_path / "dsir_model")
+    write_dsir_model(wts, model_dir)
+
+    src = tmp_path / "docs_src"
+    docs.select("doc_id", "text").repartition(3).write.parquet(str(src))
+    out_dir = str(tmp_path / "scores_out")
+    sink = streaming_dsir_scorer(model_dir, out_dir)
+    stream_schema = "doc_id long, text string"
+    q = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "score_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    got = read_scored_output(spark, out_dir)
+    expected = dsir_score(
+        dsir_features(docs.select("doc_id", "text")),
+        spark.read.parquet(model_dir),
+    )
+    cols = ["doc_id", "n_feats", "log_weight", "target_like"]
+    assert _rows(got.select(*cols)) == _rows(expected.select(*cols))
+    assert got.count() == expected.count() > 0
+
+    # Replay the last batch: output must be byte-identical.
+    last_batch = got.agg(F.max("batch_id")).collect()[0][0]
+    before = _rows(read_scored_output(spark, out_dir))
+    replay_ids = [
+        r.doc_id
+        for r in got.filter(F.col("batch_id") == last_batch).collect()
+    ]
+    sink(docs.filter(F.col("doc_id").isin(replay_ids)).select("doc_id", "text"),
+         last_batch)
+    assert _rows(read_scored_output(spark, out_dir)) == before
