@@ -221,11 +221,10 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")
 _DSIR_TGT_SQL = "('src0', 'src1', 'src2', 'src3')"
 
 
-@register(
-    "dsir_importance_weights",
-    survey_rows=("X7", "X1", "A1", "F3", "F8"),
-    oracle=f"""
-WITH toks AS (
+# Chained-CTE body shared by the weights query and the Gumbel top-k
+# selection query (the bpe.py chained-oracle pattern): everything up
+# to the per-doc scored weights.
+_DSIR_CTES = f"""toks AS (
   SELECT doc_id, source IN {_DSIR_TGT_SQL} AS is_t,
          list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
@@ -249,14 +248,23 @@ WITH toks AS (
         - LN((model.cr + {_DSIR_K}) / (tots.tr + {_DSIR_K} * {_DSIR_B})),
       6) AS lw
   FROM model CROSS JOIN tots
-)
-SELECT df.doc_id, CAST(SUM(df.c) AS BIGINT) AS n_feats,
-  ROUND(CAST(SUM(CAST(df.c * wts.lw AS DECIMAL(30,8))) AS DOUBLE), 6)
-    AS log_weight,
-  (ROUND(CAST(SUM(CAST(df.c * wts.lw AS DECIMAL(30,8))) AS DOUBLE), 6) > 0)
-    AS target_like
-FROM df JOIN wts ON df.f = wts.f
-GROUP BY df.doc_id
+), scored AS (
+  SELECT df.doc_id, CAST(SUM(df.c) AS BIGINT) AS n_feats,
+    ROUND(CAST(SUM(CAST(df.c * wts.lw AS DECIMAL(30,8))) AS DOUBLE), 6)
+      AS log_weight,
+    (ROUND(CAST(SUM(CAST(df.c * wts.lw AS DECIMAL(30,8))) AS DOUBLE), 6) > 0)
+      AS target_like
+  FROM df JOIN wts ON df.f = wts.f
+  GROUP BY df.doc_id
+)"""
+
+
+@register(
+    "dsir_importance_weights",
+    survey_rows=("X7", "X1", "A1", "F3", "F8"),
+    oracle=f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_feats, log_weight, target_like FROM scored
 """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,3 +392,58 @@ def dsir_weights(docs: DataFrame, is_target) -> DataFrame:
     feat = _materialize(dsir_features(tagged, carry=("is_t",)))
     wts = dsir_fit(feat)
     return dsir_score(feat.drop("is_t"), wts)
+
+
+_DSIR_M = 20          # selected sample size
+_U_DENOM = "1152921504606846978.0"  # 2^60 + 2: u = (h60+1)/denom ∈ (0,1)
+
+
+@register(
+    "dsir_gumbel_topk",
+    survey_rows=("X7", "F3", "F8", "O2"),
+    oracle=f"""
+WITH {_DSIR_CTES}, noised AS (
+  SELECT doc_id, log_weight,
+    ROUND(-LN(-LEAST(ROUND(LN(
+        ({_H60.format(expr="concat('gmb:', doc_id)")} + 1.0) / {_U_DENOM}
+      ), 6), -0.000001)), 6) AS gumbel
+  FROM scored
+)
+SELECT doc_id, log_weight, gumbel,
+       ROUND(log_weight + gumbel, 6) AS sample_key
+FROM noised
+ORDER BY sample_key DESC, doc_id
+LIMIT {_DSIR_M}
+""",
+)
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR step 2 — the RESAMPLING pass (Xie et al. 2023 §2): draw m
+    documents without replacement with probability ∝ exp(log_weight)
+    via the Gumbel-top-k trick: select the m largest
+    (log_weight + g_i) where g_i is per-doc standard Gumbel noise.
+    Noise is hash-derived and replayable — no RNG state, the
+    stratified_split discipline: u_i = (md5_60('gmb:'doc_id)+1) /
+    (2^60+2) ∈ (0,1), g_i = −ln(−ln u_i) — so the selected set is
+    deterministic, rerun-stable, and exactly oracle-checkable.
+    Both ln's are rounded to 6 dp before reuse (the tfidf ln-ulp
+    rule: each engine's libm may differ in the last ulp; the rounded
+    value is the contract), the inner ln clamped below −1e-6 so a
+    u → 1 doc cannot produce −ln(0).
+
+    Scale: the weights pipeline is the dsir_importance_weights plan;
+    the selection adds map-side noise columns and ONE global top-m —
+    Spark plans orderBy().limit(m) as TakeOrderedAndProject (per-
+    partition heaps + an m-row driver merge), never a full sort."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = dsir_weights(docs, F.col("source").isin(*_DSIR_TARGET))
+    u = (
+        md5_hash60(F.concat(F.lit("gmb:"), F.col("doc_id"))) + F.lit(1.0)
+    ) / F.lit(float(_U_DENOM))
+    inner = F.least(F.round(F.log(u), 6), F.lit(-0.000001))
+    g = F.round(-F.log(-inner), 6)
+    noised = scored.select(
+        "doc_id", "log_weight", g.alias("gumbel")
+    ).withColumn("sample_key", F.round(F.col("log_weight") + F.col("gumbel"), 6))
+    return noised.orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    ).limit(_DSIR_M)

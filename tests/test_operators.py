@@ -1296,3 +1296,49 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert got[1].target_like and got[5].target_like
     assert not got[3].target_like and not got[4].target_like
     assert got[1].n_feats == 5 and got[5].n_feats == 3
+
+
+def test_dsir_gumbel_topk_deterministic_and_maximal(spark, sf_dir):
+    """The Gumbel-top-k resampling pass is rerun-stable (hash-derived
+    noise, no RNG state): two evaluations select the identical m-row
+    set, the set is exactly the m LARGEST sample keys over the whole
+    scored corpus, and every gumbel value is finite (the u → 1 ln
+    clamp)."""
+    import math
+
+    from flink_realtime_edu_spark.queries import load_registry
+
+    build = load_registry()["dsir_gumbel_topk"].build
+    a = sorted(map(tuple, build(spark, sf_dir).collect()))
+    b = sorted(map(tuple, build(spark, sf_dir).collect()))
+    assert a == b and len(a) == 20
+    assert all(math.isfinite(r[2]) for r in a)
+
+    from flink_realtime_edu_spark.queries.training import (
+        _DSIR_TARGET,
+        dsir_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = dsir_weights(docs, F.col("source").isin(*_DSIR_TARGET))
+    # Recompute every doc's sample key with the query's own noise
+    # formula and assert the selected 20 are exactly the global
+    # maxima under the (key DESC, doc_id ASC) order.
+    from flink_realtime_edu_spark.operators.dedup import md5_hash60
+
+    u = (
+        md5_hash60(F.concat(F.lit("gmb:"), F.col("doc_id"))) + F.lit(1.0)
+    ) / F.lit(1152921504606846978.0)
+    inner = F.least(F.round(F.log(u), 6), F.lit(-0.000001))
+    g = F.round(-F.log(-inner), 6)
+    all_keys = [
+        (r.k, r.doc_id)
+        for r in scored.select(
+            "doc_id", F.round(F.col("log_weight") + g, 6).alias("k")
+        ).collect()
+    ]
+    expected = sorted(all_keys, key=lambda t: (-t[0], t[1]))[:20]
+    got_pairs = sorted(
+        ((r[3], r[0]) for r in a), key=lambda t: (-t[0], t[1])
+    )
+    assert got_pairs == expected
