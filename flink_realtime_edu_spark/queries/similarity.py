@@ -514,3 +514,82 @@ def embedding_quantization_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("snr_db").alias("min_snr_db"),
         F.max("snr_db").alias("max_snr_db"),
     )
+
+
+_SD_KM_THRESHOLD = 0.40
+
+
+@register(
+    "semdedup_kmeans_summary",
+    survey_rows=("X5", "X6"),
+    oracle="""
+SELECT COUNT(*) AS n_vectors, 8 AS k, TRUE AS keeps_match_components,
+       TRUE AS any_pruned, TRUE AS prune_rate_ok,
+       TRUE AS pruned_have_dup_neighbor
+FROM embeddings
+""",
+)
+def semdedup_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup exactly as the paper runs it — blocks = k-means
+    clusters (k = 8, the seeded deterministic fit of
+    kmeans_quality_summary), pairwise cosine ≥ 0.40 within each
+    cluster, one survivor per semantic component. The cluster
+    assignment is iterative ⇒ not SQL-replayable, so this is the
+    tolerance-summary twin of the EXACT-oracled semdedup_label_blocks
+    (the kmeans_cluster_profile / kmeans_quality_summary split):
+    facts folded to exactly-assertable booleans, deterministic under
+    the first-k-by-id init on fixed data —
+    - n_vectors: every vector classified (oracle computes exactly);
+    - keeps_match_components: #survivors == #semantic components
+      (the keep rule is internally consistent);
+    - any_pruned: the threshold actually bites (measured pruned
+      counts 17/25/333 across sf0.001–0.1 — never vacuous);
+    - prune_rate_ok: pruned fraction ≤ 0.5 (measured 0.03–0.17);
+    - pruned_have_dup_neighbor: EVERY pruned vector has at least one
+      direct ≥-threshold pair inside its block — the property a
+      broken threshold or component propagation would violate."""
+    from flink_realtime_edu_spark.functions import cosine
+    from flink_realtime_edu_spark.operators.clustering import kmeans_fit
+    from flink_realtime_edu_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, assigned, _ = kmeans_fit(emb, k=8, iters=4)
+    blocks = emb.select("vec_id", "embedding").join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    )
+    res = semantic_dedup(
+        blocks, block_col="cluster", threshold=_SD_KM_THRESHOLD
+    ).cache()
+
+    # direct ≥-threshold pairs within blocks (for the neighbor check)
+    v = blocks.select(
+        F.col("vec_id").alias("vid"),
+        F.col("cluster").alias("block"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    a = v.select(F.col("vid").alias("id_a"), "block", F.col("e").alias("ea"))
+    b = v.select(F.col("vid").alias("id_b"), "block", F.col("e").alias("eb"))
+    paired_ids = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(_SD_KM_THRESHOLD))
+        .select(F.explode(F.array("id_a", "id_b")).alias("vec_id"))
+        .distinct()
+    )
+    pruned_wo_neighbor = (
+        res.filter(~F.col("keep")).join(paired_ids, "vec_id", "left_anti").count()
+    )
+    return res.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.lit(8).alias("k"),
+        (
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            == F.count_distinct("sem_cluster")
+        ).alias("keeps_match_components"),
+        (F.sum(F.when(~F.col("keep"), 1).otherwise(0)) >= 1).alias("any_pruned"),
+        (
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            <= F.count(F.lit(1)) * 0.5
+        ).alias("prune_rate_ok"),
+        F.lit(pruned_wo_neighbor == 0).alias("pruned_have_dup_neighbor"),
+    )
