@@ -835,3 +835,85 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_nll_nats",
         F.round(F.exp("mean_nll_nats"), 6).alias("perplexity"),
     )
+
+
+_MIX_ALPHA = 0.3  # XLM-R / mT5 sampling temperature
+
+
+@register(
+    "domain_temperature_mixture",
+    survey_rows=("X7", "A1", "F3", "A5"),
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok
+), base AS (
+  SELECT source, n_tokens,
+         ROUND(LN(n_tokens * 1.0 / tot.total), 6) AS lnp
+  FROM tok CROSS JOIN tot
+), unn AS (
+  SELECT source, n_tokens,
+         ROUND(EXP(lnp), 6) AS p_share,
+         ROUND(EXP({_MIX_ALPHA} * lnp), 6) AS q_un
+  FROM base
+), z AS (
+  SELECT CAST(SUM(CAST(q_un AS DECIMAL(30,8))) AS DOUBLE) AS zsum FROM unn
+)
+SELECT source, n_tokens, p_share,
+       ROUND(q_un / z.zsum, 6) AS q_share,
+       ROUND(ROUND(q_un / z.zsum, 6) / p_share, 6) AS upsample_factor
+FROM unn CROSS JOIN z
+""",
+)
+def domain_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture weights (the multilingual
+    sampling formula of XLM-R / mT5, Conneau et al. 2020 §3.1):
+    q_i ∝ p_i^α with α = 0.3, where p_i is a source's token share —
+    the step that COMPUTES the per-domain sampling rates a
+    deterministic sampler (mixture_sample_by_source) then consumes.
+    Low-resource domains upsample (q/p > 1), high-resource ones
+    downsample — `upsample_factor` is that ratio.
+
+    Exactness discipline: p^α = exp(α·ln p) with ln rounded to 6 dp
+    first (the tfidf ln-ulp rule), exp results rounded to 6 dp, and
+    the normalizer Σ q folded through DECIMAL(30,8) so summation
+    order cannot move it — both engines then divide identical
+    doubles. Scale: one hash aggregate over per-doc token counts
+    (domains ≪ corpus), a one-row total broadcast, and domain-count-
+    sized arithmetic — nothing here grows with corpus bytes."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    tok = (
+        docs.select(
+            "source",
+            F.size(F.expr("filter(split(text, ' '), x -> x != '')")).alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("long").alias("total"))
+    base = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.log(F.col("n_tokens") / F.col("total")), 6).alias("lnp"),
+    )
+    unn = base.select(
+        "source",
+        "n_tokens",
+        F.round(F.exp(F.col("lnp")), 6).alias("p_share"),
+        F.round(F.exp(F.lit(_MIX_ALPHA) * F.col("lnp")), 6).alias("q_un"),
+    )
+    z = unn.agg(
+        F.sum(F.col("q_un").cast("decimal(30,8)")).cast("double").alias("zsum")
+    )
+    q_share = F.round(F.col("q_un") / F.col("zsum"), 6)
+    return unn.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        "p_share",
+        q_share.alias("q_share"),
+        F.round(q_share / F.col("p_share"), 6).alias("upsample_factor"),
+    )
