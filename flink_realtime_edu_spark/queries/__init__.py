@@ -103,9 +103,9 @@ def register(
 # they are exactly the set the K=4 staleness budget
 # (tests/test_registry_order.py::test_staleness_budget_within_window)
 # holds overdue once CORRECTNESS_r09.json is on disk -- then
-# STALENESS-FIRST refresh: 24 of the 46 queries last officially
-# sampled r7. The 22 spilled r7 queries (latest_event_per_user,
-# map_funcs_props,
+# STALENESS-FIRST refresh: 23 of the 46 queries last officially
+# sampled r7. The 23 spilled r7 queries (lang_guess_confusion,
+# latest_event_per_user, map_funcs_props,
 # mixture_sample_by_source, multimodal_feature_stats,
 # nation_profit_trend, nations_without_suppliers,
 # returned_item_top_customers,
@@ -116,12 +116,15 @@ def register(
 # unpivot_daily_activity, video_decode_stats, vocab_coverage_topk,
 # waiting_supplier_counts, weighted_avg_udaf) rotate FIRST in r11 --
 # at r11 they hit the K=4 budget, so forgetting them fails the
-# suite. The nine NEW r10 queries (cep_one_or_more_until,
+# suite. The ten NEW r10 queries (cep_one_or_more_until,
 # cep_greedy_views, doc_bigram_perplexity, cep_group_times_funnel,
 # semdedup_label_blocks, dsir_importance_weights, dsir_gumbel_topk,
-# semdedup_kmeans_summary, domain_temperature_mixture) displaced the
-# tail of the r7 block into that spill list (the never-sampled pin
-# forces them into the window at add time).
+# semdedup_kmeans_summary, domain_temperature_mixture,
+# doremi_domain_weights) displaced the tail of the r7 block into
+# that spill list (the never-sampled pin forces them into the window
+# at add time). NOTE for r11: the forced rotation is pricing_summary
+# + all 46 r7-stale queries = 47 slots — it fits the 50-slot window
+# with 3 spare; the r8 cohort (44) binds at r12 and fits too.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
@@ -135,6 +138,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "dsir_gumbel_topk",           # X7 F3 F8 O2 -- NEW r10
     "semdedup_kmeans_summary",    # X5 X6 -- NEW r10
     "domain_temperature_mixture", # X7 A1 F3 A5 -- NEW r10
+    "doremi_domain_weights",      # X7 A1 F3 J1 -- NEW r10
     # --- last officially sampled r6 (the r9-pinned spill, 16/16) ---
     "pivot_daily_activity",
     "rollup_revenue",
@@ -176,7 +180,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "funnel_click_view_purchase",
     "grouped_zscore_chars",
     "jpeg_color_decode_stats",
-    "lang_guess_confusion",
 )
 
 

@@ -543,10 +543,7 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_unigram_surprisal",
-    survey_rows=("X7", "X1", "A1", "F3"),
-    oracle="""
+_UNIGRAM_ORACLE = """
 WITH tok AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
 ), tf AS (
@@ -562,7 +559,13 @@ SELECT tf.doc_id,
     AS DECIMAL(30,8))) AS DOUBLE) / SUM(tf.tf), 6) AS mean_surprisal_nats
 FROM tf JOIN cnt ON tf.term = cnt.term CROSS JOIN tot
 GROUP BY tf.doc_id
-""",
+"""
+
+
+@register(
+    "doc_unigram_surprisal",
+    survey_rows=("X7", "X1", "A1", "F3"),
+    oracle=_UNIGRAM_ORACLE,
 )
 def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean token surprisal −ln p(term) under the
@@ -715,10 +718,7 @@ def text_normalization_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_bigram_perplexity",
-    survey_rows=("X7", "X1", "A1", "F3"),
-    oracle="""
+_BIGRAM_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
@@ -750,7 +750,13 @@ WITH toks AS (
 SELECT doc_id, n_bigrams, mean_nll_nats,
        ROUND(EXP(mean_nll_nats), 6) AS perplexity
 FROM scored
-""",
+"""
+
+
+@register(
+    "doc_bigram_perplexity",
+    survey_rows=("X7", "X1", "A1", "F3"),
+    oracle=_BIGRAM_ORACLE,
 )
 def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity under a corpus-trained BIGRAM add-k
@@ -916,4 +922,109 @@ def domain_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_share",
         q_share.alias("q_share"),
         F.round(q_share / F.col("p_share"), 6).alias("upsample_factor"),
+    )
+
+
+_DOREMI_ETA = 1.0   # Group-DRO step size
+_DOREMI_S = 0.2     # uniform smoothing mass
+
+
+@register(
+    "doremi_domain_weights",
+    survey_rows=("X7", "A1", "F3", "J1"),
+    oracle=f"""
+WITH uni AS (SELECT * FROM ({_UNIGRAM_ORACLE}) u),
+big AS (SELECT * FROM ({_BIGRAM_ORACLE}) b),
+ex AS (
+  SELECT d.source,
+         GREATEST(uni.mean_surprisal_nats - big.mean_nll_nats, 0) AS excess
+  FROM uni
+  JOIN big ON big.doc_id = uni.doc_id
+  JOIN documents d ON d.doc_id = uni.doc_id
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    ROUND(CAST(SUM(CAST(excess AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 6)
+      AS mean_excess
+  FROM ex GROUP BY source
+), upd AS (
+  SELECT source, n_docs, mean_excess,
+         ROUND(EXP({_DOREMI_ETA} * mean_excess), 6) AS boost
+  FROM agg
+), z AS (
+  SELECT CAST(SUM(CAST(boost AS DECIMAL(30,8))) AS DOUBLE) AS zsum,
+         COUNT(*) AS nd
+  FROM upd
+)
+SELECT source, n_docs, mean_excess,
+       ROUND(boost / z.zsum, 6) AS alpha,
+       ROUND((1 - {_DOREMI_S}) * ROUND(boost / z.zsum, 6)
+             + {_DOREMI_S} / z.nd, 6) AS domain_weight
+FROM upd CROSS JOIN z
+""",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of DoReMi domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): upweight domains where the proxy model's loss
+    EXCEEDS the reference model's (the Group-DRO excess-loss signal),
+    then smooth toward uniform. The paper trains two small LMs; here
+    the proxy is the corpus UNIGRAM model and the reference the
+    corpus BIGRAM model (doc_unigram_surprisal / doc_bigram_perplexity
+    verbatim — documented stand-ins with the same ordering semantics:
+    bigram context explains away surprisal except where a domain's
+    text resists, which is exactly the hard-domain signal DoReMi
+    boosts). Per-doc clipped excess max(uni − bi, 0) → exact-decimal
+    per-domain mean → α ∝ exp(η·excess) with uniform baseline
+    (η = 1) → domain_weight = (1−s)·α + s/D (s = 0.2).
+
+    Oracle: the two scoring oracles compose as subqueries (the
+    media_dup_canonicals pattern), both already 6dp-rounded; excess
+    is a difference of identical doubles, the domain mean folds
+    through DECIMAL(30,8), exp is rounded before the DECIMAL-folded
+    normalizer — exact end to end. Docs with < 2 tokens carry no
+    bigram score and drop from the excess join by construction (the
+    perplexity contract). Scale: both scoring pipelines are the
+    established tfidf shape; everything after is domain-cardinality
+    arithmetic with one-row broadcasts."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    uni = doc_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "mean_surprisal_nats"
+    )
+    big = doc_bigram_perplexity(spark, sf_dir).select(
+        "doc_id", "mean_nll_nats"
+    )
+    ex = (
+        uni.join(big, "doc_id")
+        .join(docs, "doc_id")
+        .select(
+            "source",
+            F.greatest(
+                F.col("mean_surprisal_nats") - F.col("mean_nll_nats"),
+                F.lit(0.0),
+            ).alias("excess"),
+        )
+    )
+    agg = ex.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("excess").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_excess"),
+    )
+    upd = agg.withColumn(
+        "boost", F.round(F.exp(F.lit(_DOREMI_ETA) * F.col("mean_excess")), 6)
+    )
+    z = upd.agg(
+        F.sum(F.col("boost").cast("decimal(30,8)")).cast("double").alias("zsum"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    alpha = F.round(F.col("boost") / F.col("zsum"), 6)
+    return upd.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "mean_excess",
+        alpha.alias("alpha"),
+        F.round(
+            F.lit(1 - _DOREMI_S) * alpha + F.lit(_DOREMI_S) / F.col("nd"), 6
+        ).alias("domain_weight"),
     )
