@@ -660,7 +660,12 @@ def main() -> None:
         "cep_group_times_funnel",
         "doc_bigram_perplexity",
         # late-r10: DSIR scoring (two 8-byte-key hash aggregates over
-        # bigram volume ≈ corpus tokens — the tfidf/perplexity shape).
+        # bigram volume ≈ corpus tokens — the tfidf/perplexity shape),
+        # its Gumbel-top-k selection (same pipeline + one global
+        # top-m heap), the DoReMi one-step (two LM scoring pipelines
+        # + domain-sized arithmetic — the most data-proportional of
+        # the selection ops), and the temperature mixture (one token
+        # aggregate; included to pin that it stays corpus-size-free).
         # semdedup_label_blocks is deliberately NOT swept: its blocks
         # are the 10 labels, which at native sf1 are 50k vectors wide
         # — 12.5B within-block pairs, a documented violation of the
@@ -669,6 +674,9 @@ def main() -> None:
         # oracle scales). Sweeping it would measure the contract
         # violation, not the operator.
         "dsir_importance_weights",
+        "dsir_gumbel_topk",
+        "doremi_domain_weights",
+        "domain_temperature_mixture",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)

@@ -2844,3 +2844,101 @@ def test_streaming_dsir_scores_equal_batch_and_replay_safe(spark, sf_dir, tmp_pa
     sink(docs.filter(F.col("doc_id").isin(replay_ids)).select("doc_id", "text"),
          last_batch)
     assert _rows(read_scored_output(spark, out_dir)) == before
+
+
+def test_streaming_semantic_dedup_invariant_and_replay(spark, sf_dir, tmp_path):
+    """X5/X6 streaming twin — incremental SemDeDup against the
+    survivor index: every vector classified exactly once; the KEPT-SET
+    INVARIANT holds (no two kept vectors in a block within threshold —
+    the same guarantee the batch operator gives); every duplicate has
+    a DIRECT ≥-threshold edge to its recorded survivor and that
+    survivor is kept; the index equals the kept set; and replaying the
+    last batch is byte-identical (every dup re-finds its survivor in
+    the index — the property the greedy direct-edge rule buys)."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        _round_half_up,
+        semantic_dedup,  # noqa: F401  (imported for parity reference)
+    )
+    from flink_realtime_edu_spark.streaming.semdedup import (
+        read_semdedup_index,
+        read_semdedup_output,
+        streaming_semantic_dedup,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    import numpy as np
+
+    T = 0.40
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("block"), "embedding"
+    )
+    src = tmp_path / "emb_src"
+    emb.repartition(4).write.parquet(str(src))
+
+    index_dir = str(tmp_path / "sem_index")
+    out_dir = str(tmp_path / "sem_out")
+    sink = streaming_semantic_dedup(index_dir, out_dir, threshold=T)
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    out = read_semdedup_output(spark, out_dir).cache()
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+
+    rows = {r.vec_id: r for r in out.collect()}
+    vecs = {
+        r.vec_id: (r.block, np.asarray(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        return float(_round_half_up(np.array([a @ b / (na * nb)]))[0])
+
+    kept = [v for v in rows.values() if v.status == "kept"]
+    # invariant: no two kept vectors within a block reach the threshold
+    by_block: dict = {}
+    for r in kept:
+        by_block.setdefault(r.block, []).append(r.vec_id)
+    for blk, ids in by_block.items():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                c = cos(vecs[ids[i]][1], vecs[ids[j]][1])
+                assert c < T, (blk, ids[i], ids[j], c)
+
+    # every dup: direct edge to its survivor, survivor kept, same block
+    for r in rows.values():
+        if r.status == "kept":
+            assert r.survivor_id == r.vec_id
+            continue
+        s = rows[r.survivor_id]
+        assert s.status == "kept" and s.block == r.block
+        assert cos(vecs[r.vec_id][1], vecs[r.survivor_id][1]) >= T
+
+    # index == kept set
+    idx = read_semdedup_index(spark, index_dir)
+    assert sorted(r.vec_id for r in idx.select("vec_id").collect()) == sorted(
+        r.vec_id for r in kept
+    )
+
+    # the threshold bites on this corpus (non-vacuous)
+    assert any(r.status != "kept" for r in rows.values())
+    assert any(r.status == "dup_of_corpus" for r in rows.values())
+
+    # replay the last batch: output and index byte-identical
+    last_batch = out.agg(F.max("batch_id")).collect()[0][0]
+    replay_ids = [
+        r.vec_id for r in out.filter(F.col("batch_id") == last_batch).collect()
+    ]
+    before_out = _rows(read_semdedup_output(spark, out_dir))
+    before_idx = _rows(read_semdedup_index(spark, index_dir))
+    sink(emb.filter(F.col("vec_id").isin(replay_ids)), last_batch)
+    assert _rows(read_semdedup_output(spark, out_dir)) == before_out
+    assert _rows(read_semdedup_index(spark, index_dir)) == before_idx
