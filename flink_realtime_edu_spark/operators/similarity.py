@@ -462,12 +462,43 @@ def embedding_near_duplicates(
     ).filter(F.col("cos") >= threshold)
 
 
+def block_pairs(
+    corpus: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b: the within-block pairs whose
+    rounded sequential-fold cosine reaches `threshold` — the duplicate
+    graph SemDeDup closes. Quadratic within a block, linear across;
+    exposed so a caller that also needs the raw pair set (e.g. the
+    pruned-have-neighbor audit in semdedup_kmeans_summary) computes
+    the expensive self-join ONCE and feeds it back via
+    semantic_dedup(pairs=...)."""
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    a = v.select(F.col("vid").alias("id_a"), "block", F.col("e").alias("ea"))
+    b = v.select(F.col("vid").alias("id_b"), "block", F.col("e").alias("eb"))
+    return (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     block_col: str,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+    max_iters: int = 30,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column. Vectors are
@@ -478,6 +509,11 @@ def semantic_dedup(
     duplicate graph, and exactly one representative per connected
     component is kept (minimum id — deterministic; the paper keeps
     the vector farthest from the centroid, a one-line argmax swap).
+    Pass a precomputed/materialized `pairs` frame (block_pairs
+    output) to skip the quadratic self-join when the caller already
+    built it; raise `max_iters` (forwarded to connected_components)
+    for adversarially chain-shaped duplicate graphs whose diameter
+    exceeds 30.
 
     Returns one row per input vector:
     ``(id, block, sem_cluster, keep)`` — `sem_cluster` is the min id
@@ -494,23 +530,15 @@ def semantic_dedup(
     from flink_realtime_edu_spark.operators.graph import connected_components
 
     v = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(block_col).alias("block"),
-        F.col(vec_col).cast("array<double>").alias("e"),
+        F.col(id_col).alias("vid"), F.col(block_col).alias("block")
     )
-    a = v.select(
-        F.col("vid").alias("id_a"), F.col("block"), F.col("e").alias("ea")
+    if pairs is None:
+        pairs = block_pairs(
+            corpus, block_col, threshold, id_col=id_col, vec_col=vec_col
+        )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", max_iters=max_iters
     )
-    b = v.select(
-        F.col("vid").alias("id_b"), F.col("block"), F.col("e").alias("eb")
-    )
-    pairs = (
-        a.join(b, on="block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
     return (
         v.join(comp, v["vid"] == comp["node"], "left")
         .select(
@@ -530,6 +558,7 @@ __all__ = [
     "lsh_cosine_topk",
     "hyperplane_buckets",
     "embedding_near_duplicates",
+    "block_pairs",
     "semantic_dedup",
     "dot",
     "l2_norm",

@@ -122,9 +122,11 @@ def register(
 # semdedup_kmeans_summary, domain_temperature_mixture,
 # doremi_domain_weights) displaced the tail of the r7 block into
 # that spill list (the never-sampled pin forces them into the window
-# at add time). NOTE for r11: the forced rotation is pricing_summary
-# + all 46 r7-stale queries = 47 slots — it fits the 50-slot window
-# with 3 spare; the r8 cohort (44) binds at r12 and fits too.
+# at add time). NOTE for r11: once CORRECTNESS_r10 lands, the 23
+# in-window r7 queries carry r10 samples — only the 23 SPILLED r7
+# queries above hit the K=4 budget at r11, so the forced r11 set is
+# pricing_summary + those 23 = 24 slots, leaving 26 for the r8
+# cohort (44 queries, which binds at r12 — start it early).
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
@@ -156,7 +158,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "union_activity_feed",
     "user_state_intervals",
     "value_percentiles",
-    # --- last officially sampled r7 (staleness refresh, 27/46) ---
+    # --- last officially sampled r7 (staleness refresh, 23/46) ---
     "approx_value_percentiles",
     "bpe_token_counts",
     "cep_times_quantifier",

@@ -548,32 +548,32 @@ def semdedup_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     - pruned_have_dup_neighbor: EVERY pruned vector has at least one
       direct ≥-threshold pair inside its block — the property a
       broken threshold or component propagation would violate."""
-    from flink_realtime_edu_spark.functions import cosine
     from flink_realtime_edu_spark.operators.clustering import kmeans_fit
-    from flink_realtime_edu_spark.operators.similarity import semantic_dedup
+    from flink_realtime_edu_spark.operators.similarity import (
+        block_pairs,
+        semantic_dedup,
+    )
+    from flink_realtime_edu_spark.session import materialize as _materialize
 
     emb = load(spark, sf_dir, "embeddings")
     _, assigned, _ = kmeans_fit(emb, k=8, iters=4)
     blocks = emb.select("vec_id", "embedding").join(
         assigned.select("vec_id", "cluster"), "vec_id"
     )
-    res = semantic_dedup(
-        blocks, block_col="cluster", threshold=_SD_KM_THRESHOLD
-    ).cache()
-
-    # direct ≥-threshold pairs within blocks (for the neighbor check)
-    v = blocks.select(
-        F.col("vec_id").alias("vid"),
-        F.col("cluster").alias("block"),
-        F.col("embedding").cast("array<double>").alias("e"),
+    # the quadratic within-block self-join computes ONCE and feeds
+    # both the dedup and the neighbor audit (materialized — AQE does
+    # not stage-reuse the duplicated subtree)
+    pairs = _materialize(
+        block_pairs(blocks, block_col="cluster", threshold=_SD_KM_THRESHOLD)
     )
-    a = v.select(F.col("vid").alias("id_a"), "block", F.col("e").alias("ea"))
-    b = v.select(F.col("vid").alias("id_b"), "block", F.col("e").alias("eb"))
+    res = _materialize(
+        semantic_dedup(
+            blocks, block_col="cluster", threshold=_SD_KM_THRESHOLD,
+            pairs=pairs,
+        )
+    )
     paired_ids = (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(_SD_KM_THRESHOLD))
-        .select(F.explode(F.array("id_a", "id_b")).alias("vec_id"))
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("vec_id"))
         .distinct()
     )
     pruned_wo_neighbor = (

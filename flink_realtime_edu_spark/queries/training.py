@@ -338,11 +338,21 @@ def dsir_fit(feat_t: DataFrame) -> DataFrame:
     """Fit the DSIR per-feature log-ratio table from tagged feature
     occurrences (doc_id, f, is_t): target and raw (non-target)
     add-k multinomials fold from ONE hash aggregate; returns the
-    B-row (f, lw) model — broadcast-sized regardless of corpus."""
-    model = feat_t.groupBy("f").agg(
+    FULL-B (f, lw) model — all 4096 buckets, so a bucket unseen at
+    fit time carries its add-k smoothed log-ratio instead of being
+    absent. That matters for the frozen-model streaming scorer
+    (streaming/scoring.py): a newly-crawled doc whose bigram hashes
+    to an unseen bucket must score the smoothed weight, not silently
+    drop the feature (dsir_score joins on f). Batch results are
+    unchanged — every feature a batch doc carries is observed in its
+    own fit by construction."""
+    spark = feat_t.sparkSession
+    counts = feat_t.groupBy("f").agg(
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
     )
+    full = spark.range(_DSIR_B).select(F.col("id").alias("f"))
+    model = full.join(counts, "f", "left").na.fill({"cr": 0, "ct": 0})
     tots = model.agg(
         F.sum("cr").cast("long").alias("tr"),
         F.sum("ct").cast("long").alias("tt"),

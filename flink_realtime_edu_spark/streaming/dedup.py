@@ -53,6 +53,7 @@ from flink_realtime_edu_spark.streaming.sinks import (
     check_bucket_layout,
     key_bucket_col,
     read_buckets,
+    staged_swap_buckets,
 )
 
 INDEX_SCHEMA = "text_md5 string, keep_doc_id bigint, first_seen_batch bigint"
@@ -157,31 +158,8 @@ def streaming_exact_dedup(
             )
             # CRASH SAFETY (the index is the only record of what was
             # seen — losing a bucket silently re-admits duplicates):
-            # stage the merged buckets to a sibling tmp dir, move the
-            # new files into the live bucket dirs, THEN delete the old
-            # files — the compact_changelog discipline (scd2.py). A
-            # crash at any point leaves each bucket either untouched
-            # or with old+new files (identical duplicate rows), which
-            # every reader folds away with dropDuplicates.
-            staging = Path(index_dir + f".merge-tmp{batch_id}")
-            if staging.exists():
-                shutil.rmtree(staging)  # stale staging from a crash
-            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-                str(staging)
-            )
-            for b in touched:
-                live = Path(index_dir) / f"{BUCKET_COL}={b}"
-                live.mkdir(parents=True, exist_ok=True)
-                old_files = list(live.glob("*.parquet"))
-                staged = staging / f"{BUCKET_COL}={b}"
-                for f in staged.glob("*.parquet") if staged.exists() else []:
-                    f.rename(live / f.name)
-                for f in old_files:
-                    f.unlink()
-                    crc = f.parent / f".{f.name}.crc"
-                    if crc.exists():
-                        crc.unlink()
-            shutil.rmtree(staging)
+            # the shared staged-swap (sinks.py::staged_swap_buckets).
+            staged_swap_buckets(merged, index_dir, touched, batch_id)
         finally:
             hashed.unpersist()
 

@@ -42,7 +42,12 @@ def streaming_dsir_scorer(
     ``model_dir`` and write (doc_id, n_feats, log_weight,
     target_like) under a deterministic per-batch path (replay-safe
     overwrite). Docs with < 2 tokens score NULL-free as zero-feature
-    rows are simply absent — same contract as the batch query."""
+    rows are simply absent — same contract as the batch query. The
+    frozen model covers ALL 4096 buckets (dsir_fit emits the add-k
+    smoothed log-ratio for buckets unseen at fit time), so a
+    newly-crawled doc whose bigrams never appeared in the reference
+    corpus still scores — with the smoothed out-of-vocabulary weight,
+    not a silent zero (test-pinned with a planted novel doc)."""
     from flink_realtime_edu_spark.queries.training import (
         dsir_features,
         dsir_score,

@@ -14,11 +14,20 @@ each other (a direct pair ≥ threshold never survives in either form)
 batch vectors in ascending id). Transitive chains that batch
 components would merge can therefore keep one extra representative
 here; that is the standard price of single-pass ingest dedup, and it
-is exactly what makes REPLAY IDEMPOTENT: every duplicate has a direct
-≥-threshold edge to a vector that is IN the index, so a replayed
-batch re-finds every classification from the index probe alone (a
-replayed survivor matches itself; a replayed duplicate matches its
-recorded survivor — never a chain that no longer exists).
+is exactly what makes CRASH-REPLAY IDEMPOTENT: every duplicate has a
+direct ≥-threshold edge to a vector that is IN the index, so
+replaying the LAST batch (the only replay Structured Streaming
+performs — the uncommitted one) re-finds every classification from
+the index probe alone (a replayed survivor matches itself; a
+replayed duplicate matches its recorded survivor — never a chain
+that no longer exists). The guarantee is scoped to last-batch
+replay: MANUALLY re-running an OLDER batch after later batches have
+grown the index can resolve a duplicate to a smaller-id survivor
+added since (min-id tie-break over a larger survivor set) and
+rewrite that batch's output differently — the same manual-replay
+caveat as streaming/dedup.py's single-writer note, stated here
+because the survivor set grows while a hash index only gains
+disjoint keys.
 
 State is the survivor index: a block-bucketed parquet table of kept
 vectors (the streaming/sinks.py bucket store — per batch only touched
@@ -31,7 +40,6 @@ Arrow-batched matmuls).
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 import numpy as np
@@ -44,6 +52,7 @@ from flink_realtime_edu_spark.streaming.sinks import (
     check_bucket_layout,
     key_bucket_col,
     read_buckets,
+    staged_swap_buckets,
 )
 
 INDEX_SCHEMA = (
@@ -61,7 +70,7 @@ def _greedy_block_dedup(threshold: float, batch_id: int):
     vectors with no direct ≥-threshold edge to an index survivor), in
     ascending vec_id order — the deterministic arrival-order stand-in.
     Vectorized: each candidate scores against the kept matrix in one
-    numpy matmul."""
+    einsum contraction (same accumulation as cosine_pair_udf)."""
     from flink_realtime_edu_spark.operators.similarity import _round_half_up
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -73,8 +82,17 @@ def _greedy_block_dedup(threshold: float, batch_id: int):
         survivor = np.full(len(pdf), -1, dtype=np.int64)
         for i in range(len(pdf)):
             if kept_rows:
+                # einsum with the SAME subscripts/dtype as
+                # cosine_pair_udf's scorer, so the rounded value of a
+                # pair is identical whichever path scores it (a
+                # BLAS matvec here could round a knife-edge pair
+                # differently at the 6th decimal and break the
+                # kept-set invariant across probe vs greedy)
+                kmat = mat[kept_rows]
+                bi = np.broadcast_to(mat[i], kmat.shape)
                 cos = _round_half_up(
-                    (mat[kept_rows] @ mat[i]) / (norms[kept_rows] * norms[i])
+                    np.einsum("ij,ij->i", kmat, bi)
+                    / (norms[kept_rows] * norms[i])
                 )
                 hit = np.nonzero(cos >= threshold)[0]
                 if hit.size:
@@ -194,25 +212,7 @@ def streaming_semantic_dedup(
                 index.unionByName(new_keep)
                 .dropDuplicates(["vec_id", "block"])
             )
-            staging = Path(index_dir + f".merge-tmp{batch_id}")
-            if staging.exists():
-                shutil.rmtree(staging)
-            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-                str(staging)
-            )
-            for b in touched:
-                live = Path(index_dir) / f"{BUCKET_COL}={b}"
-                live.mkdir(parents=True, exist_ok=True)
-                old_files = list(live.glob("*.parquet"))
-                staged = staging / f"{BUCKET_COL}={b}"
-                for f in staged.glob("*.parquet") if staged.exists() else []:
-                    f.rename(live / f.name)
-                for f in old_files:
-                    f.unlink()
-                    crc = f.parent / f".{f.name}.crc"
-                    if crc.exists():
-                        crc.unlink()
-            shutil.rmtree(staging)
+            staged_swap_buckets(merged, index_dir, touched, batch_id)
         finally:
             vecs.unpersist()
 

@@ -85,6 +85,43 @@ def read_buckets(spark, target_dir: str, buckets: list[int]) -> DataFrame | None
     return spark.read.option("basePath", target_dir).parquet(*dirs)
 
 
+def staged_swap_buckets(
+    merged: DataFrame, index_dir: str, touched: list[int], batch_id: int
+) -> None:
+    """CRASH-SAFE bucket rewrite (the compact_changelog discipline,
+    scd2.py — shared by streaming/dedup.py and streaming/semdedup.py
+    so the ordering-critical steps cannot drift apart): write the
+    merged buckets to a sibling staging dir, MOVE the new files into
+    the live bucket dirs, THEN delete the old files. A crash at any
+    point leaves each touched bucket either untouched or with old+new
+    files whose rows are identical duplicates — every reader folds
+    them away with dropDuplicates. `merged` must carry BUCKET_COL.
+
+    Single-writer / local-fs assumption as documented in
+    streaming/dedup.py: POSIX rename semantics, one live writer per
+    index_dir, staging keyed by (index_dir, batch_id)."""
+    import shutil
+    from pathlib import Path
+
+    staging = Path(index_dir + f".merge-tmp{batch_id}")
+    if staging.exists():
+        shutil.rmtree(staging)  # stale staging from a crash
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(staging))
+    for b in touched:
+        live = Path(index_dir) / f"{BUCKET_COL}={b}"
+        live.mkdir(parents=True, exist_ok=True)
+        old_files = list(live.glob("*.parquet"))
+        staged = staging / f"{BUCKET_COL}={b}"
+        for f in staged.glob("*.parquet") if staged.exists() else []:
+            f.rename(live / f.name)
+        for f in old_files:
+            f.unlink()
+            crc = f.parent / f".{f.name}.crc"
+            if crc.exists():
+                crc.unlink()
+    shutil.rmtree(staging)
+
+
 def overwrite_buckets(df: DataFrame, target_dir: str) -> None:
     """Dynamically overwrite exactly the bucket partitions present in
     `df` (which must carry BUCKET_COL), leaving every other bucket's

@@ -2800,15 +2800,23 @@ def test_streaming_dsir_scores_equal_batch_and_replay_safe(spark, sf_dir, tmp_pa
     )
     from flink_realtime_edu_spark.streaming.sinks import run_to_completion
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    # Fit on the full corpus batch-side and freeze.
+    corpus = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # Fit on the corpus batch-side and freeze — BEFORE planting the
+    # novel doc, so its bigrams hash to buckets the fit never saw and
+    # the out-of-vocabulary smoothed weight is exercised end-to-end.
     feat_t = dsir_features(
-        docs.select("doc_id", (F.col("source") == "src0").alias("is_t"), "text"),
+        corpus.select("doc_id", (F.col("source") == "src0").alias("is_t"), "text"),
         carry=("is_t",),
     )
     wts = dsir_fit(feat_t)
+    assert wts.count() == 4096  # full-B model: unseen buckets present
     model_dir = str(tmp_path / "dsir_model")
     write_dsir_model(wts, model_dir)
+    novel = spark.createDataFrame(
+        [(990001, "zz_nvl", "qqxv wwyz qqxv wwyz zzabc qqxv")],
+        "doc_id long, source string, text string",
+    )
+    docs = corpus.unionByName(novel)
 
     src = tmp_path / "docs_src"
     docs.select("doc_id", "text").repartition(3).write.parquet(str(src))
@@ -2833,6 +2841,10 @@ def test_streaming_dsir_scores_equal_batch_and_replay_safe(spark, sf_dir, tmp_pa
     cols = ["doc_id", "n_feats", "log_weight", "target_like"]
     assert _rows(got.select(*cols)) == _rows(expected.select(*cols))
     assert got.count() == expected.count() > 0
+    # the novel doc scored (not silently dropped), with a nonzero
+    # weight from the smoothed unseen-bucket log-ratios
+    nv = got.filter(F.col("doc_id") == 990001).collect()
+    assert len(nv) == 1 and nv[0].n_feats == 5 and nv[0].log_weight != 0.0
 
     # Replay the last batch: output must be byte-identical.
     last_batch = got.agg(F.max("batch_id")).collect()[0][0]
