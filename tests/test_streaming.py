@@ -2954,3 +2954,69 @@ def test_streaming_semantic_dedup_invariant_and_replay(spark, sf_dir, tmp_path):
     sink(emb.filter(F.col("vec_id").isin(replay_ids)), last_batch)
     assert _rows(read_semdedup_output(spark, out_dir)) == before_out
     assert _rows(read_semdedup_index(spark, index_dir)) == before_idx
+
+
+def test_streaming_semantic_dedup_survives_restart_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Kill the incremental SemDeDup stream mid-run and restart from
+    the same checkpoint: offsets resume, the interrupted batch replays
+    against the survivor index it already wrote (the crash-replay the
+    sink's direct-edge rule is built for), and the end state — full
+    coverage, kept-set invariant inputs, index == kept set — is
+    indistinguishable from an uninterrupted run."""
+    from flink_realtime_edu_spark.streaming.semdedup import (
+        read_semdedup_index,
+        read_semdedup_output,
+        streaming_semantic_dedup,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    T = 0.40
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("block"), "embedding"
+    )
+    src = tmp_path / "emb_rs_src"
+    emb.repartition(6).write.parquet(str(src))
+
+    index_dir = str(tmp_path / "sem_rs_index")
+    out_dir = str(tmp_path / "sem_rs_out")
+    ckpt = str(tmp_path / "sem_rs_ckpt")
+    sink = streaming_semantic_dedup(index_dir, out_dir, threshold=T)
+
+    def start():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    await_progress(q1, min_batch_id=1)
+    q1.stop()
+    q1.awaitTermination()
+
+    q2 = start()
+    run_to_completion(q2)
+
+    out = read_semdedup_output(spark, out_dir)
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+    kept = out.filter(F.col("status") == "kept")
+    idx = read_semdedup_index(spark, index_dir)
+    assert sorted(r.vec_id for r in idx.select("vec_id").collect()) == sorted(
+        r.vec_id for r in kept.select("vec_id").collect()
+    )
+    # dups still point at kept survivors in their own block
+    surv = kept.select(
+        F.col("vec_id").alias("survivor_id"), F.col("block").alias("sblock")
+    )
+    dangling = (
+        out.filter(F.col("status") != "kept")
+        .join(surv, "survivor_id", "left")
+        .filter(F.col("sblock").isNull() | (F.col("sblock") != F.col("block")))
+    )
+    assert dangling.count() == 0
