@@ -103,8 +103,9 @@ def register(
 # they are exactly the set the K=4 staleness budget
 # (tests/test_registry_order.py::test_staleness_budget_within_window)
 # holds overdue once CORRECTNESS_r09.json is on disk -- then
-# STALENESS-FIRST refresh: 23 of the 46 queries last officially
-# sampled r7. The 23 spilled r7 queries (lang_guess_confusion,
+# STALENESS-FIRST refresh: 22 of the 46 queries last officially
+# sampled r7. The 24 spilled r7 queries (jpeg_color_decode_stats,
+# lang_guess_confusion,
 # latest_event_per_user, map_funcs_props,
 # mixture_sample_by_source, multimodal_feature_stats,
 # nation_profit_trend, nations_without_suppliers,
@@ -116,17 +117,18 @@ def register(
 # unpivot_daily_activity, video_decode_stats, vocab_coverage_topk,
 # waiting_supplier_counts, weighted_avg_udaf) rotate FIRST in r11 --
 # at r11 they hit the K=4 budget, so forgetting them fails the
-# suite. The ten NEW r10 queries (cep_one_or_more_until,
+# suite. The eleven NEW r10 queries (cep_one_or_more_until,
 # cep_greedy_views, doc_bigram_perplexity, cep_group_times_funnel,
 # semdedup_label_blocks, dsir_importance_weights, dsir_gumbel_topk,
 # semdedup_kmeans_summary, domain_temperature_mixture,
-# doremi_domain_weights) displaced the tail of the r7 block into
-# that spill list (the never-sampled pin forces them into the window
-# at add time). NOTE for r11: once CORRECTNESS_r10 lands, the 23
-# in-window r7 queries carry r10 samples — only the 23 SPILLED r7
-# queries above hit the K=4 budget at r11, so the forced r11 set is
-# pricing_summary + those 23 = 24 slots, leaving 26 for the r8
-# cohort (44 queries, which binds at r12 — start it early).
+# doremi_domain_weights, doc_trigram_perplexity) displaced the tail
+# of the r7 block into that spill list (the never-sampled pin forces
+# them into the window at add time). NOTE for r11: once
+# CORRECTNESS_r10 lands, the 22 in-window r7 queries carry r10
+# samples — only the 24 SPILLED r7 queries above hit the K=4 budget
+# at r11, so the forced r11 set is pricing_summary + those 24 = 25
+# slots, leaving 25 for the r8 cohort (44 queries, which binds at
+# r12 — start it early).
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
@@ -141,6 +143,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "semdedup_kmeans_summary",    # X5 X6 -- NEW r10
     "domain_temperature_mixture", # X7 A1 F3 A5 -- NEW r10
     "doremi_domain_weights",      # X7 A1 F3 J1 -- NEW r10
+    "doc_trigram_perplexity",     # X7 X1 A1 F3 -- NEW r10
     # --- last officially sampled r6 (the r9-pinned spill, 16/16) ---
     "pivot_daily_activity",
     "rollup_revenue",
@@ -181,7 +184,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "full_join_nation_counts",
     "funnel_click_view_purchase",
     "grouped_zscore_chars",
-    "jpeg_color_decode_stats",
 )
 
 

@@ -1028,3 +1028,176 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1 - _DOREMI_S) * alpha + F.lit(_DOREMI_S) / F.col("nd"), 6
         ).alias("domain_weight"),
     )
+
+
+_TRI_L3, _TRI_L2, _TRI_L1 = 0.5, 0.3, 0.2  # interpolation weights
+
+
+@register(
+    "doc_trigram_perplexity",
+    survey_rows=("X7", "X1", "A1", "F3"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), tri AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT * FROM toks WHERE len(w) >= 3),
+       unnest(generate_series(1, len(w) - 2)) t(i)
+), tf AS (
+  SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM tri GROUP BY 1, 2, 3, 4
+), c123 AS (
+  SELECT w1, w2, w3, CAST(SUM(tf) AS BIGINT) AS c123 FROM tf GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12 FROM c123 GROUP BY 1, 2
+), big AS (
+  SELECT doc_id, w[i] AS w2, w[i + 1] AS w3
+  FROM (SELECT * FROM toks WHERE len(w) >= 2),
+       unnest(generate_series(1, len(w) - 1)) t(i)
+), c23 AS (
+  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS c23 FROM big GROUP BY 1, 2
+), c2 AS (
+  SELECT w2, CAST(SUM(c23) AS BIGINT) AS c2 FROM c23 GROUP BY 1
+), uni AS (
+  SELECT UNNEST(w) AS w3 FROM toks
+), c3 AS (
+  SELECT w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM uni GROUP BY 1
+), nn AS (
+  SELECT CAST(SUM(c3) AS BIGINT) AS n FROM c3
+), scored AS (
+  SELECT tf.doc_id,
+    CAST(SUM(tf.tf) AS BIGINT) AS n_trigrams,
+    CAST(SUM(tf.tf * CAST(ROUND((-LN(
+        CAST({_TRI_L3} AS DOUBLE) * c123.c123 / c12.c12
+      + CAST({_TRI_L2} AS DOUBLE) * c23.c23 / c2.c2
+      + CAST({_TRI_L1} AS DOUBLE) * c3.c3 / nn.n
+    )) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_unll
+  FROM tf
+  JOIN c123 ON tf.w1 = c123.w1 AND tf.w2 = c123.w2 AND tf.w3 = c123.w3
+  JOIN c12 ON tf.w1 = c12.w1 AND tf.w2 = c12.w2
+  JOIN c23 ON tf.w2 = c23.w2 AND tf.w3 = c23.w3
+  JOIN c2 ON tf.w2 = c2.w2
+  JOIN c3 ON tf.w3 = c3.w3
+  CROSS JOIN nn
+  GROUP BY tf.doc_id
+), meaned AS (
+  SELECT doc_id, n_trigrams,
+         ((2 * sum_unll + n_trigrams) // (2 * n_trigrams)) / 1000000.0
+           AS mean_nll_nats
+  FROM scored
+)
+SELECT doc_id, n_trigrams, mean_nll_nats,
+       ROUND(EXP(mean_nll_nats), 6) AS perplexity
+FROM meaned
+""",
+)
+def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained INTERPOLATED
+    trigram LM — the Jelinek–Mercer / KenLM-style backoff step past
+    the add-k bigram (doc_bigram_perplexity):
+    p(w3|w1 w2) = λ3·c(w1w2w3)/c(w1w2) + λ2·c(w2w3)/c(w2) + λ1·c(w3)/N
+    with fixed λ = (0.5, 0.3, 0.2). Every component is an MLE ratio
+    over corpus counts; for a trigram a doc actually CARRIES, all
+    three denominators are ≥ its own occurrence, so no zero-guard is
+    needed — interpolation is what keeps the probability finite where
+    a pure trigram MLE would be brittle.
+
+    Exactness: the interpolated probability is a fixed-order double
+    expression over BIGINT counts (identical in both engines), and
+    the per-trigram −ln is carried as an exact INTEGER in micro-nats
+    (round(−ln·1e6)); the per-doc mean is then the integer half-up
+    division (2·Σ + n) div (2n), identical in both engines BY
+    CONSTRUCTION. That replaces the usual round(DECIMAL-mean, 6)
+    step, which this query showed to be tie-UNSAFE: a sum of 6-dp
+    values divided by a doc's trigram count lands EXACTLY on …5 at
+    the 7th decimal with probability ~1/count (structurally, not
+    measure-zero — one sf0.001 doc hit it), and Spark (HALF_UP on
+    the double's exact binary expansion) and DuckDB
+    (floor(x·1e6 + 0.5)) resolve such ties differently. Perplexity
+    exponentiates the identical mean double. Docs with < 3 tokens
+    carry no trigram and are excluded by construction. Scale: three model hash aggregates (trigram /
+    bigram / unigram counts — each dictionary-sized after partial
+    aggregation), dictionary joins AQE broadcasts, one scalar
+    broadcast; the tfidf family shape one order up."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    )
+    tri = (
+        toks.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 2)").alias("a"),
+                    F.expr("slice(w, 2, size(w) - 2)").alias("b"),
+                    F.expr("slice(w, 3, size(w) - 2)").alias("c"),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g.a").alias("w1"),
+            F.col("g.b").alias("w2"),
+            F.col("g.c").alias("w3"),
+        )
+    )
+    tf = _materialize(
+        tri.groupBy("doc_id", "w1", "w2", "w3").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+    c123 = tf.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c123"))
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)").alias("b"),
+                    F.expr("slice(w, 2, size(w) - 1)").alias("c"),
+                )
+            ).alias("g"),
+        )
+        .select(F.col("g.b").alias("w2"), F.col("g.c").alias("w3"))
+    )
+    c23 = _materialize(
+        big.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    uni = toks.select(F.explode("w").alias("w3"))
+    c3 = _materialize(uni.groupBy("w3").agg(F.count(F.lit(1)).alias("c3")))
+    nn = c3.agg(F.sum("c3").alias("n"))
+    p = (
+        F.lit(_TRI_L3) * F.col("c123") / F.col("c12")
+        + F.lit(_TRI_L2) * F.col("c23") / F.col("c2")
+        + F.lit(_TRI_L1) * F.col("c3") / F.col("n")
+    )
+    # per-trigram NLL in exact integer MICRO-NATS, and the mean as an
+    # integer half-up division — see the docstring's tie note
+    unll = F.round(-F.log(p) * F.lit(1000000.0), 0).cast("long")
+    scored = (
+        tf.join(c123, ["w1", "w2", "w3"])
+        .join(c12, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(c2, "w2")
+        .join(c3, "w3")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_trigrams"),
+            F.sum(F.col("tf") * unll).alias("sum_unll"),
+        )
+    )
+    mean = (
+        F.expr("(2 * sum_unll + n_trigrams) div (2 * n_trigrams)")
+        / F.lit(1000000.0)
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        mean.alias("mean_nll_nats"),
+        F.round(F.exp(mean), 6).alias("perplexity"),
+    )
