@@ -677,6 +677,9 @@ def main() -> None:
         "dsir_gumbel_topk",
         "doremi_domain_weights",
         "domain_temperature_mixture",
+        # interpolated trigram LM: three n-gram model aggregates over
+        # corpus token volume — the heaviest of the LM scorers
+        "doc_trigram_perplexity",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     small = bench_at(spark, BASE_SF, names)
