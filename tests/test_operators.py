@@ -1342,3 +1342,75 @@ def test_dsir_gumbel_topk_deterministic_and_maximal(spark, sf_dir):
         ((r[3], r[0]) for r in a), key=lambda t: (-t[0], t[1])
     )
     assert got_pairs == expected
+
+
+def test_trigram_perplexity_matches_pure_python_model(spark, tmp_path):
+    """Pin the interpolated-trigram semantics against a from-scratch
+    pure-Python reference on a tiny constructed corpus — independent
+    of BOTH engines (the oracle cross-checks DuckDB; this cross-checks
+    the model itself): corpus counts, fixed-λ interpolation, integer
+    micro-nat mean, and the <3-token exclusion."""
+    import math
+    from collections import Counter
+
+    texts = {
+        1: "a b c a b c a b",
+        2: "b c a a a b",
+        3: "x y",          # 2 tokens -> no trigram, excluded
+        4: "c a b c",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    src = tmp_path / "tri_docs"
+    docs.write.parquet(str(src))
+    # build the registered query against a fake sf_dir layout
+    import shutil
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.move(str(src), str(sf_dir / "documents.parquet"))
+
+    from flink_realtime_edu_spark.queries import load_registry
+
+    got = {
+        r.doc_id: r
+        for r in load_registry()["doc_trigram_perplexity"]
+        .build(spark, str(sf_dir))
+        .collect()
+    }
+    assert set(got) == {1, 2, 4}
+
+    # pure-python reference
+    toks = {i: t.split() for i, t in texts.items()}
+    c123, c23, c3 = Counter(), Counter(), Counter()
+    for w in toks.values():
+        c3.update(w)
+        c23.update(zip(w, w[1:]))
+        c123.update(zip(w, w[1:], w[2:]))
+    c12 = Counter()
+    for (w1, w2, w3), c in c123.items():
+        c12[(w1, w2)] += c
+    c2 = Counter()
+    for (w2, w3), c in c23.items():
+        c2[w2] += c
+    n = sum(c3.values())
+    for i, w in toks.items():
+        tris = list(zip(w, w[1:], w[2:]))
+        if not tris:
+            continue
+        s_u = 0
+        for t in tris:
+            p = (
+                0.5 * c123[t] / c12[t[:2]]
+                + 0.3 * c23[t[1:]] / c2[t[1]]
+                + 0.2 * c3[t[2]] / n
+            )
+            u = -math.log(p) * 1e6
+            s_u += math.floor(u + 0.5) if u >= 0 else -math.floor(-u + 0.5)
+        nt = len(tris)
+        mean_u = (2 * s_u + nt) // (2 * nt)
+        mean = mean_u / 1e6
+        assert got[i].n_trigrams == nt, i
+        assert got[i].mean_nll_nats == mean, (i, got[i].mean_nll_nats, mean)
+        assert abs(got[i].perplexity - round(math.exp(mean), 6)) < 1e-9, i
