@@ -10,7 +10,7 @@ from __future__ import annotations
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -1377,12 +1377,22 @@ def test_jpeg_color_arbitrary_roundtrip_within_tolerance(h, w, seed):
     w=st.integers(min_value=1, max_value=40),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
+@example(h=18, w=18, seed=25)  # the found |err|=2 witness, pinned
 def test_jpeg_arbitrary_roundtrip_within_quant_tolerance(h, w, seed):
     """Arbitrary (non-block-aligned — the MCU edge-padding path)
-    uint8 images round-trip through the full Huffman/DCT pipeline
-    within ±1 at a unit quant table: the only loss left is the
-    coefficient rounding, so a larger error means a real defect in
-    either direction. Also pins shape restoration after padding."""
+    uint8 images round-trip through the full Huffman/DCT pipeline at
+    a UNIT quant table: the only loss left is coefficient rounding.
+    The tolerance is the ANALYTIC worst case, not the empirical one —
+    the original ±1 claim was falsified by Hypothesis at
+    (h=18, w=18, seed=25), which produces |err| = 2 on two pixels and
+    is pinned below as a regression example. Per-coefficient rounding
+    error is ≤ 0.5; through the IDCT it amplifies per pixel by at most
+    (1/4)·S(x)·S(y) with S(x) = Σ_u c_u·|cos((2x+1)uπ/16)| ≤ 5.284,
+    i.e. ≤ 0.5·(1/4)·5.284² ≈ 3.49, plus 0.5 for the final uint8
+    rounding → |err| ≤ 4 guaranteed. The MEAN stays sub-unit (the
+    rounding errors are independent), asserted separately so a real
+    systematic defect (DC offset, level-shift bug) still fails fast.
+    Also pins shape restoration after padding."""
     import numpy as np
 
     from flink_realtime_edu_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
@@ -1391,7 +1401,9 @@ def test_jpeg_arbitrary_roundtrip_within_quant_tolerance(h, w, seed):
     img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img, quant=np.ones((8, 8), dtype=np.int64)))
     assert out.shape == img.shape
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 4  # analytic bound, see docstring
+    assert err.mean() <= 0.75  # systematic-defect tripwire
 
 
 _NFB_CONFIGS: dict[str, tuple[list, str]] = {
