@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Ingest-throughput readings for the incremental (foreachBatch)
+sinks — the streaming counterparts the headline bench's streaming
+section does not cover: exact dedup, semantic dedup, and frozen-model
+DSIR scoring. Each pipeline streams the sf0.1 corpus from a file
+source in N_FILES micro-batches through its real sink (index reads,
+staged swaps, per-batch output) and reports end-to-end rows/s plus
+per-batch wall — the number that matters for a 100 TB ingest tier is
+rows/s at steady state, and the per-batch breakdown shows whether the
+index probe (which grows with the survivor set) stays flat.
+
+Usage: python scripts/ingest_throughput.py [--sf /root/testdata/sf0.1]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N_FILES = 8
+
+
+def run_stream(spark, src_dir: str, schema: str, sink, ckpt: str) -> float:
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    t0 = time.monotonic()
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    run_to_completion(q)
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_edu_spark.queries.training import (
+        dsir_features,
+        dsir_fit,
+    )
+    from flink_realtime_edu_spark.session import get_spark
+    from flink_realtime_edu_spark.sources import load
+    from flink_realtime_edu_spark.streaming.dedup import streaming_exact_dedup
+    from flink_realtime_edu_spark.streaming.scoring import (
+        streaming_dsir_scorer,
+        write_dsir_model,
+    )
+    from flink_realtime_edu_spark.streaming.semdedup import (
+        streaming_semantic_dedup,
+    )
+
+    spark = get_spark(app_name="fres-ingest-throughput")
+    tmp = Path(tempfile.mkdtemp(prefix="ingest_tp_"))
+    out: dict = {"sf_dir": args.sf, "n_batches": N_FILES}
+    try:
+        docs = load(spark, args.sf, "documents").select(
+            "doc_id", "source", "text"
+        )
+        n_docs = docs.count()
+        emb = load(spark, args.sf, "embeddings").select(
+            "vec_id", F.col("label").cast("long").alias("block"), "embedding"
+        )
+        n_vecs = emb.count()
+
+        doc_src = tmp / "docs_src"
+        docs.select("doc_id", "text").repartition(N_FILES).write.parquet(
+            str(doc_src)
+        )
+        emb_src = tmp / "emb_src"
+        emb.repartition(N_FILES).write.parquet(str(emb_src))
+
+        # 1) incremental exact dedup
+        wall = run_stream(
+            spark,
+            str(doc_src),
+            "doc_id long, text string",
+            streaming_exact_dedup(
+                str(tmp / "dedup_idx"), str(tmp / "dedup_out"), n_buckets=8
+            ),
+            str(tmp / "dedup_ckpt"),
+        )
+        out["exact_dedup"] = {
+            "rows": n_docs,
+            "wall_s": round(wall, 2),
+            "rows_per_s": round(n_docs / wall, 1),
+        }
+
+        # 2) incremental semantic dedup (label blocks)
+        wall = run_stream(
+            spark,
+            str(emb_src),
+            "vec_id long, block long, embedding array<float>",
+            streaming_semantic_dedup(
+                str(tmp / "sem_idx"), str(tmp / "sem_out"), threshold=0.40
+            ),
+            str(tmp / "sem_ckpt"),
+        )
+        out["semantic_dedup"] = {
+            "rows": n_vecs,
+            "wall_s": round(wall, 2),
+            "rows_per_s": round(n_vecs / wall, 1),
+        }
+
+        # 3) frozen-model DSIR scoring
+        feat_t = dsir_features(
+            docs.select(
+                "doc_id", (F.col("source") == "src0").alias("is_t"), "text"
+            ),
+            carry=("is_t",),
+        )
+        model_dir = str(tmp / "dsir_model")
+        write_dsir_model(dsir_fit(feat_t), model_dir)
+        wall = run_stream(
+            spark,
+            str(doc_src),
+            "doc_id long, text string",
+            streaming_dsir_scorer(model_dir, str(tmp / "score_out")),
+            str(tmp / "score_ckpt"),
+        )
+        out["dsir_scoring"] = {
+            "rows": n_docs,
+            "wall_s": round(wall, 2),
+            "rows_per_s": round(n_docs / wall, 1),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
