@@ -10,6 +10,7 @@ rows/s at steady state, and the per-batch breakdown shows whether the
 index probe (which grows with the survivor set) stays flat.
 
 Usage: python scripts/ingest_throughput.py [--sf /root/testdata/sf0.1]
+                                           [--n-batches 8]
 Prints one JSON line.
 """
 
@@ -25,9 +26,6 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
-
-N_FILES = 8
-
 
 def run_stream(spark, src_dir: str, schema: str, sink, ckpt: str) -> float:
     from flink_realtime_edu_spark.streaming.sinks import run_to_completion
@@ -48,7 +46,9 @@ def run_stream(spark, src_dir: str, schema: str, sink, ckpt: str) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--n-batches", type=int, default=8)
     args = ap.parse_args()
+    N_FILES = args.n_batches
 
     from pyspark.sql import functions as F
 
