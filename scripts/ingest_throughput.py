@@ -27,20 +27,29 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-def run_stream(spark, src_dir: str, schema: str, sink, ckpt: str) -> float:
+def run_stream(spark, src_dir: str, schema: str, sink, ckpt: str):
+    """Returns (total_wall_s, per_batch_wall_s list) — the per-batch
+    walls are the flat-index-probe diagnostic the docstring promises."""
     from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    batch_walls: list[float] = []
+
+    def timed(df, bid):
+        t = time.monotonic()
+        sink(df, bid)
+        batch_walls.append(round(time.monotonic() - t, 2))
 
     t0 = time.monotonic()
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .writeStream.foreachBatch(sink)
+        .writeStream.foreachBatch(timed)
         .option("checkpointLocation", ckpt)
         .start()
     )
     run_to_completion(q)
-    return time.monotonic() - t0
+    return time.monotonic() - t0, batch_walls
 
 
 def main() -> None:
@@ -88,7 +97,7 @@ def main() -> None:
         emb.repartition(N_FILES).write.parquet(str(emb_src))
 
         # 1) incremental exact dedup
-        wall = run_stream(
+        wall, walls = run_stream(
             spark,
             str(doc_src),
             "doc_id long, text string",
@@ -101,10 +110,11 @@ def main() -> None:
             "rows": n_docs,
             "wall_s": round(wall, 2),
             "rows_per_s": round(n_docs / wall, 1),
+            "batch_walls_s": walls,
         }
 
         # 2) incremental semantic dedup (label blocks)
-        wall = run_stream(
+        wall, walls = run_stream(
             spark,
             str(emb_src),
             "vec_id long, block long, embedding array<float>",
@@ -117,6 +127,7 @@ def main() -> None:
             "rows": n_vecs,
             "wall_s": round(wall, 2),
             "rows_per_s": round(n_vecs / wall, 1),
+            "batch_walls_s": walls,
         }
 
         # 3) frozen-model DSIR scoring
@@ -128,7 +139,7 @@ def main() -> None:
         )
         model_dir = str(tmp / "dsir_model")
         write_dsir_model(dsir_fit(feat_t), model_dir)
-        wall = run_stream(
+        wall, walls = run_stream(
             spark,
             str(doc_src),
             "doc_id long, text string",
@@ -139,6 +150,7 @@ def main() -> None:
             "rows": n_docs,
             "wall_s": round(wall, 2),
             "rows_per_s": round(n_docs / wall, 1),
+            "batch_walls_s": walls,
         }
         print(json.dumps(out))
     finally:
