@@ -98,92 +98,81 @@ def register(
 # representative (tests/test_registry_order.py pins this), and it
 # ROTATES each round (VERDICT r3 item 3).
 #
-# r10 rotation (VERDICT r9 item 1): the 16 r6-stale queries the r9
-# rotation spilled with an explicit r10 pin obligation go FIRST --
-# they are exactly the set the K=4 staleness budget
+# r11 rotation (VERDICT r10 item 1): the 24 queries last officially
+# sampled r7 — the set the r10 rotation spilled with an explicit r11
+# pin obligation — go FIRST; they hit the K=4 staleness budget
 # (tests/test_registry_order.py::test_staleness_budget_within_window)
-# holds overdue once CORRECTNESS_r09.json is on disk -- then
-# STALENESS-FIRST refresh: 22 of the 46 queries last officially
-# sampled r7. The 24 spilled r7 queries (jpeg_color_decode_stats,
-# lang_guess_confusion,
-# latest_event_per_user, map_funcs_props,
-# mixture_sample_by_source, multimodal_feature_stats,
-# nation_profit_trend, nations_without_suppliers,
-# returned_item_top_customers,
-# revenue_trend_daily, skewed_event_type_stats,
-# sliding_window_traffic, text_stats_by_source, theta_join_acctbal,
-# token_topk, top_revenue_supplier, topk_orders,
-# trailing_24h_user_value, tumbling_hourly_stats,
-# unpivot_daily_activity, video_decode_stats, vocab_coverage_topk,
-# waiting_supplier_counts, weighted_avg_udaf) rotate FIRST in r11 --
-# at r11 they hit the K=4 budget, so forgetting them fails the
-# suite. The eleven NEW r10 queries (cep_one_or_more_until,
-# cep_greedy_views, doc_bigram_perplexity, cep_group_times_funnel,
-# semdedup_label_blocks, dsir_importance_weights, dsir_gumbel_topk,
-# semdedup_kmeans_summary, domain_temperature_mixture,
-# doremi_domain_weights, doc_trigram_perplexity) displaced the tail
-# of the r7 block into that spill list (the never-sampled pin forces
-# them into the window at add time). NOTE for r11: once
-# CORRECTNESS_r10 lands, the 22 in-window r7 queries carry r10
-# samples — only the 24 SPILLED r7 queries above hit the K=4 budget
-# at r11, so the forced r11 set is pricing_summary + those 24 = 25
-# slots, leaving 25 for the r8 cohort (44 queries, which binds at
-# r12 — start it early).
+# the moment CORRECTNESS_r11.json lands. New r11 queries follow
+# (never-sampled pin forces them into the window at add time). The
+# remaining slots start the 44-query r8 cohort early (alphabetical
+# first 21), which binds at r12: the 23 spilled r8 queries
+# (late_ship_priority_counts, local_supplier_volume,
+# market_share_by_year, min_cost_supplier_per_part,
+# nation_revenue_share, near_dup_incremental, near_dup_simhash,
+# part_supplier_diversity, phash_dup_stats, png_decode_stats,
+# price_moments_by_flag, promo_revenue_share,
+# right_join_supplier_nations, small_qty_parts_revenue,
+# span_clip_checksums, state_transition_matrix,
+# stratified_split_by_source, text_normalization_checksum,
+# token_budget_sample, unshipped_order_revenue,
+# volume_shipping_pairs, wav_decode_stats,
+# wealthy_inactive_customers) MUST rotate first in r12, leaving
+# ~26 slots to start the 49-query r9 cohort (binds r13).
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
-    # --- never officially sampled (NEW r10) ---
-    "cep_one_or_more_until",      # T7 J4 W1 F5 -- NEW r10
-    "cep_greedy_views",           # T7 J4 W1 W3 -- NEW r10
-    "doc_bigram_perplexity",      # X7 X1 A1 F3 -- NEW r10
-    "cep_group_times_funnel",     # T7 J4 W1 U1 -- NEW r10
-    "semdedup_label_blocks",      # X5 X6 J7 -- NEW r10
-    "dsir_importance_weights",    # X7 X1 A1 F3 F8 -- NEW r10
-    "dsir_gumbel_topk",           # X7 F3 F8 O2 -- NEW r10
-    "semdedup_kmeans_summary",    # X5 X6 -- NEW r10
-    "domain_temperature_mixture", # X7 A1 F3 A5 -- NEW r10
-    "doremi_domain_weights",      # X7 A1 F3 J1 -- NEW r10
-    "doc_trigram_perplexity",     # X7 X1 A1 F3 -- NEW r10
-    # --- last officially sampled r6 (the r9-pinned spill, 16/16) ---
-    "pivot_daily_activity",
-    "rollup_revenue",
-    "running_customer_spend",
-    "semi_join_recent_customers",
-    "sequence_packing_chunks",
-    "session_window_stats",
-    "spark_native_hashes",
-    "star_join_revenue",
-    "string_funcs_part",
-    "temporal_join_purchase_state",
-    "tfidf_top_terms",
-    "top_parts_per_nation",
-    "training_shuffle_manifest",
-    "union_activity_feed",
-    "user_state_intervals",
-    "value_percentiles",
-    # --- last officially sampled r7 (staleness refresh, 23/46) ---
-    "approx_value_percentiles",
-    "bpe_token_counts",
-    "cep_times_quantifier",
-    "cms_token_frequencies",
-    "cohort_retention",
-    "collect_event_types",
-    "cross_join_region_status",
-    "cube_customer_segments",
-    "curated_packing_manifest",
-    "customer_balance_quartiles",
-    "dirty_data_split",
-    "distinct_segments_per_nation",
-    "doc_chunking_windows",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "doc_unigram_surprisal",
-    "embedding_quantization_snr",
-    "error_burst_stats",
-    "fingerprint_overlap_docs",
-    "full_join_nation_counts",
-    "funnel_click_view_purchase",
-    "grouped_zscore_chars",
+    # --- never officially sampled (NEW r11; uncommented as each lands) ---
+    # "quality_classifier_scores",  # X7 X1 A1 F3 F8 -- NEW r11
+    # "ivfpq_ann_topk",             # X6 F5 -- NEW r11
+    # "audio_metadata_stats",       # X8 X2 -- NEW r11
+    # "video_container_stats",      # X8 X2 -- NEW r11
+    # --- last officially sampled r7 (the r10-spilled 24, all pinned) ---
+    "jpeg_color_decode_stats",
+    "lang_guess_confusion",
+    "latest_event_per_user",
+    "map_funcs_props",
+    "mixture_sample_by_source",
+    "multimodal_feature_stats",
+    "nation_profit_trend",
+    "nations_without_suppliers",
+    "returned_item_top_customers",
+    "revenue_trend_daily",
+    "skewed_event_type_stats",
+    "sliding_window_traffic",
+    "text_stats_by_source",
+    "theta_join_acctbal",
+    "token_topk",
+    "top_revenue_supplier",
+    "topk_orders",
+    "trailing_24h_user_value",
+    "tumbling_hourly_stats",
+    "unpivot_daily_activity",
+    "video_decode_stats",
+    "vocab_coverage_topk",
+    "waiting_supplier_counts",
+    "weighted_avg_udaf",
+    # --- last officially sampled r8 (staleness refresh, 21/44) ---
+    "audio_fingerprint_dups",
+    "big_volume_customers",
+    "bpe_encode_stats",
+    "bpe_merge_learning",
+    "bpe_sequence_packing",
+    "bpe_token_budget_sample",
+    "cep_funnel_first_match",
+    "cep_funnel_timeouts",
+    "cep_no_error_funnel",
+    "cep_not_next_error_pair",
+    "cep_quiet_after_purchase",
+    "cep_strict_error_runs",
+    "customer_order_distribution",
+    "disjunctive_predicate_revenue",
+    "dup_cluster_canonicals",
+    "dup_span_stats",
+    "excess_share_suppliers",
+    "forecast_revenue_change",
+    "grouping_sets_traffic",
+    "incremental_dedup_delta",
+    "late_corrected_windows",
 )
 
 
