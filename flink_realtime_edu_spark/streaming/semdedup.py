@@ -20,7 +20,12 @@ replaying the LAST batch (the only replay Structured Streaming
 performs — the uncommitted one) re-finds every classification from
 the index probe alone (a replayed survivor matches itself; a
 replayed duplicate matches its recorded survivor — never a chain
-that no longer exists). The guarantee is scoped to last-batch
+that no longer exists). Byte-identical replay additionally needs the
+probe tie-break to prefer PRE-batch survivors over this batch's own
+(already-swapped-in) survivors — see the min_by key in
+``streaming_semantic_dedup`` — otherwise a dup_of_corpus that is
+also near a smaller-id same-batch survivor would be relabeled
+dup_in_batch on replay. The guarantee is scoped to last-batch
 replay: MANUALLY re-running an OLDER batch after later batches have
 grown the index can resolve a duplicate to a smaller-id survivor
 added since (min-id tie-break over a larger survivor set) and
@@ -165,9 +170,24 @@ def streaming_semantic_dedup(
                 )
                 .filter(F.col("cos") >= F.lit(threshold))
             )
+            # Tie-break prefers PRE-batch survivors (then min s_id):
+            # on last-batch replay the index already holds this
+            # batch's survivors, and a plain min-s_id could re-route
+            # a dup_of_corpus onto a smaller-id SAME-batch survivor,
+            # flipping its status to dup_in_batch — replay would not
+            # be byte-identical (ADVICE r10). Pre-batch-first makes a
+            # replayed dup_of_corpus re-find its original corpus
+            # survivor; among same-batch survivors plain min s_id is
+            # exactly the greedy pass's first-hit choice. On a first
+            # (non-replay) run no same-batch survivor is in the index
+            # yet, so the key reduces to min s_id — unchanged.
             hits = scored.groupBy("vec_id").agg(
                 F.min_by(
-                    F.struct("s_id", "s_batch"), "s_id"
+                    F.struct("s_id", "s_batch"),
+                    F.struct(
+                        (F.col("s_batch") == F.lit(batch_id)).cast("int"),
+                        F.col("s_id"),
+                    ),
                 ).alias("m")
             ).select(
                 "vec_id",

@@ -2956,6 +2956,64 @@ def test_streaming_semantic_dedup_invariant_and_replay(spark, sf_dir, tmp_path):
     assert _rows(read_semdedup_index(spark, index_dir)) == before_idx
 
 
+def test_streaming_semantic_dedup_replay_prefers_corpus_survivor(
+    spark, tmp_path
+):
+    """Deterministic pin of the replay tie-break (ADVICE r10): a
+    vector V classified dup_of_corpus against pre-batch survivor S
+    that is ALSO within threshold of a smaller-id survivor K kept in
+    the same batch must re-find S on last-batch replay — a plain
+    min-s_id probe would pick K (already swapped into the index) and
+    flip V's status to dup_in_batch, breaking byte-identical replay.
+    Geometry: S=(1,0), K=(0,1) orthogonal (cos 0 < T), V=(1,1)/√2
+    near both (cos .7071 ≥ T); ids K=1 < V=2 < S=100."""
+    from flink_realtime_edu_spark.streaming.semdedup import (
+        read_semdedup_index,
+        read_semdedup_output,
+        streaming_semantic_dedup,
+    )
+
+    T = 0.40
+    dim = 4
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    schema = "vec_id long, block long, embedding array<float>"
+    b1 = spark.createDataFrame([(100, 7, vec(1, 0))], schema)
+    b2 = spark.createDataFrame(
+        [(1, 7, vec(0, 1)), (2, 7, vec(1, 1))], schema
+    )
+
+    index_dir = str(tmp_path / "tie_index")
+    out_dir = str(tmp_path / "tie_out")
+    sink = streaming_semantic_dedup(index_dir, out_dir, threshold=T)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    def snap():
+        out = {
+            r.vec_id: (r.survivor_id, r.survivor_batch, r.status)
+            for r in read_semdedup_output(spark, out_dir).collect()
+        }
+        idx = sorted(
+            r.vec_id
+            for r in read_semdedup_index(spark, index_dir).collect()
+        )
+        return out, idx
+
+    first_out, first_idx = snap()
+    assert first_out[100] == (100, 0, "kept")
+    assert first_out[1] == (1, 1, "kept")
+    # V dups against the CORPUS survivor S=100, not same-batch K=1
+    assert first_out[2] == (100, 0, "dup_of_corpus")
+    assert first_idx == [1, 100]
+
+    # last-batch replay: the index now holds K=1; byte-identical output
+    sink(b2, 1)
+    assert snap() == (first_out, first_idx)
+
+
 def test_streaming_semantic_dedup_survives_restart_from_checkpoint(
     spark, sf_dir, tmp_path
 ):
