@@ -122,7 +122,7 @@ DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
     # --- never officially sampled (NEW r11; uncommented as each lands) ---
-    # "quality_classifier_scores",  # X7 X1 A1 F3 F8 -- NEW r11
+    "quality_classifier_scores",  # X7 X1 A1 F3 F8 -- NEW r11
     # "ivfpq_ann_topk",             # X6 F5 -- NEW r11
     # "audio_metadata_stats",       # X8 X2 -- NEW r11
     # "video_container_stats",      # X8 X2 -- NEW r11

@@ -404,6 +404,245 @@ def dsir_weights(docs: DataFrame, is_target) -> DataFrame:
     return dsir_score(feat.drop("is_t"), wts)
 
 
+# ---------------------------------------------------------------------------
+# X7 — trained quality classifier (fastText-shaped, the CCNet recipe)
+# ---------------------------------------------------------------------------
+_QC_STEPS = 4   # full-batch gradient steps (driver-looped, kmeans-style)
+_QC_ETA = 0.5   # step size; loss is provably monotone for eta < 8 here
+                # (normalized features => logistic Hessian norm <= 1/4)
+
+
+def _round_half_away(x: float) -> int:
+    """Round-half-away-from-zero on a double — the shared contract of
+    Spark's ROUND (BigDecimal HALF_UP) and DuckDB's ROUND (std::round)
+    at scale 0, probed this round: both map 2.5→3, −2.5→−3, 0.5→1.
+    Implemented via exact floor/frac (x − floor(x) is exact for
+    |x| < 2^53), NOT floor(x + 0.5), whose addition can round a value
+    just below a tie boundary onto it."""
+    import math
+
+    if x < 0:
+        return -_round_half_away(-x)
+    fl = math.floor(x)
+    return int(fl + 1) if x - fl >= 0.5 else int(fl)
+
+
+def _qc_sigmoid_micro(z_col):
+    """σ(z)·1e6 rounded to an exact BIGINT, z carried as the exact
+    integer Σ q·w in 1e-12 units — the one transcendental step of the
+    classifier, mirrored verbatim in the oracle SQL. Both engines
+    evaluate EXP on the bit-identical double z/1e12 (|z| ≤ 1e12 <
+    2^53, so the cast and division are exact), leaving only the
+    libm-last-ulp-on-a-.5-micro-boundary hazard — the same accepted
+    class as doc_trigram_perplexity's per-gram micro-nat rounding,
+    NOT the structural mean-division tie that query fixed."""
+    z = z_col.cast("double") / F.lit(1.0e12)
+    return F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)), 0).cast("long")
+
+
+def quality_classifier_fit(docs: DataFrame, is_target):
+    """Fit the fastText-shaped quality classifier (Joulin et al. 2016
+    bag-of-hashed-ngrams linear model; CCNet's quality-gate recipe,
+    Wenzek et al. 2020: labels from a trusted-source proxy) by
+    _QC_STEPS full-batch logistic-regression gradient steps, entirely
+    in EXACT integer micro-units so every step is replayable as a
+    chained CTE on any engine:
+
+    - features: the DSIR hashed-bigram buckets (md5-60bit mod 4096);
+      per-doc counts normalized to q = round_half_away(c·1e6/n) —
+      ties here are exactly-representable rationals (denominator n ≤
+      doc length), so both engines round them identically;
+    - logit: z = Σ_f q·w with w in micro-units — exact BIGINT;
+    - residual: r = y·1e6 − round(σ(z)·1e6) — exact integer;
+    - gradient: G[f] = Σ_docs r·q — exact BIGINT (one hash aggregate);
+    - update: w[f] += round_half_away(η·G/(N·1e6)), computed on the
+      driver over the collected 4096-row gradient (the kmeans /
+      bpe_merge_learning driver-loop pattern — the collect is
+      model-sized, never corpus-sized).
+
+    Returns (per-step weight snapshots [w0..wT] as micro-unit lists,
+    the materialized (doc_id, y, f, q, n) feature frame, n_docs).
+
+    Scale: the feature frame shuffles once at build (8-byte keys,
+    text never shuffles) and is reused every step; per step the work
+    is one per-doc aggregate (model broadcast, 4096 rows) and one
+    per-feature aggregate (4096 groups — map-side partial combine
+    makes the shuffle bytes ~4096×partitions) plus a doc_id-keyed
+    join in which both sides are hash-partitioned on doc_id. The
+    model and its gradient are corpus-size-free."""
+    from flink_realtime_edu_spark.session import materialize as _materialize
+
+    spark = docs.sparkSession
+    tagged = docs.select(
+        "doc_id",
+        F.when(is_target, F.lit(1000000)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+        "text",
+    )
+    feat = dsir_features(tagged, carry=("y",))
+    df = feat.groupBy("doc_id", "y", "f").agg(F.count(F.lit(1)).alias("c"))
+    nd = df.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    q = df.join(nd, "doc_id").select(
+        "doc_id",
+        "y",
+        "f",
+        F.round(F.col("c") * F.lit(1000000.0) / F.col("n"), 0)
+        .cast("long")
+        .alias("q"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    qdf = _materialize(q.repartition("doc_id"))
+    n_docs = qdf.select("doc_id").distinct().count()
+
+    w = [0] * _DSIR_B
+    snaps = [list(w)]
+    for _step in range(_QC_STEPS):
+        wdf = spark.createDataFrame(list(enumerate(w)), "f long, w long")
+        z = (
+            qdf.join(F.broadcast(wdf), "f")
+            .groupBy("doc_id")
+            .agg(
+                F.max("y").alias("y"),
+                F.sum(F.col("q") * F.col("w")).alias("z"),
+            )
+        )
+        r = z.select(
+            "doc_id", (F.col("y") - _qc_sigmoid_micro(F.col("z"))).alias("r")
+        )
+        grad = (
+            qdf.join(r, "doc_id")
+            .groupBy("f")
+            .agg(F.sum(F.col("r") * F.col("q")).alias("g"))
+            .collect()
+        )
+        for row in grad:
+            w[row["f"]] += _round_half_away(
+                _QC_ETA * float(row["g"]) / (n_docs * 1000000.0)
+            )
+        snaps.append(list(w))
+    return snaps, qdf, n_docs
+
+
+def _qc_oracle_sql() -> str:
+    """Chained-CTE DuckDB replay of the full quantized fit — the
+    bpe_merge_learning oracle pattern, one (z, r, g, w) CTE block per
+    gradient step, every intermediate an exact integer."""
+    sig = (
+        "CAST(ROUND(1000000.0 / (1.0 + EXP(-(CAST({z} AS DOUBLE)"
+        " / 1000000000000.0))), 0) AS BIGINT)"
+    )
+    ctes = [
+        f"""toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN source IN {_DSIR_TGT_SQL} THEN 1000000 ELSE 0 END
+              AS BIGINT) AS y,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id, y,
+         {_H60.format(expr="w[i] || ' ' || w[i + 1]")} % {_DSIR_B} AS f
+  FROM (SELECT * FROM toks WHERE len(w) >= 2),
+       unnest(generate_series(1, len(w) - 1)) t(i)
+), df AS (
+  SELECT doc_id, y, f, COUNT(*) AS c FROM feat GROUP BY 1, 2, 3
+), nd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM df GROUP BY 1
+), q AS (
+  SELECT df.doc_id, df.y, df.f,
+         CAST(ROUND(df.c * 1000000.0 / nd.n, 0) AS BIGINT) AS q, nd.n
+  FROM df JOIN nd ON df.doc_id = nd.doc_id
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM nd
+), w0 AS (
+  SELECT UNNEST(range({_DSIR_B})) AS f, CAST(0 AS BIGINT) AS w
+)"""
+    ]
+    for t in range(_QC_STEPS):
+        ctes.append(f"""z{t} AS (
+  SELECT q.doc_id, MAX(q.y) AS y, CAST(SUM(q.q * w{t}.w) AS BIGINT) AS z
+  FROM q JOIN w{t} ON q.f = w{t}.f GROUP BY q.doc_id
+), r{t} AS (
+  SELECT doc_id, y - {sig.format(z='z')} AS r FROM z{t}
+), g{t} AS (
+  SELECT q.f, CAST(SUM(r{t}.r * q.q) AS BIGINT) AS g
+  FROM q JOIN r{t} ON q.doc_id = r{t}.doc_id GROUP BY q.f
+), w{t + 1} AS (
+  SELECT w{t}.f,
+         w{t}.w + COALESCE(CAST(ROUND({_QC_ETA} * CAST(g{t}.g AS DOUBLE)
+                    / (nn.n_docs * 1000000.0), 0) AS BIGINT), 0) AS w
+  FROM w{t} LEFT JOIN g{t} ON w{t}.f = g{t}.f CROSS JOIN nn
+)""")
+    ctes.append(f"""zf AS (
+  SELECT q.doc_id, MAX(q.y) AS y, MAX(q.n) AS n,
+         CAST(SUM(q.q * wf.w) AS BIGINT) AS z
+  FROM q JOIN w{_QC_STEPS} wf ON q.f = wf.f GROUP BY q.doc_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT doc_id, y = 1000000 AS is_target, n AS n_feats, z AS z_e12,
+       CAST({sig.format(z='z')} AS DOUBLE) / 1000000.0 AS prob,
+       z > 0 AS predicted_target
+FROM zf
+"""
+
+
+@register(
+    "quality_classifier_scores",
+    survey_rows=("X7", "X1", "A1", "F3", "F8"),
+    oracle=_qc_oracle_sql(),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate — the trained classifier the CCNet /
+    GPT-3 pipelines run where heuristic scores (doc_quality_scores)
+    stop: a fastText-shaped linear model over hashed-bigram features
+    (Joulin et al. 2016), trained by logistic regression against a
+    trusted-source proxy label (sources src0–src3, the
+    Wikipedia-vs-crawl stand-in — Wenzek et al. 2020 §4.3), then
+    applied to every document. Output per doc: the training label,
+    the exact integer logit (z_e12, 1e-12 units), the calibrated
+    keep-probability, and the hard gate (logit > 0 — exact on the
+    integer, no float compare).
+
+    Exactness: the ENTIRE 4-step fit is integer-quantized
+    (quality_classifier_fit) and the oracle replays it as a chained
+    CTE — per-step weights are equal BIGINTs on both engines, not
+    approximately-equal floats. The one transcendental per step
+    (σ, micro-rounded) carries the same accepted last-ulp hazard as
+    the perplexity family's micro-nat grams.
+
+    Scale: fit cost is _QC_STEPS × (one per-doc + one 4096-group
+    aggregate) over a once-materialized 8-byte-key feature frame —
+    the corpus is scanned once; the model, its gradients, and the
+    driver collect are all 4096 rows regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    snaps, qdf, _n = quality_classifier_fit(
+        docs, F.col("source").isin(*_DSIR_TARGET)
+    )
+    wdf = docs.sparkSession.createDataFrame(
+        list(enumerate(snaps[-1])), "f long, w long"
+    )
+    zf = (
+        qdf.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.max("y").alias("y"),
+            F.max("n").alias("n"),
+            F.sum(F.col("q") * F.col("w")).alias("z"),
+        )
+    )
+    return zf.select(
+        "doc_id",
+        (F.col("y") == 1000000).alias("is_target"),
+        F.col("n").alias("n_feats"),
+        F.col("z").alias("z_e12"),
+        (_qc_sigmoid_micro(F.col("z")).cast("double") / F.lit(1000000.0)).alias(
+            "prob"
+        ),
+        (F.col("z") > 0).alias("predicted_target"),
+    )
+
+
 _DSIR_M = 20          # selected sample size
 _U_DENOM = "1152921504606846978.0"  # 2^60 + 2: u = (h60+1)/denom ∈ (0,1)
 
