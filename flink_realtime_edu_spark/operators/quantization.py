@@ -231,7 +231,21 @@ def pq_adc_topk(
     )
     if keep == k:
         return top
-    # Refinement: exact rounded cosine over the shortlist only.
+    return _exact_rerank(top, corpus, queries, k, id_col, vec_col, query_id_col)
+
+
+def _exact_rerank(
+    top: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Refinement shared by the PQ and IVF×PQ paths: exact rounded
+    cosine over the ADC shortlist only (shortlist-sized join back to
+    the raw vectors + broadcast query frame), re-ranked down to k."""
     from flink_realtime_edu_spark.operators.similarity import cosine_pair_udf
 
     qdf = queries.select(
@@ -254,3 +268,125 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivfpq_topk(
+    assigned: DataFrame,
+    centers: np.ndarray,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_r: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """IVF×PQ — the standard billion-vector composition (FAISS
+    IndexIVFPQ shape; Jégou et al. 2011 §V): the IVF coarse quantizer
+    prunes the corpus to each query's ``n_probe`` nearest cluster
+    lists, PQ ADC scores the CODES inside those lists to a
+    top-``rerank_r`` shortlist, and exact rounded cosine re-ranks the
+    shortlist down to k.
+
+    ``assigned`` is the IVF index layout (nid, cluster, cv) from
+    ``operators.similarity._ivf_fit_assign`` / ``ivf_append``;
+    ``centers`` its (C, dim) centroid matrix; ``codebooks`` from
+    :func:`pq_fit_sample`. Query→probe assignment happens driver-side
+    on the collected (driver-sized, ``max_queries``-guarded) query
+    set with the same L2-argmin metric the IVF search path uses.
+
+    Scale shape: the scan FILTERS to the probed-cluster union before
+    reading vectors — at 100 TB the index is written partitioned by
+    cluster id, so this prunes files, not merely rows — and reads
+    m-byte codes, not floats, once encoded at rest. Per Arrow batch
+    the ADC gather scores every (row, query) pair, then a per-query
+    cluster mask enforces IVF semantics (a query never scores a list
+    it did not probe — masking keeps the cost model honest rather
+    than quietly improving recall). The rerank join is
+    shortlist-sized. Simplification vs FAISS noted: codes quantize
+    the raw unit vectors, not per-cluster residuals — residual
+    encoding would sharpen ADC at the cost of per-cluster LUTs
+    (C× the LUT build); the exact rerank recovers most of it."""
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    if rerank_r and rerank_r <= k:
+        raise ValueError(
+            f"rerank_r={rerank_r} must exceed k={k} (0 disables the rerank)"
+        )
+    keep = max(k, rerank_r)
+    mq, kq, d_sub = codebooks.shape
+    n_clusters = centers.shape[0]
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"query frame exceeds max_queries={max_queries}; the IVF×PQ "
+            "probe set must be driver-sized — see pq_adc_topk's contract"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # probe assignment: n_probe nearest centroids by L2 on the RAW
+    # query vector — identical metric to _ivf_probe_search
+    d2 = ((qmat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argsort(d2, axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)
+    for j in range(len(qids)):
+        probe_mask[j, probed[j]] = True
+    union_clusters = sorted({int(c) for c in probed.ravel()})
+
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    luts = np.stack(
+        [np.einsum("md,mkd->mk", q.reshape(mq, d_sub), codebooks) for q in qn]
+    )  # (nq, m, k)
+    cb = np.ascontiguousarray(codebooks)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cmat = cmat / np.maximum(
+                np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+            )
+            nids = pdf["nid"].to_numpy(dtype=np.int64)
+            clusters = pdf["cluster"].to_numpy(dtype=np.int64)
+            codes = pq_encode_batch(cmat, cb)
+            gathered = luts[:, np.arange(mq)[None, :], codes]  # (nq, n, m)
+            score = gathered.sum(axis=2).T  # (n, nq)
+            score = np.floor(np.abs(score) * 1e6 + 0.5) / 1e6 * np.sign(score)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                mask = probe_mask[j, clusters] & (nids != qids[j])
+                sj, nj = score[mask, j], nids[mask]
+                top_j = np.lexsort((nj, -sj))[:keep]
+                out_q.append(np.full(len(top_j), qids[j]))
+                out_n.append(nj[top_j])
+                out_s.append(sj[top_j])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "nid": np.concatenate(out_n),
+                    "approx_cos": np.concatenate(out_s),
+                }
+            )
+
+    scan = assigned.filter(
+        F.col("cluster").isin([int(c) for c in union_clusters])
+    ).select("nid", "cluster", "cv")
+    scored = scan.mapInPandas(
+        score_batches, schema=f"{query_id_col} long, nid long, approx_cos double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cos").desc(), F.col("nid")
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep)
+        .drop("rn")
+    )
+    if keep == k:
+        return top
+    corpus = assigned.select(
+        F.col("nid").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    return _exact_rerank(top, corpus, queries, k, id_col, vec_col, query_id_col)

@@ -123,7 +123,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
     # --- never officially sampled (NEW r11; uncommented as each lands) ---
     "quality_classifier_scores",  # X7 X1 A1 F3 F8 -- NEW r11
-    # "ivfpq_ann_topk",             # X6 F5 -- NEW r11
+    "ivfpq_ann_topk",             # X6 -- NEW r11
     # "audio_metadata_stats",       # X8 X2 -- NEW r11
     # "video_container_stats",      # X8 X2 -- NEW r11
     # --- last officially sampled r7 (the r10-spilled 24, all pinned) ---

@@ -242,6 +242,50 @@ def test_pq_finds_planted_duplicate(spark, sf_dir):
     assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
 
 
+def test_ivfpq_recall_probe_semantics_and_determinism(spark, sf_dir):
+    """IVF×PQ composition: recall tracks the IVF floor (the coarse
+    quantizer bounds it — measured 0.64 here vs IVF-Flat's 0.64, so
+    assert the same ≥ 0.5 bar), every returned neighbor LIVES in a
+    cluster its query actually probed (the masking that keeps the
+    n_probe/n_clusters cost model honest), no self-matches, and the
+    whole fit+probe+ADC+rerank pipeline reruns bit-identically."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_fit_sample,
+    )
+    from flink_realtime_edu_spark.operators.similarity import _ivf_fit_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, q, k=5).collect()}
+    assigned, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
+    cb = pq_fit_sample(emb, m=16, k=256)
+    rows = ivfpq_topk(
+        assigned, centers, q, cb, k=5, n_probe=4, rerank_r=30
+    ).collect()
+    got = {(r.qid, r.nid) for r in rows}
+    assert all(r.qid != r.nid for r in rows)
+    assert len(got & exact) / len(exact) >= 0.5
+
+    # probe semantics: neighbor's cluster ∈ its query's probed set
+    cluster_of = {
+        r.nid: r.cluster for r in assigned.select("nid", "cluster").collect()
+    }
+    qvecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+             for r in q.collect()}
+    for qid, nid in got:
+        d2 = ((qvecs[qid][None, :] - centers) ** 2).sum(axis=1)
+        probed = set(np.argsort(d2)[:4].tolist())
+        assert cluster_of[nid] in probed, (qid, nid)
+
+    rows2 = ivfpq_topk(
+        assigned, centers, q, cb, k=5, n_probe=4, rerank_r=30
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
 def test_ann_probe_collect_guard(spark, sf_dir):
     """The brute-force and PQ scorers collect the PROBE set to the
     driver (batch-scoring contract: |Q| driver-sized). An oversized
