@@ -124,8 +124,8 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     # --- never officially sampled (NEW r11; uncommented as each lands) ---
     "quality_classifier_scores",  # X7 X1 A1 F3 F8 -- NEW r11
     "ivfpq_ann_topk",             # X6 -- NEW r11
-    # "audio_metadata_stats",       # X8 X2 -- NEW r11
-    # "video_container_stats",      # X8 X2 -- NEW r11
+    "audio_metadata_stats",       # X8 X2 F3 -- NEW r11
+    "video_container_stats",      # X8 X2 F3 -- NEW r11
     # --- last officially sampled r7 (the r10-spilled 24, all pinned) ---
     "jpeg_color_decode_stats",
     "lang_guess_confusion",

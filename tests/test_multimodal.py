@@ -628,3 +628,124 @@ def test_audio_fingerprint63_exact_invariances():
         )) == h  # uniform gain: deltas keep their signs
     with pytest.raises(ValueError):
         audio_fingerprint63(np.zeros(N_FRAMES * 50 + 1, dtype=np.int16))
+
+
+def test_mp3_metadata_walk_and_tag_skips():
+    """Header-walk exactness: VBR frame sequence with padding bits,
+    ID3v2 prefix and ID3v1 trailer — every reported stat equals the
+    closed-form value from the public frame-size formula, and the
+    walker is byte-position exact (consuming the stream twice gives
+    identical results)."""
+    from flink_realtime_edu_spark.multimodal.mp3meta import (
+        BITRATE_KBPS,
+        SAMPLE_RATES,
+        build_mp3,
+        mp3_metadata,
+    )
+
+    bis = [3 if i % 2 else 11 for i in range(9)]
+    pads = [i % 3 == 1 for i in range(9)]
+    pads = [int(p) for p in pads]
+    p = build_mp3(
+        bis, sr_idx=1, pad_bits=pads, id3v2_payload=b"junk" * 99,
+        id3v1=True, seed=7,
+    )
+    m = mp3_metadata(p)
+    sr = SAMPLE_RATES[1]
+    assert m["n_frames"] == 9 and m["sample_rate"] == sr
+    assert m["audio_bytes"] == sum(
+        144000 * BITRATE_KBPS[b] // sr + pad for b, pad in zip(bis, pads)
+    )
+    assert m["bitrate_kbps_sum"] == sum(BITRATE_KBPS[b] for b in bis)
+    assert m["duration_s_e6"] == (2 * 9 * 1152 * 1000000 + sr) // (2 * sr)
+    assert m["has_id3v2"] and m["has_id3v1"]
+    assert mp3_metadata(p) == m
+    # without tags, the tag flags flip and the audio stats hold
+    bare = build_mp3(bis, sr_idx=1, pad_bits=pads, seed=7)
+    mb = mp3_metadata(bare)
+    assert not mb["has_id3v2"] and not mb["has_id3v1"]
+    assert mb["audio_bytes"] == m["audio_bytes"]
+
+
+def test_mp3_metadata_error_contract():
+    """Shared codec error contract: structural damage → ValueError,
+    out-of-scope-but-valid → NotImplementedError."""
+    from flink_realtime_edu_spark.multimodal.mp3meta import (
+        BITRATE_KBPS,
+        SAMPLE_RATES,
+        build_mp3,
+        mp3_metadata,
+    )
+
+    good = build_mp3([9, 9, 9], sr_idx=0)
+    with pytest.raises(ValueError, match="truncated frame"):
+        mp3_metadata(good[:-1])
+    # zero the SECOND frame's sync byte (payload bytes are opaque)
+    f1 = 144000 * BITRATE_KBPS[9] // SAMPLE_RATES[0]
+    with pytest.raises(ValueError, match="lost frame sync"):
+        mp3_metadata(good[:f1] + b"\x00" + good[f1 + 1:])
+    with pytest.raises(ValueError, match="no MPEG frames"):
+        mp3_metadata(b"")
+    with pytest.raises(ValueError, match="extends past"):
+        # ID3v2 declares more bytes than exist
+        mp3_metadata(b"ID3\x03\x00\x00\x00\x00\x7f\x7f")
+    # MPEG-2 (version bits 10) and Layer II headers are out of scope
+    mpeg2 = bytes((good[0], good[1] & ~0x08)) + good[2:]
+    with pytest.raises(NotImplementedError, match="MPEG-1 Layer III"):
+        mp3_metadata(mpeg2)
+    layer2 = bytes((good[0], (good[1] & ~0x06) | 0x04)) + good[2:]
+    with pytest.raises(NotImplementedError, match="MPEG-1 Layer III"):
+        mp3_metadata(layer2)
+    free = good[:2] + bytes((good[2] & 0x0F,)) + good[3:]
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mp3_metadata(free)
+
+
+def test_mp4_metadata_walk_and_nesting():
+    """Atom-walk exactness over a multi-track skeleton, plus the spec
+    behaviors: unknown leaf boxes are skipped, 64-bit largesize boxes
+    parse, and both mvhd versions are read."""
+    import struct
+
+    from flink_realtime_edu_spark.multimodal.mp4meta import (
+        build_mp4,
+        mp4_metadata,
+    )
+
+    p = build_mp4(
+        b"mp42", 1200, 7777,
+        [(b"vide", b"avc1"), (b"soun", b"mp4a"), (b"soun", b"opus")],
+        mdat_len=90, seed=4,
+    )
+    m = mp4_metadata(p)
+    assert m == {
+        "brand": "mp42", "timescale": 1200, "duration_units": 7777,
+        "n_tracks": 3, "n_video": 1, "n_audio": 2,
+        "codecs": "avc1,mp4a,opus", "mdat_bytes": 90,
+    }
+    # unknown top-level leaf box: skipped, stats unchanged
+    skipped = p + struct.pack(">I", 12) + b"free" + b"\x00" * 4
+    assert mp4_metadata(skipped) == m
+    # largesize mdat: size field 1 + 64-bit size
+    big = p + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 24) + b"x" * 8
+    m2 = mp4_metadata(big)
+    assert m2["mdat_bytes"] == 90 + 8
+
+
+def test_mp4_metadata_error_contract():
+    import struct
+
+    from flink_realtime_edu_spark.multimodal.mp4meta import (
+        build_mp4,
+        mp4_metadata,
+    )
+
+    p = build_mp4(b"isom", 600, 1234, [(b"vide", b"avc1")])
+    with pytest.raises(ValueError, match="overruns"):
+        mp4_metadata(p[:-5])
+    with pytest.raises(ValueError, match="no moov/mvhd"):
+        mp4_metadata(p[:20])  # ftyp only
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        mp4_metadata(p + struct.pack(">I", 8) + b"moof")
+    with pytest.raises(ValueError, match="truncated box header"):
+        mp4_metadata(p + b"\x00\x00\x00")
