@@ -56,6 +56,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--n-batches", type=int, default=8)
+    ap.add_argument(
+        "--sem-blocks",
+        type=int,
+        default=0,
+        help="re-key the semantic-dedup block as vec_id %% N instead of "
+        "the label column — the bounded-block stand-in a production "
+        "deployment gets from its k-means assignment; REQUIRED at "
+        "corpus scales where the 10-value label would make blocks "
+        "corpus/10 wide and measure a contract violation instead of "
+        "the sink (BASELINE.md r10 note on semdedup_label_blocks)",
+    )
     args = ap.parse_args()
     N_FILES = args.n_batches
 
@@ -84,10 +95,16 @@ def main() -> None:
             "doc_id", "source", "text"
         )
         n_docs = docs.count()
+        block_col = (
+            (F.col("vec_id") % args.sem_blocks)
+            if args.sem_blocks
+            else F.col("label")
+        )
         emb = load(spark, args.sf, "embeddings").select(
-            "vec_id", F.col("label").cast("long").alias("block"), "embedding"
+            "vec_id", block_col.cast("long").alias("block"), "embedding"
         )
         n_vecs = emb.count()
+        out["sem_blocks"] = args.sem_blocks or "label"
 
         doc_src = tmp / "docs_src"
         docs.select("doc_id", "text").repartition(N_FILES).write.parquet(
