@@ -440,6 +440,50 @@ def _qc_sigmoid_micro(z_col):
     return F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z)), 0).cast("long")
 
 
+def qc_quantized_features(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, *carry, f, q, n): per-doc hashed-bigram counts
+    normalized to exact integer micro-units — q = round_half_away
+    (c·1e6/n), the quantization whose rounding ties are exactly-
+    representable rationals (see quality_classifier_fit). Shared by
+    the batch fit/score and the frozen-model streaming scorer."""
+    feat = dsir_features(docs, carry=carry)
+    df = feat.groupBy("doc_id", *carry, "f").agg(F.count(F.lit(1)).alias("c"))
+    nd = df.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    return df.join(nd, "doc_id").select(
+        "doc_id",
+        *carry,
+        "f",
+        F.round(F.col("c") * F.lit(1000000.0) / F.col("n"), 0)
+        .cast("long")
+        .alias("q"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def qc_score(qdf: DataFrame, wdf: DataFrame) -> DataFrame:
+    """Score quantized features against a frozen (f, w) micro-unit
+    model: (doc_id, n_feats, z_e12, prob, predicted_target). The
+    model broadcasts (≤ 4096 rows); one per-doc hash aggregate — the
+    dsir_score shape, reused verbatim by the streaming scorer."""
+    zf = (
+        qdf.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("q") * F.col("w")).alias("z"),
+        )
+    )
+    return zf.select(
+        "doc_id",
+        F.col("n").alias("n_feats"),
+        F.col("z").alias("z_e12"),
+        (_qc_sigmoid_micro(F.col("z")).cast("double") / F.lit(1000000.0)).alias(
+            "prob"
+        ),
+        (F.col("z") > 0).alias("predicted_target"),
+    )
+
+
 def quality_classifier_fit(docs: DataFrame, is_target):
     """Fit the fastText-shaped quality classifier (Joulin et al. 2016
     bag-of-hashed-ngrams linear model; CCNet's quality-gate recipe,
@@ -480,18 +524,7 @@ def quality_classifier_fit(docs: DataFrame, is_target):
         .alias("y"),
         "text",
     )
-    feat = dsir_features(tagged, carry=("y",))
-    df = feat.groupBy("doc_id", "y", "f").agg(F.count(F.lit(1)).alias("c"))
-    nd = df.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    q = df.join(nd, "doc_id").select(
-        "doc_id",
-        "y",
-        "f",
-        F.round(F.col("c") * F.lit(1000000.0) / F.col("n"), 0)
-        .cast("long")
-        .alias("q"),
-        F.col("n").cast("bigint").alias("n"),
-    )
+    q = qc_quantized_features(tagged, carry=("y",))
     qdf = _materialize(q.repartition("doc_id"))
     n_docs = qdf.select("doc_id").distinct().count()
 

@@ -67,6 +67,50 @@ def streaming_dsir_scorer(
     return write
 
 
+def write_quality_model(spark, w: list[int], model_dir: str) -> None:
+    """Freeze fitted classifier weights (micro-units, e.g.
+    quality_classifier_fit's final snapshot) to parquet as the
+    (f, w) table the streaming scorer broadcasts."""
+    spark.createDataFrame(list(enumerate(w)), "f long, w long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(model_dir)
+
+
+def streaming_quality_scorer(
+    model_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch quality gate — the trained-classifier sibling of
+    :func:`streaming_dsir_scorer` (the CCNet deployment shape: fit
+    the fastText-style model once in batch, freeze it, gate the
+    crawl as it arrives): each micro-batch of (id, text) documents
+    is scored by the EXACT batch pipeline
+    (queries/training.py::qc_quantized_features + qc_score — integer
+    micro-unit quantization, broadcast 4096-row model, one per-doc
+    hash aggregate) and written under a deterministic per-batch path
+    (replay-safe overwrite). Stateless per batch, so stream ≡ batch
+    holds per-document by construction; docs with < 2 tokens carry
+    no bigram and are absent, the batch contract."""
+    from flink_realtime_edu_spark.queries.training import (
+        qc_quantized_features,
+        qc_score,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        wdf = spark.read.parquet(model_dir)
+        docs = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        qc_score(qc_quantized_features(docs), wdf).write.mode(
+            "overwrite"
+        ).parquet(str(Path(out_dir) / f"batch_id={batch_id}"))
+
+    return write
+
+
 def read_scored_output(spark, out_dir: str) -> DataFrame:
     """Read back the per-batch scores (plus the batch_id partition)."""
     return spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -2858,6 +2858,77 @@ def test_streaming_dsir_scores_equal_batch_and_replay_safe(spark, sf_dir, tmp_pa
     assert _rows(read_scored_output(spark, out_dir)) == before
 
 
+def test_streaming_quality_scores_equal_batch_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """X7 streaming twin of the trained quality classifier: fit
+    batch-side, freeze the (f, w) micro-unit model, stream the corpus
+    in micro-batches — per-document scores equal the batch pipeline's
+    EXACTLY (integer-quantized scoring is stateless per doc), the
+    hard gate column agrees with the exact-integer logit sign, and
+    replaying a batch is a pure overwrite."""
+    from flink_realtime_edu_spark.queries.training import (
+        _DSIR_TARGET,
+        qc_quantized_features,
+        qc_score,
+        quality_classifier_fit,
+    )
+    from flink_realtime_edu_spark.streaming.scoring import (
+        read_scored_output,
+        streaming_quality_scorer,
+        write_quality_model,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    corpus = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    snaps, _qdf, _n = quality_classifier_fit(
+        corpus, F.col("source").isin(*_DSIR_TARGET)
+    )
+    model_dir = str(tmp_path / "qc_model")
+    write_quality_model(spark, snaps[-1], model_dir)
+
+    src = tmp_path / "qc_docs_src"
+    corpus.select("doc_id", "text").repartition(3).write.parquet(str(src))
+    out_dir = str(tmp_path / "qc_scores_out")
+    sink = streaming_quality_scorer(model_dir, out_dir)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "qc_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    got = read_scored_output(spark, out_dir)
+    expected = qc_score(
+        qc_quantized_features(corpus.select("doc_id", "text")),
+        spark.read.parquet(model_dir),
+    )
+    cols = ["doc_id", "n_feats", "z_e12", "prob", "predicted_target"]
+    assert _rows(got.select(*cols)) == _rows(expected.select(*cols))
+    assert got.count() == expected.count() > 0
+    for r in got.collect():
+        assert r.predicted_target == (r.z_e12 > 0)
+
+    last_batch = got.agg(F.max("batch_id")).collect()[0][0]
+    before = _rows(read_scored_output(spark, out_dir))
+    replay_ids = [
+        r.doc_id
+        for r in got.filter(F.col("batch_id") == last_batch).collect()
+    ]
+    sink(
+        corpus.filter(F.col("doc_id").isin(replay_ids)).select(
+            "doc_id", "text"
+        ),
+        last_batch,
+    )
+    assert _rows(read_scored_output(spark, out_dir)) == before
+
+
 def test_streaming_semantic_dedup_invariant_and_replay(spark, sf_dir, tmp_path):
     """X5/X6 streaming twin — incremental SemDeDup against the
     survivor index: every vector classified exactly once; the KEPT-SET
