@@ -540,6 +540,10 @@ def main() -> None:
     ap.add_argument("--native-sf", type=float, default=1.0,
                     help="native dataset scale in sf units (1.0 = sf1; "
                          "3.0 adds the VERDICT r6 third scale point)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated query names: restrict the sweep "
+                         "to these (targeted two-point readings for new "
+                         "operators without rerunning the full inventory)")
     args = ap.parse_args()
     sf_label = f"{args.native_sf:g}"
     if args.native and args.out == str(REPO / ".scratch" / "sf1d"):
@@ -680,8 +684,26 @@ def main() -> None:
         # interpolated trigram LM: three n-gram model aggregates over
         # corpus token volume — the heaviest of the LM scorers
         "doc_trigram_perplexity",
+        # r11: the trained quality classifier (4 full-batch gradient
+        # steps × two 8-byte-key aggregates over bigram volume — the
+        # most data-proportional r11 addition; the model/gradient stay
+        # 4096 rows at every scale), IVF×PQ ANN (the probed-cluster
+        # ADC scan is the volume cost; the recall summary's exact
+        # brute-force arm is verification-only and scales as the
+        # cosine_topk baseline), and the two metadata walkers (fixed
+        # 40-asset sets — flat by construction, like the codecs)
+        "quality_classifier_scores",
+        "ivfpq_ann_topk",
+        "audio_metadata_stats",
+        "video_container_stats",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
+    if args.only:
+        want = set(args.only.split(","))
+        unknown = want - set(load_registry())
+        if unknown:
+            raise SystemExit(f"--only names unknown queries: {sorted(unknown)}")
+        names = sorted(want)
     small = bench_at(spark, BASE_SF, names)
     big = bench_at(spark, args.out, names)
     ratios = {n: round(big[n] / small[n], 2) for n in names}

@@ -286,6 +286,39 @@ def test_ivfpq_recall_probe_semantics_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_ivfpq_searches_appended_index(spark, sf_dir):
+    """Index maintenance composes: vectors APPENDED to the IVF index
+    via ivf_append (quantizer fit on the base only) are searchable
+    through the IVF×PQ path — a planted near-copy of a query vector,
+    arriving as delta, must surface as its top-1 neighbor (the ADC
+    gap between a true duplicate and the random background dwarfs
+    quantization error, the pq planted-duplicate property)."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_fit_sample,
+    )
+    from flink_realtime_edu_spark.operators.similarity import (
+        _ivf_fit_assign,
+        ivf_append,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base_row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    near = [x * 1.001 for x in base_row.embedding]
+    delta = spark.createDataFrame(
+        [(100000, near)], "vec_id long, embedding array<float>"
+    )
+    assigned, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
+    assigned = assigned.unionByName(ivf_append(delta, centers))
+    cb = pq_fit_sample(emb, m=16, k=256)
+    top = ivfpq_topk(
+        assigned, centers,
+        emb.filter(F.col("vec_id") == 0), cb,
+        k=1, n_probe=4, rerank_r=5,
+    ).collect()
+    assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
+
+
 def test_ann_probe_collect_guard(spark, sf_dir):
     """The brute-force and PQ scorers collect the PROBE set to the
     driver (batch-scoring contract: |Q| driver-sized). An oversized
