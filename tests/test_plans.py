@@ -54,6 +54,21 @@ def test_topk_uses_heap_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["vocab_coverage_topk", "cms_token_frequencies"]
+)
+def test_vocab_rankings_prefilter_before_global_window(spark, sf_dir, name):
+    """VERDICT r10 'what's wrong' #1, pinned: the top-k prefilter must
+    plan as TakeOrderedAndProject (per-partition heap) BELOW the
+    partition-less ranking Window, so the Window only ever sees the
+    k-row frame — never the full (web-scale) vocabulary. The plan
+    string is ordered root-first, so the Window must appear before
+    (above) the TakeOrderedAndProject it consumes."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_interval_join_is_key_equi_join_with_time_condition(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "interval_join_click_purchase")
     assert "Join" in plan and "CartesianProduct" not in plan
