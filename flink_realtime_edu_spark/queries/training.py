@@ -649,6 +649,15 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once; the model, its gradients, and the
     driver collect are all 4096 rows regardless of corpus size."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return quality_classifier_frame(docs)
+
+
+def quality_classifier_frame(docs: DataFrame) -> DataFrame:
+    """Full fit + self-score over any (doc_id, source, text) frame —
+    the registered query's body, factored out so the cross-engine
+    Hypothesis fuzz (tests/test_properties.py) can drive the
+    identical pipeline and the identical generated oracle SQL over
+    synthetic corpora."""
     snaps, qdf, _n = quality_classifier_fit(
         docs, F.col("source").isin(*_DSIR_TARGET)
     )

@@ -1876,3 +1876,64 @@ def test_cep_greedy_equals_bruteforce(
         ).collect()
     )
     assert got == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# X7 trained quality classifier: cross-engine fuzz of the quantized fit
+# ---------------------------------------------------------------------------
+_qc_word = st.sampled_from("alpha beta gamma delta eps zeta".split())
+_qc_doc = st.tuples(
+    st.sampled_from(["src0", "raw"]),
+    st.lists(_qc_word, min_size=0, max_size=20),
+)
+
+
+@given(rows=st.lists(_qc_doc, min_size=3, max_size=14))
+@SET
+def test_quality_classifier_fit_matches_duckdb_replay(spark, rows):
+    """Cross-engine fuzz of the integer-quantized logistic fit: on a
+    random tiny corpus (tiny vocabulary → heavy feature collisions;
+    repeated words → tie-prone c·1e6/n quantizations), the Spark
+    driver-looped 4-step fit and the generated chained-CTE DuckDB
+    replay must agree EXACTLY on every output row — the strongest
+    form of the tie-hazard analysis in quality_classifier_fit's
+    docstring (exactly-representable rational ties round identically
+    in both engines; only σ's documented last-ulp class is
+    transcendental, and it never fires at these magnitudes)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_realtime_edu_spark.queries.training import (
+        _qc_oracle_sql,
+        quality_classifier_frame,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, s, " ".join(ws)) for i, (s, ws) in enumerate(rows)],
+        columns=["doc_id", "source", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(int(r.doc_id), r.source, r.text) for r in pdf.itertuples()],
+        "doc_id long, source string, text string",
+    )
+    got = quality_classifier_frame(docs)
+    spark_cols = got.columns
+    spark_rows = sorted(
+        (tuple(r[c] for c in sorted(spark_cols)) for r in got.collect()),
+        key=repr,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    cur = con.execute(_qc_oracle_sql())
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = sorted(
+        (
+            tuple(row[duck_cols.index(c)] for c in sorted(duck_cols))
+            for row in cur.fetchall()
+        ),
+        key=repr,
+    )
+    con.close()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert spark_rows == duck_rows
