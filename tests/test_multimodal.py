@@ -749,3 +749,97 @@ def test_mp4_metadata_error_contract():
         mp4_metadata(p + struct.pack(">I", 8) + b"moof")
     with pytest.raises(ValueError, match="truncated box header"):
         mp4_metadata(p + b"\x00\x00\x00")
+
+
+def test_mp3_metadata_fuzz_roundtrip():
+    """Hypothesis over the fixture-writer parameter space: any valid
+    (bitrate indices, padding bits, sample rate, tags) combination
+    must parse back to the closed-form stats — frame walking is exact
+    arithmetic, so there is no tolerance anywhere."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_realtime_edu_spark.multimodal.mp3meta import (
+        BITRATE_KBPS,
+        SAMPLE_RATES,
+        build_mp3,
+        mp3_metadata,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        bis=st.lists(st.integers(1, 14), min_size=1, max_size=30),
+        sri=st.integers(0, 2),
+        pads=st.data(),
+        id3v2=st.one_of(st.none(), st.binary(max_size=200)),
+        id3v1=st.booleans(),
+        seed=st.integers(0, 1000),
+    )
+    def run(bis, sri, pads, id3v2, id3v1, seed):
+        pad_bits = pads.draw(
+            st.lists(
+                st.integers(0, 1), min_size=len(bis), max_size=len(bis)
+            )
+        )
+        p = build_mp3(
+            bis, sr_idx=sri, pad_bits=pad_bits, id3v2_payload=id3v2,
+            id3v1=id3v1, seed=seed,
+        )
+        m = mp3_metadata(p)
+        sr = SAMPLE_RATES[sri]
+        assert m["n_frames"] == len(bis)
+        assert m["sample_rate"] == sr
+        assert m["audio_bytes"] == sum(
+            144000 * BITRATE_KBPS[b] // sr + pad
+            for b, pad in zip(bis, pad_bits)
+        )
+        assert m["bitrate_kbps_sum"] == sum(BITRATE_KBPS[b] for b in bis)
+        assert m["duration_s_e6"] == (
+            2 * len(bis) * 1152 * 1000000 + sr
+        ) // (2 * sr)
+        assert m["has_id3v2"] == (id3v2 is not None)
+        assert m["has_id3v1"] == id3v1
+
+    run()
+
+
+def test_mp4_metadata_fuzz_roundtrip():
+    """Hypothesis over the MP4 skeleton space: any track mix, brand,
+    timescale/duration and mdat size must atom-walk back exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_realtime_edu_spark.multimodal.mp4meta import (
+        build_mp4,
+        mp4_metadata,
+    )
+
+    fourcc = st.sampled_from([b"avc1", b"hev1", b"mp4a", b"opus", b"mjpa"])
+    track = st.tuples(st.sampled_from([b"vide", b"soun", b"text"]), fourcc)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        brand=st.sampled_from([b"isom", b"mp42", b"avc1"]),
+        timescale=st.integers(1, 1_000_000),
+        duration=st.integers(0, 2**31 - 1),
+        tracks=st.lists(track, min_size=0, max_size=6),
+        mdat_len=st.integers(0, 500),
+        seed=st.integers(0, 1000),
+    )
+    def run(brand, timescale, duration, tracks, mdat_len, seed):
+        p = build_mp4(
+            brand, timescale, duration, tracks, mdat_len=mdat_len, seed=seed
+        )
+        m = mp4_metadata(p)
+        assert m["brand"] == brand.decode()
+        assert m["timescale"] == timescale
+        assert m["duration_units"] == duration
+        assert m["n_tracks"] == len(tracks)
+        assert m["n_video"] == sum(1 for h, _ in tracks if h == b"vide")
+        assert m["n_audio"] == sum(1 for h, _ in tracks if h == b"soun")
+        assert m["codecs"] == ",".join(
+            sorted(c.decode() for _, c in tracks)
+        )
+        assert m["mdat_bytes"] == mdat_len
+
+    run()
