@@ -105,8 +105,11 @@ def register(
 # the moment CORRECTNESS_r11.json lands. New r11 queries follow
 # (never-sampled pin forces them into the window at add time). The
 # remaining slots start the 44-query r8 cohort early (alphabetical
-# first 21), which binds at r12: the 23 spilled r8 queries
-# (late_ship_priority_counts, local_supplier_volume,
+# first 20 — late_corrected_windows was displaced mid-round by the
+# fifth new query, quality_classifier_heldout_eval), which binds at
+# r12: the 24 spilled r8 queries
+# (late_corrected_windows,
+# late_ship_priority_counts, local_supplier_volume,
 # market_share_by_year, min_cost_supplier_per_part,
 # nation_revenue_share, near_dup_incremental, near_dup_simhash,
 # part_supplier_diversity, phash_dup_stats, png_decode_stats,
@@ -117,7 +120,7 @@ def register(
 # token_budget_sample, unshipped_order_revenue,
 # volume_shipping_pairs, wav_decode_stats,
 # wealthy_inactive_customers) MUST rotate first in r12, leaving
-# ~26 slots to start the 49-query r9 cohort (binds r13).
+# ~25 slots to start the 49-query r9 cohort (binds r13).
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
@@ -126,6 +129,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "ivfpq_ann_topk",             # X6 -- NEW r11
     "audio_metadata_stats",       # X8 X2 F3 -- NEW r11
     "video_container_stats",      # X8 X2 F3 -- NEW r11
+    "quality_classifier_heldout_eval",  # X7 F4 A1 F8 -- NEW r11
     # --- last officially sampled r7 (the r10-spilled 24, all pinned) ---
     "jpeg_color_decode_stats",
     "lang_guess_confusion",
@@ -172,7 +176,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "forecast_revenue_change",
     "grouping_sets_traffic",
     "incremental_dedup_delta",
-    "late_corrected_windows",
 )
 
 

@@ -407,9 +407,16 @@ def dsir_weights(docs: DataFrame, is_target) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X7 — trained quality classifier (fastText-shaped, the CCNet recipe)
 # ---------------------------------------------------------------------------
-_QC_STEPS = 4   # full-batch gradient steps (driver-looped, kmeans-style)
-_QC_ETA = 0.5   # step size; loss is provably monotone for eta < 8 here
-                # (normalized features => logistic Hessian norm <= 1/4)
+_QC_STEPS = 6   # full-batch gradient steps (driver-looped, kmeans-style)
+_QC_ETA = 1.0   # step size; loss is provably monotone for eta < 4 here
+                # (normalized features + unit bias => |x|² ≤ 2 =>
+                # logistic Hessian norm <= 1/2)
+_QC_BIAS_F = _DSIR_B  # the intercept's feature id (one past the buckets):
+                      # every doc carries (f=B, q=1e6), so the model learns
+                      # the class prior instead of leaving all logits on one
+                      # side of zero — without it the 4:1 raw:target prior
+                      # made every held-out prob sit just under 0.5 and the
+                      # threshold sweep degenerate (measured, r11)
 
 
 def _round_half_away(x: float) -> int:
@@ -431,7 +438,7 @@ def _qc_sigmoid_micro(z_col):
     """σ(z)·1e6 rounded to an exact BIGINT, z carried as the exact
     integer Σ q·w in 1e-12 units — the one transcendental step of the
     classifier, mirrored verbatim in the oracle SQL. Both engines
-    evaluate EXP on the bit-identical double z/1e12 (|z| ≤ 1e12 <
+    evaluate EXP on the bit-identical double z/1e12 (|z| ≤ 2e12 <
     2^53, so the cast and division are exact), leaving only the
     libm-last-ulp-on-a-.5-micro-boundary hazard — the same accepted
     class as doc_trigram_perplexity's per-gram micro-nat rounding,
@@ -444,12 +451,17 @@ def qc_quantized_features(docs: DataFrame, carry: tuple = ()) -> DataFrame:
     """(doc_id, *carry, f, q, n): per-doc hashed-bigram counts
     normalized to exact integer micro-units — q = round_half_away
     (c·1e6/n), the quantization whose rounding ties are exactly-
-    representable rationals (see quality_classifier_fit). Shared by
-    the batch fit/score and the frozen-model streaming scorer."""
+    representable rationals (see quality_classifier_fit) — plus one
+    INTERCEPT row per doc (f = _QC_BIAS_F, q = 1e6, the constant
+    feature fastText's linear layer carries). Shared by the batch
+    fit/score, the held-out evaluation, and the frozen-model
+    streaming scorer, so every consumer agrees on the feature space.
+    `n` stays the bigram-token count (the bias is not a token)."""
     feat = dsir_features(docs, carry=carry)
     df = feat.groupBy("doc_id", *carry, "f").agg(F.count(F.lit(1)).alias("c"))
-    nd = df.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    return df.join(nd, "doc_id").select(
+    # carry columns are constant per doc, so grouping by them is safe
+    nd = df.groupBy("doc_id", *carry).agg(F.sum("c").alias("n"))
+    base = df.join(nd.select("doc_id", "n"), "doc_id").select(
         "doc_id",
         *carry,
         "f",
@@ -458,12 +470,20 @@ def qc_quantized_features(docs: DataFrame, carry: tuple = ()) -> DataFrame:
         .alias("q"),
         F.col("n").cast("bigint").alias("n"),
     )
+    bias = nd.select(
+        "doc_id",
+        *carry,
+        F.lit(_QC_BIAS_F).cast("long").alias("f"),
+        F.lit(1000000).cast("long").alias("q"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return base.unionByName(bias)
 
 
 def qc_score(qdf: DataFrame, wdf: DataFrame) -> DataFrame:
     """Score quantized features against a frozen (f, w) micro-unit
     model: (doc_id, n_feats, z_e12, prob, predicted_target). The
-    model broadcasts (≤ 4096 rows); one per-doc hash aggregate — the
+    model broadcasts (B+1 = 4097 rows); one per-doc hash aggregate — the
     dsir_score shape, reused verbatim by the streaming scorer."""
     zf = (
         qdf.join(F.broadcast(wdf), "f")
@@ -500,7 +520,7 @@ def quality_classifier_fit(docs: DataFrame, is_target):
     - residual: r = y·1e6 − round(σ(z)·1e6) — exact integer;
     - gradient: G[f] = Σ_docs r·q — exact BIGINT (one hash aggregate);
     - update: w[f] += round_half_away(η·G/(N·1e6)), computed on the
-      driver over the collected 4096-row gradient (the kmeans /
+      driver over the collected model-sized gradient (the kmeans /
       bpe_merge_learning driver-loop pattern — the collect is
       model-sized, never corpus-sized).
 
@@ -509,7 +529,7 @@ def quality_classifier_fit(docs: DataFrame, is_target):
 
     Scale: the feature frame shuffles once at build (8-byte keys,
     text never shuffles) and is reused every step; per step the work
-    is one per-doc aggregate (model broadcast, 4096 rows) and one
+    is one per-doc aggregate (model broadcast, B+1 = 4097 rows) and one
     per-feature aggregate (4096 groups — map-side partial combine
     makes the shuffle bytes ~4096×partitions) plus a doc_id-keyed
     join in which both sides are hash-partitioned on doc_id. The
@@ -528,7 +548,7 @@ def quality_classifier_fit(docs: DataFrame, is_target):
     qdf = _materialize(q.repartition("doc_id"))
     n_docs = qdf.select("doc_id").distinct().count()
 
-    w = [0] * _DSIR_B
+    w = [0] * (_DSIR_B + 1)  # +1: the intercept bucket _QC_BIAS_F
     snaps = [list(w)]
     for _step in range(_QC_STEPS):
         wdf = spark.createDataFrame(list(enumerate(w)), "f long, w long")
@@ -557,49 +577,65 @@ def quality_classifier_fit(docs: DataFrame, is_target):
     return snaps, qdf, n_docs
 
 
-def _qc_oracle_sql() -> str:
-    """Chained-CTE DuckDB replay of the full quantized fit — the
+# σ(z)·1e6 as BIGINT — shared by every oracle that scores a logit.
+_QC_SIG_SQL = (
+    "CAST(ROUND(1000000.0 / (1.0 + EXP(-(CAST({z} AS DOUBLE)"
+    " / 1000000000000.0))), 0) AS BIGINT)"
+)
+
+
+def _qc_cte_chain(fit_pred: str = "TRUE", eval_pred: str = "TRUE") -> str:
+    """Chained-CTE DuckDB replay of the quantized fit — the
     bpe_merge_learning oracle pattern, one (z, r, g, w) CTE block per
-    gradient step, every intermediate an exact integer."""
-    sig = (
-        "CAST(ROUND(1000000.0 / (1.0 + EXP(-(CAST({z} AS DOUBLE)"
-        " / 1000000000000.0))), 0) AS BIGINT)"
-    )
+    gradient step, every intermediate an exact integer. ``fit_pred``
+    (SQL over doc_id) selects the TRAINING docs the gradient
+    aggregates see; ``eval_pred`` selects the docs the final ``zf``
+    scoring CTE emits. Defaults reproduce the fit-and-self-score
+    query exactly."""
     ctes = [
         f"""toks AS (
   SELECT doc_id,
          CAST(CASE WHEN source IN {_DSIR_TGT_SQL} THEN 1000000 ELSE 0 END
               AS BIGINT) AS y,
+         ({fit_pred}) AS is_tr,
          list_filter(string_split(text, ' '), x -> x <> '') AS w
   FROM documents
 ), feat AS (
-  SELECT doc_id, y,
+  SELECT doc_id, y, is_tr,
          {_H60.format(expr="w[i] || ' ' || w[i + 1]")} % {_DSIR_B} AS f
   FROM (SELECT * FROM toks WHERE len(w) >= 2),
        unnest(generate_series(1, len(w) - 1)) t(i)
 ), df AS (
-  SELECT doc_id, y, f, COUNT(*) AS c FROM feat GROUP BY 1, 2, 3
+  SELECT doc_id, y, is_tr, f, COUNT(*) AS c FROM feat GROUP BY 1, 2, 3, 4
 ), nd AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM df GROUP BY 1
-), q AS (
-  SELECT df.doc_id, df.y, df.f,
+), qb AS (
+  SELECT df.doc_id, df.y, df.is_tr, df.f,
          CAST(ROUND(df.c * 1000000.0 / nd.n, 0) AS BIGINT) AS q, nd.n
   FROM df JOIN nd ON df.doc_id = nd.doc_id
+), q AS (
+  SELECT * FROM qb
+  UNION ALL
+  SELECT doc_id, MAX(y), BOOL_OR(is_tr), CAST({_QC_BIAS_F} AS BIGINT),
+         CAST(1000000 AS BIGINT), n
+  FROM qb GROUP BY doc_id, n
 ), nn AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM nd
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM q WHERE is_tr
 ), w0 AS (
-  SELECT UNNEST(range({_DSIR_B})) AS f, CAST(0 AS BIGINT) AS w
+  SELECT UNNEST(range({_DSIR_B + 1})) AS f, CAST(0 AS BIGINT) AS w
 )"""
     ]
+    sig = _QC_SIG_SQL
     for t in range(_QC_STEPS):
         ctes.append(f"""z{t} AS (
   SELECT q.doc_id, MAX(q.y) AS y, CAST(SUM(q.q * w{t}.w) AS BIGINT) AS z
-  FROM q JOIN w{t} ON q.f = w{t}.f GROUP BY q.doc_id
+  FROM q JOIN w{t} ON q.f = w{t}.f WHERE q.is_tr GROUP BY q.doc_id
 ), r{t} AS (
   SELECT doc_id, y - {sig.format(z='z')} AS r FROM z{t}
 ), g{t} AS (
   SELECT q.f, CAST(SUM(r{t}.r * q.q) AS BIGINT) AS g
-  FROM q JOIN r{t} ON q.doc_id = r{t}.doc_id GROUP BY q.f
+  FROM q JOIN r{t} ON q.doc_id = r{t}.doc_id WHERE q.is_tr GROUP BY q.f
 ), w{t + 1} AS (
   SELECT w{t}.f,
          w{t}.w + COALESCE(CAST(ROUND({_QC_ETA} * CAST(g{t}.g AS DOUBLE)
@@ -609,10 +645,15 @@ def _qc_oracle_sql() -> str:
     ctes.append(f"""zf AS (
   SELECT q.doc_id, MAX(q.y) AS y, MAX(q.n) AS n,
          CAST(SUM(q.q * wf.w) AS BIGINT) AS z
-  FROM q JOIN w{_QC_STEPS} wf ON q.f = wf.f GROUP BY q.doc_id
+  FROM q JOIN w{_QC_STEPS} wf ON q.f = wf.f
+  WHERE ({eval_pred}) GROUP BY q.doc_id
 )""")
-    body = ",\n".join(ctes)
-    return f"""WITH {body}
+    return ",\n".join(ctes)
+
+
+def _qc_oracle_sql() -> str:
+    sig = _QC_SIG_SQL
+    return f"""WITH {_qc_cte_chain()}
 SELECT doc_id, y = 1000000 AS is_target, n AS n_feats, z AS z_e12,
        CAST({sig.format(z='z')} AS DOUBLE) / 1000000.0 AS prob,
        z > 0 AS predicted_target
@@ -637,19 +678,176 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-probability, and the hard gate (logit > 0 — exact on the
     integer, no float compare).
 
-    Exactness: the ENTIRE 4-step fit is integer-quantized
+    Exactness: the ENTIRE 6-step fit is integer-quantized
     (quality_classifier_fit) and the oracle replays it as a chained
     CTE — per-step weights are equal BIGINTs on both engines, not
     approximately-equal floats. The one transcendental per step
     (σ, micro-rounded) carries the same accepted last-ulp hazard as
     the perplexity family's micro-nat grams.
 
-    Scale: fit cost is _QC_STEPS × (one per-doc + one 4096-group
+    Scale: fit cost is _QC_STEPS × (one per-doc + one 4097-group
     aggregate) over a once-materialized 8-byte-key feature frame —
     the corpus is scanned once; the model, its gradients, and the
-    driver collect are all 4096 rows regardless of corpus size."""
+    driver collect are all B+1 = 4097 rows regardless of corpus size."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return quality_classifier_frame(docs)
+
+
+# Held-out evaluation: hash-stable 80/20 split (the stratified_split
+# discipline, own salt); the gate is a SELECTION RATE (keep the top
+# p% by score — the CCNet deployment shape: a quality gate keeps a
+# budgeted fraction, it does not trust absolute calibration), so
+# every cutoff is an exact integer rank under the (score DESC,
+# doc_id) total order.
+_QC_EVAL_SALT = "qcev:"
+_QC_KEEP_PCTS = (10, 25, 50)
+_QC_TR_SQL = (
+    _H60.format(expr=f"concat('{_QC_EVAL_SALT}', doc_id)") + " % 10 < 8"
+)
+
+
+def _qc_ratio_sql(num: str, den: str) -> str:
+    """Half-up integer-division micro-ratio — the trigram mean
+    discipline — NULL where the denominator is zero."""
+    return (
+        f"CASE WHEN ({den}) > 0 THEN ((2 * ({num}) * 1000000 + ({den}))"
+        f" // (2 * ({den}))) / 1000000.0 END"
+    )
+
+
+def _qc_eval_oracle_sql() -> str:
+    grid = ", ".join(f"({p})" for p in _QC_KEEP_PCTS)
+    return f"""WITH {_qc_cte_chain(fit_pred=_QC_TR_SQL, eval_pred="NOT q.is_tr")},
+sv AS (
+  SELECT doc_id, y, {_QC_SIG_SQL.format(z='z')} AS s FROM zf
+), ranked AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk FROM sv
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_val,
+         CAST(SUM(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM sv
+), grid(keep_pct) AS (VALUES {grid}),
+conf AS (
+  SELECT CAST(g.keep_pct AS BIGINT) AS keep_pct,
+         tot.n_val * g.keep_pct // 100 AS kept_n,
+         tot.n_pos,
+         CAST(SUM(CASE WHEN r.rnk <= tot.n_val * g.keep_pct // 100
+                        AND r.y = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM grid g CROSS JOIN tot CROSS JOIN ranked r
+  GROUP BY 1, 2, 3
+)
+SELECT keep_pct, kept_n, tp,
+  kept_n - tp AS fp,
+  n_pos - tp AS fn,
+  {_qc_ratio_sql('tp', 'kept_n')} AS precision_,
+  {_qc_ratio_sql('tp', 'n_pos')} AS recall_,
+  {_qc_ratio_sql('2 * tp', 'tp + kept_n + n_pos - tp')} AS f1
+FROM conf
+"""
+
+
+@register(
+    "quality_classifier_heldout_eval",
+    survey_rows=("X7", "F4", "A1", "F8", "O2"),
+    oracle=_qc_eval_oracle_sql(),
+)
+def quality_classifier_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation the CCNet recipe runs before trusting a quality
+    gate: fit the classifier on a hash-stable 80% TRAIN split
+    (md5('qcev:'doc_id) mod 10 < 8 — content-independent and
+    rerun-stable, the stratified_split_by_source discipline), then
+    gate the HELD-OUT 20% at budgeted SELECTION RATES (keep the top
+    10/25/50% by score — rate gates match deployment practice and,
+    unlike absolute probability thresholds, measure the RANKING,
+    which is what selection uses; a linear model's calibration on
+    weak signals keeps all probabilities near the class prior, as
+    this corpus demonstrates). Per rate: kept count, confusion
+    counts, and half-up-integer-division precision/recall/F1 (NULL
+    where undefined). The cutoff is an exact integer rank under the
+    (score DESC, doc_id) total order — deterministic on both
+    engines.
+
+    Honest reading of the measured values: on this synthetic corpus
+    held-out precision@10% is 0.27 vs the 0.23 class prior — within
+    noise — while the SELF-score ranking reaches 0.73 (the batch
+    query's frame): the sources share one text generator, so the
+    only learnable "signal" is doc-specific hashed bigrams, i.e.
+    memorization, and the held-out eval correctly reports ~zero
+    generalizable lift. That is the eval DOING ITS JOB (CCNet would
+    reject this gate and re-label); the learnability of a real
+    signal is pinned separately on the disjoint-vocabulary corpus in
+    tests/test_operators.py, and the eval's own tests pin structural
+    invariants (recall monotone in keep_pct, confusion identities,
+    determinism), not corpus-dependent lift.
+
+    Oracle: the same chained-CTE fit replay as
+    quality_classifier_scores with the gradient aggregates
+    restricted to the train split and scoring to its complement;
+    the rank gate replays as one ROW_NUMBER window.
+
+    Scale: identical fit cost to quality_classifier_scores. The
+    Spark side takes each rate's top-k via orderBy().limit(k) —
+    TakeOrderedAndProject per-partition heaps, never a global sort
+    or a partition-less window; the held-out frame is an EVAL SAMPLE
+    by contract (a PR sweep is a verification artifact — at 100 TB
+    you evaluate on a bounded sample, the ann_recall_summary
+    posture)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_tr = (
+        md5_hash60(F.concat(F.lit(_QC_EVAL_SALT), F.col("doc_id"))) % 10 < 8
+    )
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    snaps, _qdf, _n = quality_classifier_fit(docs.filter(is_tr), is_target)
+    wdf = spark.createDataFrame(list(enumerate(snaps[-1])), "f long, w long")
+
+    val = docs.filter(~is_tr).select(
+        "doc_id",
+        F.when(is_target, F.lit(1000000)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+        "text",
+    )
+    qv = qc_quantized_features(val, carry=("y",))
+    sv = (
+        qv.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id")
+        .agg(F.max("y").alias("y"), F.sum(F.col("q") * F.col("w")).alias("z"))
+        .select("doc_id", "y", _qc_sigmoid_micro(F.col("z")).alias("s"))
+    )
+    from flink_realtime_edu_spark.session import materialize as _materialize
+
+    sv = _materialize(sv)
+    n_val = sv.count()
+    n_pos = sv.filter(F.col("y") == 1000000).count()
+
+    def micro_ratio(num: int, den: int):
+        if den <= 0:
+            return None
+        return ((2 * num * 1000000 + den) // (2 * den)) / 1000000.0
+
+    rows = []
+    for pct in _QC_KEEP_PCTS:
+        k = n_val * pct // 100
+        kept = sv.orderBy(F.col("s").desc(), "doc_id").limit(k)
+        tp = kept.filter(F.col("y") == 1000000).count()
+        rows.append(
+            (
+                pct,
+                k,
+                tp,
+                k - tp,
+                n_pos - tp,
+                micro_ratio(tp, k),
+                micro_ratio(tp, n_pos),
+                micro_ratio(2 * tp, tp + k + n_pos - tp),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "keep_pct long, kept_n long, tp long, fp long, fn long, "
+        "precision_ double, recall_ double, f1 double",
+    )
 
 
 def quality_classifier_frame(docs: DataFrame) -> DataFrame:

@@ -88,7 +88,7 @@ def streaming_quality_scorer(
     crawl as it arrives): each micro-batch of (id, text) documents
     is scored by the EXACT batch pipeline
     (queries/training.py::qc_quantized_features + qc_score — integer
-    micro-unit quantization, broadcast 4096-row model, one per-doc
+    micro-unit quantization, broadcast 4097-row model, one per-doc
     hash aggregate) and written under a deterministic per-batch path
     (replay-safe overwrite). Stateless per batch, so stream ≡ batch
     holds per-document by construction; docs with < 2 tokens carry

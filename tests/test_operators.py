@@ -1393,7 +1393,7 @@ def test_quality_classifier_loss_nonincreasing(spark, sf_dir):
     snaps, qdf, n_docs = quality_classifier_fit(
         docs, F.col("source").isin(*_DSIR_TARGET)
     )
-    assert len(snaps) == 5 and n_docs > 0
+    assert len(snaps) == 7 and n_docs > 0
 
     def loss(wsnap):
         wdf = spark.createDataFrame(list(enumerate(wsnap)), "f long, w long")
@@ -1445,6 +1445,34 @@ def test_quality_classifier_separates_disjoint_vocabularies(spark):
             assert r.z > 0, r
         else:
             assert r.z < 0, r
+
+
+def test_quality_classifier_heldout_eval_invariants(spark, sf_dir):
+    """Structural invariants of the rate-gate evaluation (corpus
+    lift is data-dependent and NOT asserted — see the query's honest
+    docstring): kept_n is the exact integer rank cutoff, confusion
+    identities hold, recall and kept_n are monotone in keep_pct, and
+    two evaluations agree exactly (hash split + total-order gate ⇒
+    deterministic)."""
+    from flink_realtime_edu_spark.queries import load_registry
+
+    build = load_registry()["quality_classifier_heldout_eval"].build
+    rows = {r.keep_pct: r for r in build(spark, sf_dir).collect()}
+    assert sorted(rows) == [10, 25, 50]
+    n_pos = {r.tp + r.fn for r in rows.values()}
+    assert len(n_pos) == 1  # same positive count at every rate
+    n_pos = n_pos.pop()
+    prev_kept, prev_recall = -1, -1.0
+    for pct in (10, 25, 50):
+        r = rows[pct]
+        assert r.fp == r.kept_n - r.tp and 0 <= r.tp <= min(r.kept_n, n_pos)
+        assert r.kept_n > prev_kept
+        if r.recall_ is not None:
+            assert r.recall_ >= prev_recall
+            prev_recall = r.recall_
+        prev_kept = r.kept_n
+    again = {r.keep_pct: tuple(r) for r in build(spark, sf_dir).collect()}
+    assert again == {p: tuple(r) for p, r in rows.items()}
 
 
 def test_dsir_gumbel_topk_deterministic_and_maximal(spark, sf_dir):

@@ -1894,7 +1894,7 @@ def test_quality_classifier_fit_matches_duckdb_replay(spark, rows):
     """Cross-engine fuzz of the integer-quantized logistic fit: on a
     random tiny corpus (tiny vocabulary → heavy feature collisions;
     repeated words → tie-prone c·1e6/n quantizations), the Spark
-    driver-looped 4-step fit and the generated chained-CTE DuckDB
+    driver-looped 6-step fit and the generated chained-CTE DuckDB
     replay must agree EXACTLY on every output row — the strongest
     form of the tie-hazard analysis in quality_classifier_fit's
     docstring (exactly-representable rational ties round identically
