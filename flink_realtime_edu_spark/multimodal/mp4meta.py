@@ -191,9 +191,18 @@ def _track_info(data: bytes, start: int, end: int):
                         if f3 == b"stbl":
                             for f4, s4, e4 in _walk(data, s3, e3):
                                 if f4 == b"stsd":
+                                    if e4 - s4 < 8:
+                                        raise ValueError(
+                                            "stsd too short for its header"
+                                        )
                                     n = struct.unpack(
                                         ">I", data[s4 + 4:s4 + 8]
                                     )[0]
                                     if n >= 1:
+                                        if e4 - s4 < 16:
+                                            raise ValueError(
+                                                "stsd declares an entry "
+                                                "but is too short for one"
+                                            )
                                         codec = data[s4 + 12:s4 + 16]
     return handler, codec

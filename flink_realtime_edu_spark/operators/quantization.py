@@ -172,6 +172,12 @@ def pq_adc_topk(
             "set must be driver-sized — raise max_queries deliberately or "
             "use an LSH band self-join for corpus-scale query sets"
         )
+    if not q_rows:
+        raise ValueError(
+            "query frame is empty: the PQ probe needs at least one "
+            "query vector (an empty probe set is a caller bug, not a "
+            "zero-row result)"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
@@ -322,6 +328,12 @@ def ivfpq_topk(
         raise ValueError(
             f"query frame exceeds max_queries={max_queries}; the IVF×PQ "
             "probe set must be driver-sized — see pq_adc_topk's contract"
+        )
+    if not q_rows:
+        raise ValueError(
+            "query frame is empty: the IVF×PQ probe needs at least one "
+            "query vector (an empty probe set is a caller bug, not a "
+            "zero-row result)"
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)

@@ -843,3 +843,36 @@ def test_mp4_metadata_fuzz_roundtrip():
         assert m["mdat_bytes"] == mdat_len
 
     run()
+
+
+def test_mp4_truncated_stsd_is_valueerror():
+    """A trak whose stsd declares an entry but is too short for one
+    must fail loudly (ValueError), never return an empty/garbage
+    codec fourcc."""
+    import struct
+
+    from flink_realtime_edu_spark.multimodal.mp4meta import mp4_metadata
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag, payload):
+        return box(tag, bytes(4) + payload)
+
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 600, 100) + bytes(80))
+    stsd = full(b"stsd", struct.pack(">I", 1))  # declares 1 entry, has none
+    trak = box(
+        b"trak",
+        box(
+            b"mdia",
+            full(b"hdlr", struct.pack(">I", 0) + b"vide" + bytes(12))
+            + box(b"minf", box(b"stbl", stsd)),
+        ),
+    )
+    payload = box(b"ftyp", b"isom" + bytes(4) + b"isom") + box(
+        b"moov", mvhd + trak
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stsd"):
+        mp4_metadata(payload)
