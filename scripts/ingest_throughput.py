@@ -169,6 +169,37 @@ def main() -> None:
             "rows_per_s": round(n_docs / wall, 1),
             "batch_walls_s": walls,
         }
+
+        # 4) streaming IVF vector-index maintenance (frozen quantizer)
+        from flink_realtime_edu_spark.operators.similarity import (
+            _ivf_fit_assign,
+        )
+        from flink_realtime_edu_spark.streaming.annindex import (
+            streaming_ivf_index,
+            write_ivf_quantizer,
+        )
+
+        raw_emb = load(spark, args.sf, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        _, centers = _ivf_fit_assign(raw_emb, "vec_id", "embedding", 16, 42)
+        quant_dir = str(tmp / "ivf_quant")
+        write_ivf_quantizer(spark, centers, quant_dir)
+        raw_src = tmp / "raw_emb_src"
+        raw_emb.repartition(N_FILES).write.parquet(str(raw_src))
+        wall, walls = run_stream(
+            spark,
+            str(raw_src),
+            "vec_id long, embedding array<float>",
+            streaming_ivf_index(quant_dir, str(tmp / "ivf_index")),
+            str(tmp / "ivf_ckpt"),
+        )
+        out["ivf_index"] = {
+            "rows": n_vecs,
+            "wall_s": round(wall, 2),
+            "rows_per_s": round(n_vecs / wall, 1),
+            "batch_walls_s": walls,
+        }
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

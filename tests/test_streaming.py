@@ -2929,6 +2929,83 @@ def test_streaming_quality_scores_equal_batch_and_replay_safe(
     assert _rows(read_scored_output(spark, out_dir)) == before
 
 
+def test_streaming_ivf_index_equals_batch_append_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """X6 ingest twin — streaming IVF index maintenance: vectors
+    streamed in micro-batches against a FROZEN quantizer produce
+    EXACTLY the (nid, cluster) assignment the batch ivf_append gives
+    (assignment depends only on the centroids ⇒ stream ≡ batch),
+    the read-back index is searchable (a planted near-copy of a
+    query arriving mid-stream surfaces as its IVF top-1), and
+    replaying the last batch is byte-identical."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        _ivf_fit_assign,
+        _ivf_probe_search,
+        ivf_append,
+    )
+    from flink_realtime_edu_spark.streaming.annindex import (
+        read_ivf_index,
+        read_ivf_quantizer,
+        streaming_ivf_index,
+        write_ivf_quantizer,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # quantizer fit batch-side on the corpus, then frozen
+    _, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
+    quant_dir = str(tmp_path / "ivf_quant")
+    write_ivf_quantizer(spark, centers, quant_dir)
+    assert (read_ivf_quantizer(spark, quant_dir) == centers).all()
+
+    # plant a near-copy of vector 0 in the stream
+    base = emb.filter(F.col("vec_id") == 0).collect()[0]
+    near = [x * 1.001 for x in base.embedding]
+    planted = spark.createDataFrame(
+        [(100000, near)], "vec_id long, embedding array<float>"
+    )
+    stream_vecs = emb.unionByName(planted)
+
+    src = tmp_path / "ivf_src"
+    stream_vecs.repartition(4).write.parquet(str(src))
+    index_dir = str(tmp_path / "ivf_index")
+    sink = streaming_ivf_index(quant_dir, index_dir)
+    q = (
+        spark.readStream.schema(stream_vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ivf_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    idx = read_ivf_index(spark, index_dir)
+    got = {(r.nid, r.cluster) for r in idx.collect()}
+    want = {
+        (r.nid, r.cluster)
+        for r in ivf_append(stream_vecs, centers).collect()
+    }
+    assert got == want and len(got) == stream_vecs.count()
+
+    # searchable: the planted near-copy is query 0's IVF top-1
+    top = _ivf_probe_search(
+        idx, centers, emb.filter(F.col("vec_id") == 0),
+        k=1, n_probe=4, id_col="vec_id", vec_col="embedding",
+    ).collect()
+    assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
+
+    # last-batch replay: byte-identical index
+    before = _rows(read_ivf_index(spark, index_dir))
+    last_ids = [r.nid for r in idx.limit(50).collect()]
+    sink(
+        stream_vecs.filter(F.col("vec_id").isin(last_ids)),
+        batch_id=3,
+    )
+    assert _rows(read_ivf_index(spark, index_dir)) == before
+
+
 def test_streaming_semantic_dedup_invariant_and_replay(spark, sf_dir, tmp_path):
     """X5/X6 streaming twin — incremental SemDeDup against the
     survivor index: every vector classified exactly once; the KEPT-SET
