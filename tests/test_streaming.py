@@ -3006,6 +3006,62 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
     assert _rows(read_ivf_index(spark, index_dir)) == before
 
 
+def test_streaming_ivf_index_survives_restart_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Kill the IVF index stream mid-run and restart from the same
+    checkpoint: the interrupted batch replays against the index it
+    already (partially) wrote — frozen-quantizer assignment +
+    min_by-by-first-batch fold make that a no-op — and the end state
+    equals an uninterrupted batch append exactly."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        _ivf_fit_assign,
+        ivf_append,
+    )
+    from flink_realtime_edu_spark.streaming.annindex import (
+        read_ivf_index,
+        streaming_ivf_index,
+        write_ivf_quantizer,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
+    quant_dir = str(tmp_path / "ivf_rs_quant")
+    write_ivf_quantizer(spark, centers, quant_dir)
+
+    src = tmp_path / "ivf_rs_src"
+    emb.repartition(6).write.parquet(str(src))
+    index_dir = str(tmp_path / "ivf_rs_index")
+    ckpt = str(tmp_path / "ivf_rs_ckpt")
+    sink = streaming_ivf_index(quant_dir, index_dir)
+
+    def start():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    await_progress(q1, min_batch_id=1)
+    q1.stop()
+    q1.awaitTermination()
+
+    q2 = start()
+    run_to_completion(q2)
+
+    got = {
+        (r.nid, r.cluster)
+        for r in read_ivf_index(spark, index_dir).collect()
+    }
+    want = {(r.nid, r.cluster) for r in ivf_append(emb, centers).collect()}
+    assert got == want and len(got) == emb.count()
+
+
 def test_streaming_semantic_dedup_invariant_and_replay(spark, sf_dir, tmp_path):
     """X5/X6 streaming twin — incremental SemDeDup against the
     survivor index: every vector classified exactly once; the KEPT-SET
