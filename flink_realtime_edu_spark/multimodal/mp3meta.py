@@ -86,7 +86,7 @@ def build_mp3(
         raise ValueError(f"sample-rate index {sr_idx} out of range 0..2")
     if not frame_bitrate_idx:
         raise ValueError("cannot build a zero-frame mp3")
-    pads = pad_bits or [0] * len(frame_bitrate_idx)
+    pads = [0] * len(frame_bitrate_idx) if pad_bits is None else pad_bits
     if len(pads) != len(frame_bitrate_idx):
         raise ValueError("pad_bits length must match frame count")
     out = bytearray()

@@ -144,7 +144,14 @@ def mp4_metadata(payload: bytes) -> dict:
             saw_moov = True
             for f2, s2, e2 in _walk(data, ps, pe):
                 if f2 == b"mvhd":
+                    if e2 - s2 < 4:
+                        raise ValueError("mvhd too short for its version")
                     ver = data[s2]
+                    need = 32 if ver == 1 else 20
+                    if e2 - s2 < need:
+                        raise ValueError(
+                            f"mvhd v{ver} payload shorter than {need} bytes"
+                        )
                     if ver == 1:
                         timescale, duration = struct.unpack(
                             ">IQ", data[s2 + 20:s2 + 32]
@@ -185,6 +192,10 @@ def _track_info(data: bytes, start: int, end: int):
         if f == b"mdia":
             for f2, s2, e2 in _walk(data, s, e):
                 if f2 == b"hdlr":
+                    if e2 - s2 < 12:
+                        raise ValueError(
+                            "hdlr too short for its handler fourcc"
+                        )
                     handler = data[s2 + 8:s2 + 12]
                 elif f2 == b"minf":
                     for f3, s3, e3 in _walk(data, s2, e2):

@@ -98,84 +98,81 @@ def register(
 # representative (tests/test_registry_order.py pins this), and it
 # ROTATES each round (VERDICT r3 item 3).
 #
-# r11 rotation (VERDICT r10 item 1): the 24 queries last officially
-# sampled r7 — the set the r10 rotation spilled with an explicit r11
+# r12 rotation (VERDICT r11 item 1): the 24 queries last officially
+# sampled r8 — the set the r11 rotation spilled with an explicit r12
 # pin obligation — go FIRST; they hit the K=4 staleness budget
 # (tests/test_registry_order.py::test_staleness_budget_within_window)
-# the moment CORRECTNESS_r11.json lands. New r11 queries follow
-# (never-sampled pin forces them into the window at add time). The
-# remaining slots start the 44-query r8 cohort early (alphabetical
-# first 20 — late_corrected_windows was displaced mid-round by the
-# fifth new query, quality_classifier_heldout_eval), which binds at
-# r12: the 24 spilled r8 queries
-# (late_corrected_windows,
-# late_ship_priority_counts, local_supplier_volume,
-# market_share_by_year, min_cost_supplier_per_part,
-# nation_revenue_share, near_dup_incremental, near_dup_simhash,
-# part_supplier_diversity, phash_dup_stats, png_decode_stats,
-# price_moments_by_flag, promo_revenue_share,
-# right_join_supplier_nations, small_qty_parts_revenue,
-# span_clip_checksums, state_transition_matrix,
-# stratified_split_by_source, text_normalization_checksum,
-# token_budget_sample, unshipped_order_revenue,
-# volume_shipping_pairs, wav_decode_stats,
-# wealthy_inactive_customers) MUST rotate first in r12, leaving
-# ~25 slots to start the 49-query r9 cohort (binds r13).
+# the moment CORRECTNESS_r12.json lands. cms_token_frequencies joins
+# them: its r11 TakeOrderedAndProject rewrite landed after its last
+# official sample (r10), so the rewrite gets an official verdict
+# (VERDICT r11 "What's wrong" #3). ivfpq_ann_topk re-enters because
+# its scoring path is rewritten this round (PQ codes at rest, VERDICT
+# r11 item 2). New r12 queries follow (never-sampled pin forces them
+# in at add time, displacing the alphabetical r9 tail). The remaining
+# slots start the 49-query r9 cohort (binds r13): the three ANN
+# queries most likely touched by this round's quantization work
+# (ivf_ann_topk, ivf_ann_incremental_topk, pq_ann_topk) plus the
+# alphabetical head. The spilled r9 queries — everything from
+# doc_fingerprint_stats onward alphabetically, minus the three ANN
+# picks — MUST rotate first in r13; the definitive spill list is
+# recomputed by scripts/coverage_report.py from the CORRECTNESS
+# ledger, not this comment.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
-    # --- never officially sampled (NEW r11; uncommented as each lands) ---
-    "quality_classifier_scores",  # X7 X1 A1 F3 F8 -- NEW r11
-    "ivfpq_ann_topk",             # X6 -- NEW r11
-    "audio_metadata_stats",       # X8 X2 F3 -- NEW r11
-    "video_container_stats",      # X8 X2 F3 -- NEW r11
-    "quality_classifier_heldout_eval",  # X7 F4 A1 F8 -- NEW r11
-    # --- last officially sampled r7 (the r10-spilled 24, all pinned) ---
-    "jpeg_color_decode_stats",
-    "lang_guess_confusion",
-    "latest_event_per_user",
-    "map_funcs_props",
-    "mixture_sample_by_source",
-    "multimodal_feature_stats",
-    "nation_profit_trend",
-    "nations_without_suppliers",
-    "returned_item_top_customers",
-    "revenue_trend_daily",
-    "skewed_event_type_stats",
-    "sliding_window_traffic",
-    "text_stats_by_source",
-    "theta_join_acctbal",
-    "token_topk",
-    "top_revenue_supplier",
-    "topk_orders",
-    "trailing_24h_user_value",
-    "tumbling_hourly_stats",
-    "unpivot_daily_activity",
-    "video_decode_stats",
-    "vocab_coverage_topk",
-    "waiting_supplier_counts",
-    "weighted_avg_udaf",
-    # --- last officially sampled r8 (staleness refresh, 21/44) ---
-    "audio_fingerprint_dups",
-    "big_volume_customers",
-    "bpe_encode_stats",
-    "bpe_merge_learning",
-    "bpe_sequence_packing",
-    "bpe_token_budget_sample",
-    "cep_funnel_first_match",
-    "cep_funnel_timeouts",
-    "cep_no_error_funnel",
-    "cep_not_next_error_pair",
-    "cep_quiet_after_purchase",
-    "cep_strict_error_runs",
-    "customer_order_distribution",
-    "disjunctive_predicate_revenue",
-    "dup_cluster_canonicals",
-    "dup_span_stats",
-    "excess_share_suppliers",
-    "forecast_revenue_change",
-    "grouping_sets_traffic",
-    "incremental_dedup_delta",
+    # --- never officially sampled (NEW r12; uncommented as each lands) ---
+    # "ivfpq_codes_ann_topk",     # X6 -- NEW r12 (codes-at-rest ADC path)
+    # "ivfpq_residual_recall",    # X6 -- NEW r12 (residual-PQ recall A/B)
+    # "quality_classifier_planted_eval",  # X7 F4 A1 F8 -- NEW r12
+    # --- changed since their last official sample (re-pin) ---
+    "cms_token_frequencies",      # A4 O2 -- r11 prefilter rewrite, unsampled
+    "ivfpq_ann_topk",             # X6 -- r12 codes-at-rest rewrite
+    # --- last officially sampled r8 (the r11-spilled 24, all pinned) ---
+    "late_corrected_windows",
+    "late_ship_priority_counts",
+    "local_supplier_volume",
+    "market_share_by_year",
+    "min_cost_supplier_per_part",
+    "nation_revenue_share",
+    "near_dup_incremental",
+    "near_dup_simhash",
+    "part_supplier_diversity",
+    "phash_dup_stats",
+    "png_decode_stats",
+    "price_moments_by_flag",
+    "promo_revenue_share",
+    "right_join_supplier_nations",
+    "small_qty_parts_revenue",
+    "span_clip_checksums",
+    "state_transition_matrix",
+    "stratified_split_by_source",
+    "text_normalization_checksum",
+    "token_budget_sample",
+    "unshipped_order_revenue",
+    "volume_shipping_pairs",
+    "wav_decode_stats",
+    "wealthy_inactive_customers",
+    # --- last officially sampled r9 (staleness refresh, 20/49) ---
+    "ivf_ann_topk",               # quantization-adjacent: sample post-r12 work
+    "ivf_ann_incremental_topk",   # quantization-adjacent
+    "pq_ann_topk",                # quantization-adjacent
+    "abandoned_clicks_daily",
+    "ann_lsh_topk",
+    "anti_join_no_big_order",
+    "approx_unique_visitors",
+    "array_funcs_documents",
+    "asof_join_purchase_last_click",
+    "benchmark_contamination",
+    "cdc_scd2_intervals",
+    "cep_all_matches_ranges",
+    "cep_consecutive_clicks",
+    "cep_iterative_condition",
+    "cep_skip_past_last",
+    "cep_skip_to_first",
+    "cep_skip_to_last",
+    "cep_skip_to_next",
+    "corpus_curation_pipeline",
+    "cosine_topk_bruteforce",
 )
 
 

@@ -684,8 +684,9 @@ def main() -> None:
         # interpolated trigram LM: three n-gram model aggregates over
         # corpus token volume — the heaviest of the LM scorers
         "doc_trigram_perplexity",
-        # r11: the trained quality classifier (4 full-batch gradient
-        # steps × two 8-byte-key aggregates over bigram volume — the
+        # r11: the trained quality classifier (_QC_STEPS=6 full-batch
+        # gradient steps × two 8-byte-key aggregates over bigram
+        # volume — the
         # most data-proportional r11 addition; the model/gradient stay
         # 4096 rows at every scale), IVF×PQ ANN (the probed-cluster
         # ADC scan is the volume cost; the recall summary's exact

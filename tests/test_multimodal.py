@@ -699,6 +699,10 @@ def test_mp3_metadata_error_contract():
     free = good[:2] + bytes((good[2] & 0x0F,)) + good[3:]
     with pytest.raises(NotImplementedError, match="free-format"):
         mp3_metadata(free)
+    # ADVICE r11: an explicitly-passed EMPTY pad_bits list must trip
+    # the length-mismatch ValueError, not silently become all-zeros
+    with pytest.raises(ValueError, match="pad_bits length"):
+        build_mp3([9, 9, 9], sr_idx=0, pad_bits=[])
 
 
 def test_mp4_metadata_walk_and_nesting():
@@ -749,6 +753,24 @@ def test_mp4_metadata_error_contract():
         mp4_metadata(p + struct.pack(">I", 8) + b"moof")
     with pytest.raises(ValueError, match="truncated box header"):
         mp4_metadata(p + b"\x00\x00\x00")
+    # ADVICE r11: correctly-sized but short FULL-box payloads must hit
+    # the documented ValueError contract, not struct.error/IndexError
+    from flink_realtime_edu_spark.multimodal.mp4meta import _box, _full
+
+    short_mvhd = _box(b"moov", _full(b"mvhd", 0, b""))
+    with pytest.raises(ValueError, match="mvhd v0 payload shorter"):
+        mp4_metadata(short_mvhd)
+    short_mvhd1 = _box(b"moov", _full(b"mvhd", 1, bytes(16)))
+    with pytest.raises(ValueError, match="mvhd v1 payload shorter"):
+        mp4_metadata(short_mvhd1)
+    good_mvhd = _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, 600, 0) + bytes(80))
+    short_hdlr = _box(
+        b"moov",
+        good_mvhd
+        + _box(b"trak", _box(b"mdia", _full(b"hdlr", 0, bytes(4)))),
+    )
+    with pytest.raises(ValueError, match="hdlr too short"):
+        mp4_metadata(short_hdlr)
 
 
 def test_mp3_metadata_fuzz_roundtrip():

@@ -1379,9 +1379,10 @@ def test_quality_classifier_loss_nonincreasing(spark, sf_dir):
     """VERDICT r10 item 2's done-bar: over the quantized fit's weight
     snapshots w0..wT, the full-batch logistic loss is non-increasing
     at every step and strictly below the ln2 start by the end —
-    full-batch gradient descent with η=0.5 on normalized features is
-    inside the monotone-descent region (Hessian norm ≤ 1/4), and the
-    micro-unit quantization must not break that."""
+    full-batch gradient descent with η=_QC_ETA=1.0 on normalized
+    features is inside the monotone-descent region (logistic Hessian
+    norm ≤ 1/2 there, so any η<4 is monotone — training.py:411), and
+    the micro-unit quantization must not break that."""
     import math
 
     from flink_realtime_edu_spark.queries.training import (
