@@ -114,6 +114,116 @@ def pq_encode_batch(cmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return codes
 
 
+def normalize_rows(mat: np.ndarray) -> np.ndarray:
+    """Unit-normalize matrix rows (the shared cosine-space projection;
+    zero rows map to zero, not NaN)."""
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+
+
+def pq_fit_sample_residual(
+    df: DataFrame,
+    centers: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Residual-PQ training (Jégou et al. 2011 §V / FAISS IndexIVFPQ;
+    VERDICT r11 item 3): codebooks quantize the RESIDUAL of each
+    unit-normalized vector against its IVF cluster's unit-normalized
+    centroid, instead of the raw unit vector. The theory: residuals
+    concentrate near zero within a cluster, so the same k codes cover
+    a tighter cloud → sharper ADC. MEASURED on this repo's synthetic
+    near-uniform corpus it does NOT win — ADC-only recall@5 is
+    0.54/0.56/0.48 (sf0.001/0.01/0.1) vs 0.54/0.64/0.56 raw, parity
+    after the exact rerank (BASELINE.md r12) — because k=256 codes
+    over 4-dim subspaces already quantize unit vectors finely; raw
+    stays the default and this path ships flag-gated for corpora
+    with real cluster structure. The exact inner-product identity
+    the scorer uses: with x̂ = ĉ_i + r, cos(q, x) = <q̂, ĉ_i> + <q̂, r>, so the
+    per-(query, cluster) bias <q̂, ĉ_i> is added at score time and
+    the LUT gather covers only the residual term — LUTs stay
+    query-global (no C× LUT blow-up; the bias is a (nq × C) matrix).
+
+    Same driver-sized deterministic learning subset as
+    :func:`pq_fit_sample`; sample→cluster assignment uses the IVF
+    metric (L2 argmin on the RAW vector, matching
+    operators.similarity.ivf_append). Returns (codebooks,
+    centers_norm); pass BOTH to pq_encode_index/ivfpq_topk — encode
+    and search must share centers_norm or scores are garbage."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x_raw = np.array([r[1] for r in rows], dtype=np.float64)
+    if len(x_raw) < k:
+        raise ValueError(f"k={k} but sample has only {len(x_raw)} rows")
+    dim = x_raw.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    centers_norm = normalize_rows(np.asarray(centers, dtype=np.float64))
+    d2 = ((x_raw[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    assign = np.argmin(d2, axis=1)
+    resid = normalize_rows(x_raw) - centers_norm[assign]
+    d_sub = dim // m
+    codebooks = np.stack(
+        [
+            _lloyd_numpy(resid[:, i * d_sub : (i + 1) * d_sub], k, iters)
+            for i in range(m)
+        ]
+    )
+    return codebooks, centers_norm
+
+
+def pq_encode_index(
+    index: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "cv",
+    code_col: str = "code",
+    cluster_col: str = "cluster",
+    centers_norm: np.ndarray | None = None,
+) -> DataFrame:
+    """Encode ONCE at index build/append time (VERDICT r11 item 2 —
+    PQ codes at rest): adds an m-byte ``binary`` code column next to
+    the float vectors. The parquet layout this feeds is columnar, so
+    the ADC scan that selects (nid, cluster, code) never READS the
+    float column — 16 bytes/vector instead of 256 at m=16/dim=64
+    float32 — while the shortlist rerank still fetches floats by nid
+    from the same files. One vectorized Arrow pass, embarrassingly
+    parallel, no shuffle.
+
+    With ``centers_norm`` (from :func:`pq_fit_sample_residual`) the
+    codes quantize per-cluster residuals; the cluster column must be
+    the IVF assignment the residual was trained against."""
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.ascontiguousarray(codebooks)
+    if centers_norm is None:
+
+        @pandas_udf("binary")
+        def enc(vecs: pd.Series) -> pd.Series:
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            cmat = normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+            codes = pq_encode_batch(cmat, cb)
+            return pd.Series([row.tobytes() for row in codes])
+
+        return index.withColumn(code_col, enc(F.col(vec_col)))
+
+    cn = np.ascontiguousarray(centers_norm)
+
+    @pandas_udf("binary")
+    def enc_res(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        cmat = normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        cmat = cmat - cn[clusters.to_numpy(dtype=np.int64)]
+        codes = pq_encode_batch(cmat, cb)
+        return pd.Series([row.tobytes() for row in codes])
+
+    return index.withColumn(code_col, enc_res(F.col(vec_col), F.col(cluster_col)))
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -288,6 +398,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "qid",
     max_queries: int = 4096,
+    code_col: str = "code",
+    centers_norm: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF×PQ — the standard billion-vector composition (FAISS
     IndexIVFPQ shape; Jégou et al. 2011 §V): the IVF coarse quantizer
@@ -296,25 +408,41 @@ def ivfpq_topk(
     top-``rerank_r`` shortlist, and exact rounded cosine re-ranks the
     shortlist down to k.
 
-    ``assigned`` is the IVF index layout (nid, cluster, cv) from
-    ``operators.similarity._ivf_fit_assign`` / ``ivf_append``;
-    ``centers`` its (C, dim) centroid matrix; ``codebooks`` from
-    :func:`pq_fit_sample`. Query→probe assignment happens driver-side
-    on the collected (driver-sized, ``max_queries``-guarded) query
-    set with the same L2-argmin metric the IVF search path uses.
+    ``assigned`` is the IVF index layout (nid, cluster, cv[, code])
+    from ``operators.similarity._ivf_fit_assign`` / ``ivf_append``,
+    optionally pre-encoded by :func:`pq_encode_index`; ``centers``
+    its (C, dim) centroid matrix; ``codebooks`` from
+    :func:`pq_fit_sample` (or :func:`pq_fit_sample_residual`, in
+    which case pass its ``centers_norm`` here too). Query→probe
+    assignment happens driver-side on the collected (driver-sized,
+    ``max_queries``-guarded) query set with the same L2-argmin metric
+    the IVF search path uses.
 
-    Scale shape: the scan FILTERS to the probed-cluster union before
-    reading vectors — at 100 TB the index is written partitioned by
-    cluster id, so this prunes files, not merely rows — and reads
-    m-byte codes, not floats, once encoded at rest. Per Arrow batch
-    the ADC gather scores every (row, query) pair, then a per-query
+    Scale shape (VERDICT r11 item 2 — codes at rest): when
+    ``assigned`` carries the ``code`` column, the ADC scan selects
+    ONLY (nid, cluster, code) — m bytes per vector; parquet column
+    pruning means the float column is never read — and the stored
+    codes are scored directly with zero per-query re-encoding. Floats
+    are fetched ONLY for the shortlist rerank, keyed by nid. Without
+    the column the scan falls back to encode-in-scan (the bootstrap
+    path for an index that has not been through pq_encode_index; it
+    reads floats and re-encodes per search call — correct, but not
+    the 100 TB shape). The scan also FILTERS to the probed-cluster
+    union first — at rest the index is written partitioned by cluster
+    id, so this prunes files, not merely rows. Per Arrow batch the
+    ADC gather scores every (row, query) pair, then a per-query
     cluster mask enforces IVF semantics (a query never scores a list
     it did not probe — masking keeps the cost model honest rather
     than quietly improving recall). The rerank join is
-    shortlist-sized. Simplification vs FAISS noted: codes quantize
-    the raw unit vectors, not per-cluster residuals — residual
-    encoding would sharpen ADC at the cost of per-cluster LUTs
-    (C× the LUT build); the exact rerank recovers most of it."""
+    shortlist-sized.
+
+    ``centers_norm`` switches on RESIDUAL semantics (FAISS
+    IndexIVFPQ's encoding; pq_fit_sample_residual's docstring has the
+    identity): ADC adds the per-(query, cluster) bias <q̂, ĉ_i> and
+    the LUT gather covers the residual term. It MUST match what the
+    codes were encoded with — raw-encoded codes scored with a bias
+    (or vice versa) are silently wrong, which is why both come from
+    the same fit call."""
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     if rerank_r and rerank_r <= k:
         raise ValueError(
@@ -351,8 +479,49 @@ def ivfpq_topk(
         [np.einsum("md,mkd->mk", q.reshape(mq, d_sub), codebooks) for q in qn]
     )  # (nq, m, k)
     cb = np.ascontiguousarray(codebooks)
+    # residual bias: score(q, x ∈ cluster i) = <q̂, ĉ_i> + Σ_m LUT
+    bias = None if centers_norm is None else qn @ np.ascontiguousarray(centers_norm).T  # (nq, C)
+    cn = None if centers_norm is None else np.ascontiguousarray(centers_norm)
+    codes_at_rest = code_col in assigned.columns
 
-    def score_batches(batches):
+    def topk_frame(score, nids, clusters):
+        """Shared per-batch tail: round, per-query probe-mask + local
+        top-keep, emit the (qid, nid, approx_cos) long frame."""
+        score = np.floor(np.abs(score) * 1e6 + 0.5) / 1e6 * np.sign(score)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            mask = probe_mask[j, clusters] & (nids != qids[j])
+            sj, nj = score[mask, j], nids[mask]
+            top_j = np.lexsort((nj, -sj))[:keep]
+            out_q.append(np.full(len(top_j), qids[j]))
+            out_n.append(nj[top_j])
+            out_s.append(sj[top_j])
+        return pd.DataFrame(
+            {
+                query_id_col: np.concatenate(out_q),
+                "nid": np.concatenate(out_n),
+                "approx_cos": np.concatenate(out_s),
+            }
+        )
+
+    def score_codes(batches):
+        # codes-at-rest: m-byte gather, no float reads, no encoding
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["nid"].to_numpy(dtype=np.int64)
+            clusters = pdf["cluster"].to_numpy(dtype=np.int64)
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), mq)
+            gathered = luts[:, np.arange(mq)[None, :], codes]  # (nq, n, m)
+            score = gathered.sum(axis=2).T  # (n, nq)
+            if bias is not None:
+                score = score + bias[:, clusters].T
+            yield topk_frame(score, nids, clusters)
+
+    def score_floats(batches):
+        # bootstrap: encode in-scan (reads floats — not the 100 TB shape)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -362,31 +531,24 @@ def ivfpq_topk(
             )
             nids = pdf["nid"].to_numpy(dtype=np.int64)
             clusters = pdf["cluster"].to_numpy(dtype=np.int64)
+            if cn is not None:
+                cmat = cmat - cn[clusters]
             codes = pq_encode_batch(cmat, cb)
             gathered = luts[:, np.arange(mq)[None, :], codes]  # (nq, n, m)
             score = gathered.sum(axis=2).T  # (n, nq)
-            score = np.floor(np.abs(score) * 1e6 + 0.5) / 1e6 * np.sign(score)
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(qids)):
-                mask = probe_mask[j, clusters] & (nids != qids[j])
-                sj, nj = score[mask, j], nids[mask]
-                top_j = np.lexsort((nj, -sj))[:keep]
-                out_q.append(np.full(len(top_j), qids[j]))
-                out_n.append(nj[top_j])
-                out_s.append(sj[top_j])
-            yield pd.DataFrame(
-                {
-                    query_id_col: np.concatenate(out_q),
-                    "nid": np.concatenate(out_n),
-                    "approx_cos": np.concatenate(out_s),
-                }
-            )
+            if bias is not None:
+                score = score + bias[:, clusters].T
+            yield topk_frame(score, nids, clusters)
 
-    scan = assigned.filter(
+    pruned = assigned.filter(
         F.col("cluster").isin([int(c) for c in union_clusters])
-    ).select("nid", "cluster", "cv")
+    )
+    scan = pruned.select(
+        "nid", "cluster", *([code_col] if codes_at_rest else ["cv"])
+    )
     scored = scan.mapInPandas(
-        score_batches, schema=f"{query_id_col} long, nid long, approx_cos double"
+        score_codes if codes_at_rest else score_floats,
+        schema=f"{query_id_col} long, nid long, approx_cos double",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_cos").desc(), F.col("nid")

@@ -121,8 +121,7 @@ DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
     # --- never officially sampled (NEW r12; uncommented as each lands) ---
-    # "ivfpq_codes_ann_topk",     # X6 -- NEW r12 (codes-at-rest ADC path)
-    # "ivfpq_residual_recall",    # X6 -- NEW r12 (residual-PQ recall A/B)
+    "ivfpq_residual_ann_topk",    # X6 -- NEW r12 (residual-PQ, flag-gated)
     # "quality_classifier_planted_eval",  # X7 F4 A1 F8 -- NEW r12
     # --- changed since their last official sample (re-pin) ---
     "cms_token_frequencies",      # A4 O2 -- r11 prefilter rewrite, unsampled

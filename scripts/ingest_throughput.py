@@ -170,13 +170,20 @@ def main() -> None:
             "batch_walls_s": walls,
         }
 
-        # 4) streaming IVF vector-index maintenance (frozen quantizer)
+        # 4) streaming IVF vector-index maintenance (frozen quantizer
+        #    + frozen PQ codebooks — codes encoded at append time, the
+        #    r12 codes-at-rest posture; the throughput number carries
+        #    the encode cost the production sink pays)
+        from flink_realtime_edu_spark.operators.quantization import (
+            pq_fit_sample,
+        )
         from flink_realtime_edu_spark.operators.similarity import (
             _ivf_fit_assign,
         )
         from flink_realtime_edu_spark.streaming.annindex import (
             streaming_ivf_index,
             write_ivf_quantizer,
+            write_pq_codebooks,
         )
 
         raw_emb = load(spark, args.sf, "embeddings").select(
@@ -185,13 +192,17 @@ def main() -> None:
         _, centers = _ivf_fit_assign(raw_emb, "vec_id", "embedding", 16, 42)
         quant_dir = str(tmp / "ivf_quant")
         write_ivf_quantizer(spark, centers, quant_dir)
+        cb_dir = str(tmp / "pq_codebooks")
+        write_pq_codebooks(spark, pq_fit_sample(raw_emb, m=16, k=256), cb_dir)
         raw_src = tmp / "raw_emb_src"
         raw_emb.repartition(N_FILES).write.parquet(str(raw_src))
         wall, walls = run_stream(
             spark,
             str(raw_src),
             "vec_id long, embedding array<float>",
-            streaming_ivf_index(quant_dir, str(tmp / "ivf_index")),
+            streaming_ivf_index(
+                quant_dir, str(tmp / "ivf_index"), codebooks_dir=cb_dir
+            ),
             str(tmp / "ivf_ckpt"),
         )
         out["ivf_index"] = {

@@ -302,6 +302,10 @@ def test_ivfpq_searches_appended_index(spark, sf_dir):
         ivf_append,
     )
 
+    from flink_realtime_edu_spark.operators.quantization import (
+        pq_encode_index,
+    )
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base_row = emb.filter(F.col("vec_id") == 0).collect()[0]
     near = [x * 1.001 for x in base_row.embedding]
@@ -311,12 +315,71 @@ def test_ivfpq_searches_appended_index(spark, sf_dir):
     assigned, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
     assigned = assigned.unionByName(ivf_append(delta, centers))
     cb = pq_fit_sample(emb, m=16, k=256)
+    # codes at rest: the appended index is encoded ONCE (the r12
+    # append-time discipline), search scores the stored codes
+    indexed = pq_encode_index(assigned, cb)
     top = ivfpq_topk(
-        assigned, centers,
+        indexed, centers,
         emb.filter(F.col("vec_id") == 0), cb,
         k=1, n_probe=4, rerank_r=5,
     ).collect()
     assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
+
+
+def test_ivfpq_residual_encoding_semantics(spark, sf_dir):
+    """Residual PQ (flag-gated; VERDICT r11 item 3): codes from
+    pq_fit_sample_residual scored with the SAME centers_norm must (a)
+    surface a planted near-duplicate as top-1 through the full
+    codes-at-rest path, (b) stay bit-deterministic across reruns, and
+    (c) differ from the raw-encoding ADC scores (the bias term and
+    residual codebooks genuinely engage — if the two paths ever
+    collapse to identical ADC scores the flag is dead code)."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_encode_index,
+        pq_fit_sample,
+        pq_fit_sample_residual,
+    )
+    from flink_realtime_edu_spark.operators.similarity import _ivf_fit_assign
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base_row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    near = [x * 1.001 for x in base_row.embedding]
+    corpus = emb.unionByName(
+        spark.createDataFrame(
+            [(100000, near)], "vec_id long, embedding array<float>"
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    assigned, centers = _ivf_fit_assign(corpus, "vec_id", "embedding", 16, 42)
+    cbr, cn = pq_fit_sample_residual(corpus, centers, m=16, k=256)
+    idx_res = pq_encode_index(assigned, cbr, centers_norm=cn)
+    top = ivfpq_topk(
+        idx_res, centers, q, cbr, k=1, n_probe=4, rerank_r=5, centers_norm=cn
+    ).collect()
+    assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
+    rerun = ivfpq_topk(
+        idx_res, centers, q, cbr, k=1, n_probe=4, rerank_r=5, centers_norm=cn
+    ).collect()
+    assert sorted(map(tuple, top)) == sorted(map(tuple, rerun))
+    # ADC-only scores (no rerank) must differ between raw and residual
+    cb_raw = pq_fit_sample(corpus, m=16, k=256)
+    idx_raw = pq_encode_index(assigned, cb_raw)
+    adc_raw = {
+        (r.qid, r.nid): r.approx_cos
+        for r in ivfpq_topk(
+            idx_raw, centers, q, cb_raw, k=5, n_probe=4, rerank_r=0
+        ).collect()
+    }
+    adc_res = {
+        (r.qid, r.nid): r.approx_cos
+        for r in ivfpq_topk(
+            idx_res, centers, q, cbr, k=5, n_probe=4, rerank_r=0,
+            centers_norm=cn,
+        ).collect()
+    }
+    shared = set(adc_raw) & set(adc_res)
+    assert shared and any(adc_raw[p] != adc_res[p] for p in shared)
 
 
 def test_ann_probe_collect_guard(spark, sf_dir):

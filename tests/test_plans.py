@@ -190,6 +190,42 @@ def test_ivf_cluster_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
         spark.read.parquet(root).count()
 
 
+def test_ivfpq_codes_at_rest_scan_reads_codes_not_floats(spark, sf_dir, tmp_path):
+    """VERDICT r11 item 2, pinned: over a pq_encode_index'd index AT
+    REST (parquet partitioned by cluster), the ivfpq_topk ADC scan
+    must read ONLY (nid, cluster, code) — the float column absent
+    from the scan's ReadSchema (16 bytes/vector, not 256+), probed
+    clusters pruned as PartitionFilters — while floats appear only in
+    the shortlist-rerank scan. Results must stay value-identical to
+    the encode-in-scan bootstrap path (same codes → same scores)."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_encode_index,
+        pq_fit_sample,
+    )
+    from flink_realtime_edu_spark.operators.similarity import _ivf_fit_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    assigned, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
+    cb = pq_fit_sample(emb, m=16, k=256)
+    root = str(tmp_path / "ivfpq_index")
+    pq_encode_index(assigned, cb).write.partitionBy("cluster").parquet(root)
+    idx = spark.read.parquet(root)
+    ann = ivfpq_topk(idx, centers, q, cb, k=5, n_probe=4, rerank_r=30)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    scans = plan.split("ReadSchema: ")[1:]
+    code_scans = [s for s in scans if s.startswith("struct<nid:bigint,code:binary>")]
+    assert code_scans, f"no codes-only scan in plan:\n{plan}"
+    assert "PartitionFilters: [cluster" in plan, (
+        "probed clusters not pruned as partitions"
+    )
+    legacy = ivfpq_topk(assigned, centers, q, cb, k=5, n_probe=4, rerank_r=30)
+    assert sorted(map(tuple, ann.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )
+
+
 @pytest.mark.parametrize(
     ("name", "fragment"),
     [

@@ -2936,9 +2936,17 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
     streamed in micro-batches against a FROZEN quantizer produce
     EXACTLY the (nid, cluster) assignment the batch ivf_append gives
     (assignment depends only on the centroids ⇒ stream ≡ batch),
-    the read-back index is searchable (a planted near-copy of a
-    query arriving mid-stream surfaces as its IVF top-1), and
-    replaying the last batch is byte-identical."""
+    append-time PQ codes equal the batch pq_encode_index codes
+    (encoding depends only on the frozen codebooks — r12 codes at
+    rest), the read-back index is searchable through BOTH the
+    IVF-Flat and the stored-code IVF×PQ paths (a planted near-copy
+    of a query arriving mid-stream surfaces as top-1), and replaying
+    the last batch is byte-identical."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_encode_index,
+        pq_fit_sample,
+    )
     from flink_realtime_edu_spark.operators.similarity import (
         _ivf_fit_assign,
         _ivf_probe_search,
@@ -2947,17 +2955,23 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
     from flink_realtime_edu_spark.streaming.annindex import (
         read_ivf_index,
         read_ivf_quantizer,
+        read_pq_codebooks,
         streaming_ivf_index,
         write_ivf_quantizer,
+        write_pq_codebooks,
     )
     from flink_realtime_edu_spark.streaming.sinks import run_to_completion
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # quantizer fit batch-side on the corpus, then frozen
+    # quantizer + PQ codebooks fit batch-side on the corpus, then frozen
     _, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
     quant_dir = str(tmp_path / "ivf_quant")
     write_ivf_quantizer(spark, centers, quant_dir)
     assert (read_ivf_quantizer(spark, quant_dir) == centers).all()
+    codebooks = pq_fit_sample(emb, m=16, k=256)
+    cb_dir = str(tmp_path / "pq_codebooks")
+    write_pq_codebooks(spark, codebooks, cb_dir)
+    assert (read_pq_codebooks(spark, cb_dir) == codebooks).all()
 
     # plant a near-copy of vector 0 in the stream
     base = emb.filter(F.col("vec_id") == 0).collect()[0]
@@ -2970,7 +2984,7 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
     src = tmp_path / "ivf_src"
     stream_vecs.repartition(4).write.parquet(str(src))
     index_dir = str(tmp_path / "ivf_index")
-    sink = streaming_ivf_index(quant_dir, index_dir)
+    sink = streaming_ivf_index(quant_dir, index_dir, codebooks_dir=cb_dir)
     q = (
         spark.readStream.schema(stream_vecs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2983,11 +2997,17 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
 
     idx = read_ivf_index(spark, index_dir)
     got = {(r.nid, r.cluster) for r in idx.collect()}
-    want = {
-        (r.nid, r.cluster)
-        for r in ivf_append(stream_vecs, centers).collect()
-    }
+    batch_assigned = ivf_append(stream_vecs, centers)
+    want = {(r.nid, r.cluster) for r in batch_assigned.collect()}
     assert got == want and len(got) == stream_vecs.count()
+
+    # stream-encoded codes ≡ batch-encoded codes, none NULL
+    got_codes = {(r.nid, bytes(r.code)) for r in idx.collect()}
+    want_codes = {
+        (r.nid, bytes(r.code))
+        for r in pq_encode_index(batch_assigned, codebooks).collect()
+    }
+    assert got_codes == want_codes
 
     # searchable: the planted near-copy is query 0's IVF top-1
     top = _ivf_probe_search(
@@ -2995,6 +3015,12 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
         k=1, n_probe=4, id_col="vec_id", vec_col="embedding",
     ).collect()
     assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
+    # ...and the IVF×PQ path scores the STORED codes to the same hit
+    top_pq = ivfpq_topk(
+        idx, centers, emb.filter(F.col("vec_id") == 0), codebooks,
+        k=1, n_probe=4, rerank_r=5,
+    ).collect()
+    assert [(r.qid, r.nid) for r in top_pq] == [(0, 100000)]
 
     # last-batch replay: byte-identical index
     before = _rows(read_ivf_index(spark, index_dir))
