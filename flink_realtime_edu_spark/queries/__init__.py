@@ -122,7 +122,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
     # --- never officially sampled (NEW r12; uncommented as each lands) ---
     "ivfpq_residual_ann_topk",    # X6 -- NEW r12 (residual-PQ, flag-gated)
-    # "quality_classifier_planted_eval",  # X7 F4 A1 F8 -- NEW r12
+    "quality_classifier_planted_eval",  # X7 F4 A1 F8 O2 -- NEW r12
     # --- changed since their last official sample (re-pin) ---
     "cms_token_frequencies",      # A4 O2 -- r11 prefilter rewrite, unsampled
     "ivfpq_ann_topk",             # X6 -- r12 codes-at-rest rewrite
@@ -172,6 +172,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "cep_skip_to_next",
     "corpus_curation_pipeline",
     "cosine_topk_bruteforce",
+    "daily_unique_visitors",
 )
 
 

@@ -584,21 +584,27 @@ _QC_SIG_SQL = (
 )
 
 
-def _qc_cte_chain(fit_pred: str = "TRUE", eval_pred: str = "TRUE") -> str:
+def _qc_cte_chain(
+    fit_pred: str = "TRUE",
+    eval_pred: str = "TRUE",
+    text_expr: str = "text",
+) -> str:
     """Chained-CTE DuckDB replay of the quantized fit — the
     bpe_merge_learning oracle pattern, one (z, r, g, w) CTE block per
     gradient step, every intermediate an exact integer. ``fit_pred``
     (SQL over doc_id) selects the TRAINING docs the gradient
     aggregates see; ``eval_pred`` selects the docs the final ``zf``
-    scoring CTE emits. Defaults reproduce the fit-and-self-score
-    query exactly."""
+    scoring CTE emits; ``text_expr`` is the SQL expression the
+    tokenizer reads (default the raw column; the planted-signal eval
+    passes a derived expression). Defaults reproduce the
+    fit-and-self-score query exactly."""
     ctes = [
         f"""toks AS (
   SELECT doc_id,
          CAST(CASE WHEN source IN {_DSIR_TGT_SQL} THEN 1000000 ELSE 0 END
               AS BIGINT) AS y,
          ({fit_pred}) AS is_tr,
-         list_filter(string_split(text, ' '), x -> x <> '') AS w
+         list_filter(string_split({text_expr}, ' '), x -> x <> '') AS w
   FROM documents
 ), feat AS (
   SELECT doc_id, y, is_tr,
@@ -715,9 +721,9 @@ def _qc_ratio_sql(num: str, den: str) -> str:
     )
 
 
-def _qc_eval_oracle_sql() -> str:
+def _qc_eval_oracle_sql(text_expr: str = "text") -> str:
     grid = ", ".join(f"({p})" for p in _QC_KEEP_PCTS)
-    return f"""WITH {_qc_cte_chain(fit_pred=_QC_TR_SQL, eval_pred="NOT q.is_tr")},
+    return f"""WITH {_qc_cte_chain(fit_pred=_QC_TR_SQL, eval_pred="NOT q.is_tr", text_expr=text_expr)},
 sv AS (
   SELECT doc_id, y, {_QC_SIG_SQL.format(z='z')} AS s FROM zf
 ), ranked AS (
@@ -794,6 +800,14 @@ def quality_classifier_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFra
     you evaluate on a bounded sample, the ann_recall_summary
     posture)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return _qc_rate_gate_eval(spark, docs)
+
+
+def _qc_rate_gate_eval(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Shared body of the held-out rate-gate evaluations: hash-stable
+    80/20 split, fit on train, score the held-out 20%, gate at the
+    _QC_KEEP_PCTS selection rates. ``docs`` is any (doc_id, source,
+    text) frame — the planted-signal eval passes a derived one."""
     is_tr = (
         md5_hash60(F.concat(F.lit(_QC_EVAL_SALT), F.col("doc_id"))) % 10 < 8
     )
@@ -848,6 +862,80 @@ def quality_classifier_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFra
         "keep_pct long, kept_n long, tp long, fp long, fn long, "
         "precision_ double, recall_ double, f1 double",
     )
+
+
+# Planted-signal eval (VERDICT r11 item 4): the shared-generator
+# corpus honestly measures ≈zero held-out lift, so this query DERIVES
+# a corpus with a CONTROLLED cross-source distribution shift and
+# re-runs the identical eval on it — the "does the eval detect a real
+# signal when one exists" arm of the pair. The plant: a 3-token
+# marker is appended to a hash-selected fraction of each class's
+# docs — _QC_PLANT_TGT_PCT% of target-source docs, _QC_PLANT_RAW_PCT%
+# of the rest — so marker presence is a genuine distributional signal
+# (a marker-only classifier is capped at P(target | marker) =
+# .7·p / (.7·p + .1·(1−p)) ≈ 0.64 at the corpus's 0.20 prior), NOT a
+# deterministic vocabulary split; the Bayes ceiling keeps the
+# measured precision honest (well above prior, well below 1).
+_QC_PLANT_SALT = "qcplant:"
+_QC_PLANT_MARK = " xq xq xq"
+_QC_PLANT_TGT_PCT = 70
+_QC_PLANT_RAW_PCT = 10
+_QC_PLANT_HASH_SQL = _H60.format(
+    expr="concat('" + _QC_PLANT_SALT + "', doc_id)"
+)
+_QC_PLANT_TEXT_SQL = (
+    f"CASE WHEN {_QC_PLANT_HASH_SQL} % 100 < "
+    f"(CASE WHEN source IN {_DSIR_TGT_SQL} THEN {_QC_PLANT_TGT_PCT} "
+    f"ELSE {_QC_PLANT_RAW_PCT} END) "
+    f"THEN text || '{_QC_PLANT_MARK}' ELSE text END"
+)
+
+
+def _qc_planted_docs(docs: DataFrame) -> DataFrame:
+    """Append the marker to the hash-selected per-class fraction —
+    the Spark twin of _QC_PLANT_TEXT_SQL (same md5-60bit hash, same
+    per-class percent gates)."""
+    frac = F.when(
+        F.col("source").isin(*_DSIR_TARGET), F.lit(_QC_PLANT_TGT_PCT)
+    ).otherwise(F.lit(_QC_PLANT_RAW_PCT))
+    h = md5_hash60(F.concat(F.lit(_QC_PLANT_SALT), F.col("doc_id"))) % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h < frac, F.concat(F.col("text"), F.lit(_QC_PLANT_MARK)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@register(
+    "quality_classifier_planted_eval",
+    survey_rows=("X7", "F4", "A1", "F8", "O2"),
+    oracle=_qc_eval_oracle_sql(text_expr=_QC_PLANT_TEXT_SQL),
+)
+def quality_classifier_planted_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_classifier_heldout_eval re-run on the PLANTED-SIGNAL
+    derived corpus (module comment above _QC_PLANT_SALT) — the
+    positive control the honest ≈zero-lift reading needed (VERDICT
+    r11 item 4): when a real cross-source distribution shift exists
+    (a marker appended to 70% of target docs vs 10% of the rest),
+    the IDENTICAL fit + rate-gate machinery must find it. Measured
+    held-out precision@10%: 0.82 at sf0.01 (kept_n=11, so ±~0.14
+    binomial noise around the ceiling) and 0.63 at sf0.1 vs the 0.20
+    class prior (vs ≈prior on the unplanted corpus, the honest
+    negative reading recorded in quality_classifier_heldout_eval) —
+    clear lift, tracking the plant's marker-only Bayes ceiling
+    ≈0.64 at the larger scale, not a memorization artifact (the
+    split salt and the plant salt are independent hashes).
+
+    Oracle: the identical chained-CTE fit replay with the plant as a
+    SQL text expression — both engines derive the corpus from the
+    same md5-60bit gate, so the plant itself is oracle-checked, not
+    a Spark-side fixture. Scale: identical to
+    quality_classifier_heldout_eval (the plant adds one hash + concat
+    to the corpus scan)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return _qc_rate_gate_eval(spark, _qc_planted_docs(docs))
 
 
 def quality_classifier_frame(docs: DataFrame) -> DataFrame:
