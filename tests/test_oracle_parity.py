@@ -17,8 +17,24 @@ REGISTRY = load_registry()
 ORACLED = sorted(n for n, s in REGISTRY.items() if s.oracle)
 ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 
+# The quality-classifier oracles replay the ENTIRE 6-step integer fit
+# as a chained CTE — minutes each, the heaviest tests in the suite
+# (r12 trim, VERDICT r11 item 6). Excluded from the default dev
+# profile (pytest.ini: -m "not slow"); the round-close gate runs the
+# FULL suite with `-m ""`, and the driver's own correctness window
+# still executes these oracles officially every rotation.
+_SLOW_PARITY = {
+    "quality_classifier_scores",
+    "quality_classifier_heldout_eval",
+    "quality_classifier_planted_eval",
+}
+ORACLED_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+    for n in ORACLED
+]
 
-@pytest.mark.parametrize("name", ORACLED)
+
+@pytest.mark.parametrize("name", ORACLED_PARAMS)
 def test_oracle_parity(spark, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.build(spark, sf_dir)

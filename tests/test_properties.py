@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
+import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1888,6 +1889,7 @@ _qc_doc = st.tuples(
 )
 
 
+@pytest.mark.slow  # ~6 min: full 6-step fit on BOTH engines per example
 @given(rows=st.lists(_qc_doc, min_size=3, max_size=14))
 @SET
 def test_quality_classifier_fit_matches_duckdb_replay(spark, rows):

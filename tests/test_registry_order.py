@@ -122,7 +122,13 @@ def test_oracle_column_names_alias_discipline():
     for name, spec in load_registry().items():
         if not spec.oracle:
             continue
-        cols = [d[0] for d in con.execute(spec.oracle).description]
+        # DESCRIBE plans the query without executing it — the lint
+        # only needs output column NAMES, and running the heavy
+        # chained-CTE oracles here cost 22 min of suite wall (r12
+        # trim; the oracles still EXECUTE in test_oracle_parity)
+        cols = [
+            r[0] for r in con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        ]
         bad = [c for c in cols if "(" in c]
         if bad:
             offenders[name] = bad
