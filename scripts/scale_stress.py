@@ -697,6 +697,12 @@ def main() -> None:
         "ivfpq_ann_topk",
         "audio_metadata_stats",
         "video_container_stats",
+        # r12: the planted-signal eval (two QC fits' worth of hash
+        # aggregates over bigram volume + the rank gates) and the
+        # flag-gated residual IVF×PQ (same probed-cluster ADC scan
+        # shape as ivfpq_ann_topk plus the per-(query,cluster) bias)
+        "quality_classifier_planted_eval",
+        "ivfpq_residual_ann_topk",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     if args.only:
