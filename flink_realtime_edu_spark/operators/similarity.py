@@ -268,6 +268,73 @@ def lsh_cosine_topk(
     )
 
 
+def knn_graph_lsh(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed k-NN GRAPH: approximate top-k neighbors for EVERY
+    corpus vector — (src, dst, cos), ≤k rows per src — with NO
+    driver-side query collect. This is the corpus-scale-query-set
+    path every probe-collect guard in this module points at
+    (cosine_topk / pq_adc_topk / ivfpq_topk cap |Q| at
+    ``max_queries`` because they broadcast driver-built query
+    state): here BOTH sides are the corpus, the only join key is the
+    LSH bucket id, and ranking is a per-src window — fully
+    distributed end to end. The k-NN graph is the input shape
+    SemDeDup-style clustering, graph-based dedup, and
+    connectivity-based quality filters consume.
+
+    Scale shape (the candidate_pairs discipline, operators/dedup.py):
+    the bucket self-join carries ONLY (id, bkt) — 16 bytes/row/table,
+    never the vectors; the bucket frame is materialized once so the
+    upstream scan + signature matmul runs once and AQE stage-reuses
+    its shuffle for both sides; NO explicit repartition on the join
+    key, so a hot bucket (a dup clique) stays AQE-skew-splittable.
+    Vectors re-enter only AFTER the distinct (src, dst) pair set
+    exists, via two id-keyed joins sized by the candidate set.
+    Candidate volume per vector ≈ n_tables · n / 2^n_planes: planes
+    scale with log(n) — at 10⁹ vectors ~16–20 planes keep buckets
+    bounded; the defaults here match ann_lsh_topk's tuning for the
+    test corpus. Isolated nodes (no bucket-mate in any table) emit
+    no rows by construction — count them against F.lit(k) coverage
+    downstream rather than expecting exactly n·k edges."""
+    bkts = hyperplane_buckets(
+        n_planes, len(corpus.select(vec_col).first()[0]), n_tables, seed
+    )
+    tagged = _materialize(
+        corpus.select(
+            F.col(id_col).alias("src"),
+            F.explode(bkts(F.col(vec_col))).alias("bkt"),
+        )
+    )
+    pairs = (
+        tagged.join(
+            tagged.withColumnsRenamed({"src": "dst"}), on="bkt"
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    joined = pairs.join(
+        vecs.withColumnsRenamed({id_col: "src", vec_col: "sv"}), on="src"
+    ).join(vecs.withColumnsRenamed({id_col: "dst", vec_col: "dv"}), on="dst")
+    scored = joined.select(
+        "src", "dst", cosine_pair_udf()(F.col("sv"), F.col("dv")).alias("cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -123,6 +123,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     # --- never officially sampled (NEW r12; uncommented as each lands) ---
     "ivfpq_residual_ann_topk",    # X6 -- NEW r12 (residual-PQ, flag-gated)
     "quality_classifier_planted_eval",  # X7 F4 A1 F8 O2 -- NEW r12
+    "knn_graph_sampled_recall",   # X6 A1 W1 -- NEW r12 (distributed k-NN graph)
     # --- changed since their last official sample (re-pin) ---
     "cms_token_frequencies",      # A4 O2 -- r11 prefilter rewrite, unsampled
     "ivfpq_ann_topk",             # X6 -- r12 codes-at-rest rewrite
@@ -172,7 +173,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "cep_skip_to_next",
     "corpus_curation_pipeline",
     "cosine_topk_bruteforce",
-    "daily_unique_visitors",
 )
 
 

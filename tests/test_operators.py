@@ -326,6 +326,49 @@ def test_ivfpq_searches_appended_index(spark, sf_dir):
     assert [(r.qid, r.nid) for r in top] == [(0, 100000)]
 
 
+def test_knn_graph_lsh_invariants(spark, sf_dir):
+    """Distributed k-NN graph (r12): ≤k edges per node with no self
+    loops or duplicate (src, dst) pairs; every edge's endpoints share
+    at least one LSH bucket (the candidate contract — the graph never
+    scores a pair LSH did not propose); node-wise agreement with
+    lsh_cosine_topk on a query subset (same buckets, same ranking ⇒
+    the graph restricted to those nodes IS the top-k result); and
+    bit-deterministic across reruns."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        hyperplane_buckets,
+        knn_graph_lsh,
+        lsh_cosine_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph_lsh(emb, k=5)
+    rows = g.collect()
+    assert all(r.src != r.dst for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.src, []).append(r.dst)
+    assert all(len(d) <= 5 and len(set(d)) == len(d) for d in per_src.values())
+    # candidate contract: endpoints share a bucket
+    bkts = hyperplane_buckets(4, len(emb.select("embedding").first()[0]), 8, 42)
+    bucket_of = {
+        r.vec_id: set(r.b)
+        for r in emb.select(
+            "vec_id", bkts(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    assert all(bucket_of[r.src] & bucket_of[r.dst] for r in rows)
+    # node-wise ≡ the driver-collected LSH top-k on a subset
+    q = emb.filter(F.col("vec_id") < 10)
+    want = {
+        (r.qid, r.nid, r.cos)
+        for r in lsh_cosine_topk(emb, q, k=5).collect()
+    }
+    got = {(r.src, r.dst, r.cos) for r in rows if r.src < 10}
+    assert got == want
+    rerun = {(r.src, r.dst, r.cos) for r in knn_graph_lsh(emb, k=5).collect()}
+    assert rerun == {(r.src, r.dst, r.cos) for r in rows}
+
+
 def test_ivfpq_residual_encoding_semantics(spark, sf_dir):
     """Residual PQ (flag-gated; VERDICT r11 item 3): codes from
     pq_fit_sample_residual scored with the SAME centers_norm must (a)
