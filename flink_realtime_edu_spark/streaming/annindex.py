@@ -19,12 +19,13 @@ assignment depends only on the frozen centroids, never on index
 state, so stream ≡ batch holds per-vector by construction.
 
 Search over the read-back index is exactly the batch probe path
-(``_ivf_probe_search`` or IVF×PQ over the (nid, cluster, cv)
-layout). Refreshing the quantizer is a batch-side concern (refit,
-write to a new path, restart the stream — assignments under the OLD
-quantizer stay valid for search under the old centroids; a refit
-implies an index rebuild, which is why production systems refit
-rarely and append often).
+(``_ivf_probe_search`` or IVF×PQ over the (nid, cluster, cv[, code])
+layout). Refreshing the quantizer is a batch-side concern —
+:func:`rebuild_ivf_index` (r12): refit on the current corpus, write
+quantizer/codebooks/index to FRESH paths, restart the stream against
+them. Assignments under the OLD quantizer stay valid for search
+under the old centroids; a refit implies an index rebuild, which is
+why production systems refit rarely and append often.
 
 Scale: per batch one narrow shuffle (bucket id), touched-bucket-only
 index IO, centroid matrix k×dim broadcast. With ``codebooks_dir`` set
@@ -209,6 +210,78 @@ def streaming_ivf_index(
             assigned.unpersist()
 
     return write
+
+
+def rebuild_ivf_index(
+    vectors: DataFrame,
+    quantizer_dir: str,
+    index_dir: str,
+    codebooks_dir: str | None = None,
+    n_clusters: int = 16,
+    n_buckets: int = 8,
+    seed: int = 42,
+    pq_m: int = 16,
+    pq_k: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The RARE batch-side counterpart of the streaming append path —
+    the refit this module's header defers to ("refit, write to a new
+    path, restart the stream"): fit a FRESH coarse quantizer (and PQ
+    codebooks when ``codebooks_dir`` is given) on the CURRENT corpus,
+    freeze them, and bulk-write the re-assigned (and re-encoded)
+    index in the same cluster-bucketed layout the streaming sink
+    appends into. Production cadence: append per batch (O(batch)),
+    rebuild when quantizer drift accumulates (O(corpus), scheduled).
+
+    Contract: write to FRESH ``quantizer_dir``/``index_dir`` paths
+    and restart the stream against them — assignments are only
+    meaningful under the centroids that produced them, so an
+    in-place rebuild under a live appender would interleave rows
+    from two quantizers (the single-writer discipline of every sink
+    in this package). ``first_seen_batch`` restarts at -1 so every
+    first post-rebuild streaming batch (batch_id ≥ 0) loses min_by
+    ties to rebuilt rows, keeping replay idempotent across the swap.
+
+    One KMeans fit + one assignment pass + one bucketed write; the
+    PQ sample fit is driver-sized (pq_fit_sample). Everything reuses
+    the batch operators, so rebuild ≡ _ivf_fit_assign by
+    construction (pinned in tests)."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        pq_encode_index,
+        pq_fit_sample,
+    )
+    from flink_realtime_edu_spark.operators.similarity import _ivf_fit_assign
+
+    spark = vectors.sparkSession
+    assigned, centers = _ivf_fit_assign(
+        vectors, id_col, vec_col, n_clusters, seed
+    )
+    write_ivf_quantizer(spark, centers, quantizer_dir)
+    if codebooks_dir is not None:
+        codebooks = pq_fit_sample(
+            vectors, m=pq_m, k=pq_k, id_col=id_col, vec_col=vec_col
+        )
+        write_pq_codebooks(spark, codebooks, codebooks_dir)
+        assigned = pq_encode_index(assigned, codebooks)
+    else:
+        assigned = assigned.withColumn("code", F.lit(None).cast("binary"))
+    (
+        assigned.select(
+            "nid",
+            "cluster",
+            F.col("cv").cast("array<float>").alias("cv"),
+            "code",
+            F.lit(-1).cast("long").alias("first_seen_batch"),
+        )
+        .withColumn(BUCKET_COL, key_bucket_col(["cluster"], n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(index_dir)
+    )
+    # stamp the layout marker AFTER the data lands so the streaming
+    # appender's check_bucket_layout accepts (and pins) this count
+    check_bucket_layout(index_dir, n_buckets)
 
 
 def read_ivf_index(spark, index_dir: str) -> DataFrame:

@@ -3032,6 +3032,90 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
     assert _rows(read_ivf_index(spark, index_dir)) == before
 
 
+def test_ivf_index_rebuild_then_stream_append(spark, sf_dir, tmp_path):
+    """The refit/rebuild path (r12 — the batch-side counterpart the
+    append sink's header defers to): rebuild_ivf_index over a corpus
+    must (a) write EXACTLY the assignment/codes the batch operators
+    produce (rebuild ≡ _ivf_fit_assign + pq_encode_index — same
+    functions by construction, pinned against drift), (b) produce a
+    store the STREAMING appender continues on cleanly (fresh deltas
+    append under the frozen rebuilt quantizer; rebuilt rows carry
+    first_seen_batch = -1 so they win min_by ties against any
+    replayed batch), and (c) stay searchable end-to-end through the
+    stored-code IVF×PQ path."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_encode_index,
+        pq_fit_sample,
+    )
+    from flink_realtime_edu_spark.operators.similarity import (
+        _ivf_fit_assign,
+        ivf_append,
+    )
+    from flink_realtime_edu_spark.streaming.annindex import (
+        read_ivf_index,
+        read_ivf_quantizer,
+        read_pq_codebooks,
+        rebuild_ivf_index,
+        streaming_ivf_index,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+
+    quant_dir = str(tmp_path / "rb_quant")
+    index_dir = str(tmp_path / "rb_index")
+    cb_dir = str(tmp_path / "rb_cb")
+    rebuild_ivf_index(base, quant_dir, index_dir, codebooks_dir=cb_dir)
+
+    # (a) rebuild ≡ the batch operators under the frozen artifacts
+    centers = read_ivf_quantizer(spark, quant_dir)
+    codebooks = read_pq_codebooks(spark, cb_dir)
+    assigned, centers_fit = _ivf_fit_assign(base, "vec_id", "embedding", 16, 42)
+    assert (centers == centers_fit).all()
+    want = {
+        (r.nid, r.cluster, bytes(r.code))
+        for r in pq_encode_index(assigned, codebooks).collect()
+    }
+    idx0 = read_ivf_index(spark, index_dir)
+    got = {(r.nid, r.cluster, bytes(r.code)) for r in idx0.collect()}
+    assert got == want and len(got) == base.count()
+
+    # (b) the streaming appender continues on the rebuilt store
+    src = tmp_path / "rb_src"
+    delta.repartition(2).write.parquet(str(src))
+    sink = streaming_ivf_index(quant_dir, index_dir, codebooks_dir=cb_dir)
+    q = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "rb_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+    idx = read_ivf_index(spark, index_dir)
+    assert idx.count() == emb.count()
+    appended = {
+        (r.nid, r.cluster)
+        for r in idx.join(delta.select(F.col("vec_id").alias("nid")), "nid")
+        .select("nid", "cluster")
+        .collect()
+    }
+    assert appended == {
+        (r.nid, r.cluster) for r in ivf_append(delta, centers).collect()
+    }
+
+    # (c) searchable through the stored-code IVF×PQ path
+    q0 = emb.filter(F.col("vec_id") == 0)
+    top = ivfpq_topk(
+        idx, centers, q0, codebooks, k=1, n_probe=4, rerank_r=5
+    ).collect()
+    assert len(top) == 1 and top[0].qid == 0 and top[0].nid != 0
+
+
 def test_streaming_ivf_index_survives_restart_from_checkpoint(
     spark, sf_dir, tmp_path
 ):
