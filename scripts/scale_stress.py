@@ -700,7 +700,15 @@ def main() -> None:
         # r12: the planted-signal eval (two QC fits' worth of hash
         # aggregates over bigram volume + the rank gates) and the
         # flag-gated residual IVF×PQ (same probed-cluster ADC scan
-        # shape as ivfpq_ann_topk plus the per-(query,cluster) bias)
+        # shape as ivfpq_ann_topk plus the per-(query,cluster) bias).
+        # knn_graph_sampled_recall is deliberately NOT swept, for the
+        # same reason as semdedup_label_blocks: its LSH geometry
+        # (8 tables × 4 planes = 16 signatures/table, tuned for the
+        # ≤2k-vector oracle scales) would put ~31k vectors in every
+        # bucket at native sf1 — ~8 × 976M candidate pairs, a
+        # documented violation of the planes-scale-with-log(n)
+        # contract in knn_graph_lsh's docstring. Sweeping it would
+        # measure the contract violation, not the operator.
         "quality_classifier_planted_eval",
         "ivfpq_residual_ann_topk",
     ]
