@@ -226,6 +226,46 @@ def test_ivfpq_codes_at_rest_scan_reads_codes_not_floats(spark, sf_dir, tmp_path
     )
 
 
+def test_streaming_index_search_prunes_float_column(spark, sf_dir, tmp_path):
+    """The persisted (streaming-layout) IVF×PQ index must keep the
+    codes-at-rest property THROUGH read_ivf_index: its
+    dropDuplicates(nid) is an Aggregate over all columns, and a
+    pruning regression there would silently drag the float column
+    back into the hot ADC scan. Pinned: the bucket-store scan feeding
+    the scorer reads only (nid, cluster, code); cv appears only in
+    the shortlist-rerank scan."""
+    from flink_realtime_edu_spark.operators.quantization import ivfpq_topk
+    from flink_realtime_edu_spark.streaming.annindex import (
+        read_ivf_index,
+        read_ivf_quantizer,
+        read_pq_codebooks,
+        rebuild_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qd, ix, cbd = (str(tmp_path / d) for d in ("q", "i", "cb"))
+    rebuild_ivf_index(emb, qd, ix, codebooks_dir=cbd)
+    idx = read_ivf_index(spark, ix)
+    ann = ivfpq_topk(
+        idx,
+        read_ivf_quantizer(spark, qd),
+        emb.filter(F.col("vec_id") < 5),
+        read_pq_codebooks(spark, cbd),
+        k=5, n_probe=4, rerank_r=30,
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        ann._jdf.queryExecution(), "formatted"
+    )
+    schemas = [
+        ln.split("ReadSchema: ")[1].strip()
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln
+    ]
+    assert "struct<nid:bigint,cluster:int,code:binary>" in schemas, schemas
+    assert not any("cv" in s and "code" in s for s in schemas), schemas
+    assert len(ann.collect()) == 25
+
+
 @pytest.mark.parametrize(
     ("name", "fragment"),
     [
