@@ -98,81 +98,73 @@ def register(
 # representative (tests/test_registry_order.py pins this), and it
 # ROTATES each round (VERDICT r3 item 3).
 #
-# r12 rotation (VERDICT r11 item 1): the 24 queries last officially
-# sampled r8 — the set the r11 rotation spilled with an explicit r12
-# pin obligation — go FIRST; they hit the K=4 staleness budget
+# r13 rotation (VERDICT r12 item 1): the 29 queries last officially
+# sampled r9 — COVERAGE.md's recorded "r13 rotation obligation" — go
+# FIRST; they hit the K=4 staleness budget
 # (tests/test_registry_order.py::test_staleness_budget_within_window)
-# the moment CORRECTNESS_r12.json lands. cms_token_frequencies joins
-# them: its r11 TakeOrderedAndProject rewrite landed after its last
-# official sample (r10), so the rewrite gets an official verdict
-# (VERDICT r11 "What's wrong" #3). ivfpq_ann_topk re-enters because
-# its scoring path is rewritten this round (PQ codes at rest, VERDICT
-# r11 item 2). New r12 queries follow (never-sampled pin forces them
-# in at add time, displacing the alphabetical r9 tail). The remaining
-# slots start the 49-query r9 cohort (binds r13): the three ANN
-# queries most likely touched by this round's quantization work
-# (ivf_ann_topk, ivf_ann_incremental_topk, pq_ann_topk) plus the
-# alphabetical head. The spilled r9 queries — everything from
-# doc_fingerprint_stats onward alphabetically, minus the three ANN
-# picks — MUST rotate first in r13; the definitive spill list is
-# recomputed by scripts/coverage_report.py from the CORRECTNESS
-# ledger, not this comment.
+# the moment CORRECTNESS_r13.json lands. New r13 queries follow (the
+# never-sampled pin forces them in at add time). The remaining slots
+# start the 48-query r10 cohort (binds r14): spark_native_hashes is
+# picked out of alphabetical order because it is one of the two
+# rows-only-by-design queries the driver otherwise never re-samples
+# (VERDICT r12 "What's wrong" #2), then the alphabetical head. The
+# spilled r10 queries MUST rotate first in r14; the definitive spill
+# list is recomputed by scripts/coverage_report.py from the
+# CORRECTNESS ledger, not this comment.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
-    # --- never officially sampled (NEW r12; uncommented as each lands) ---
-    "ivfpq_residual_ann_topk",    # X6 -- NEW r12 (residual-PQ, flag-gated)
-    "quality_classifier_planted_eval",  # X7 F4 A1 F8 O2 -- NEW r12
-    "knn_graph_sampled_recall",   # X6 A1 W1 -- NEW r12 (distributed k-NN graph)
-    # --- changed since their last official sample (re-pin) ---
-    "cms_token_frequencies",      # A4 O2 -- r11 prefilter rewrite, unsampled
-    "ivfpq_ann_topk",             # X6 -- r12 codes-at-rest rewrite
-    # --- last officially sampled r8 (the r11-spilled 24, all pinned) ---
-    "late_corrected_windows",
-    "late_ship_priority_counts",
-    "local_supplier_volume",
-    "market_share_by_year",
-    "min_cost_supplier_per_part",
-    "nation_revenue_share",
-    "near_dup_incremental",
-    "near_dup_simhash",
-    "part_supplier_diversity",
-    "phash_dup_stats",
-    "png_decode_stats",
-    "price_moments_by_flag",
-    "promo_revenue_share",
-    "right_join_supplier_nations",
-    "small_qty_parts_revenue",
-    "span_clip_checksums",
-    "state_transition_matrix",
-    "stratified_split_by_source",
-    "text_normalization_checksum",
-    "token_budget_sample",
-    "unshipped_order_revenue",
-    "volume_shipping_pairs",
-    "wav_decode_stats",
-    "wealthy_inactive_customers",
-    # --- last officially sampled r9 (staleness refresh, 20/49) ---
-    "ivf_ann_topk",               # quantization-adjacent: sample post-r12 work
-    "ivf_ann_incremental_topk",   # quantization-adjacent
-    "pq_ann_topk",                # quantization-adjacent
-    "abandoned_clicks_daily",
-    "ann_lsh_topk",
-    "anti_join_no_big_order",
-    "approx_unique_visitors",
-    "array_funcs_documents",
-    "asof_join_purchase_last_click",
-    "benchmark_contamination",
-    "cdc_scd2_intervals",
-    "cep_all_matches_ranges",
-    "cep_consecutive_clicks",
-    "cep_iterative_condition",
-    "cep_skip_past_last",
-    "cep_skip_to_first",
-    "cep_skip_to_last",
-    "cep_skip_to_next",
-    "corpus_curation_pipeline",
-    "cosine_topk_bruteforce",
+    # --- last officially sampled r9 (the K=4 obligation, all 29) ---
+    "daily_unique_visitors",
+    "datetime_funcs_orders",
+    "distinct_users_by_type",
+    "doc_fingerprint_stats",
+    "event_gaps",
+    "exact_dedup_docs",
+    "hash_funcs_documents",
+    "interval_join_click_purchase",
+    "jpeg_decode_stats",
+    "json_props_stats",
+    "kmeans_cluster_profile",     # rows-only by design; official weak sample
+    "kmeans_quality_summary",
+    "label_centroids",
+    "label_homophily_check",
+    "late_priority_mix",
+    "leakage_safe_split",
+    "left_join_recent_spend",
+    "math_conditional_orders",
+    "media_dup_canonicals",
+    "minhash_signatures_sample",
+    "nations_with_customers_and_suppliers",
+    "near_dup_clusters",
+    "near_dup_embeddings",
+    "near_dup_jaccard",
+    "near_dup_minhash",
+    "new_vs_returning_daily",
+    "pandas_udf_token_stats",
+    "pii_redaction_stats",
+    "video_frame_sample_plan",
+    # --- last officially sampled r10 (staleness refresh, 20/48) ---
+    "spark_native_hashes",        # rows-only by design; official weak sample
+    "approx_value_percentiles",
+    "bpe_token_counts",
+    "cep_greedy_views",
+    "cep_group_times_funnel",
+    "cep_one_or_more_until",
+    "cep_times_quantifier",
+    "cohort_retention",
+    "collect_event_types",
+    "cross_join_region_status",
+    "cube_customer_segments",
+    "curated_packing_manifest",
+    "customer_balance_quartiles",
+    "dirty_data_split",
+    "distinct_segments_per_nation",
+    "doc_bigram_perplexity",
+    "doc_chunking_windows",
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_trigram_perplexity",
 )
 
 

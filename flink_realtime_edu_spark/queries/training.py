@@ -597,58 +597,68 @@ def _qc_cte_chain(
     scoring CTE emits; ``text_expr`` is the SQL expression the
     tokenizer reads (default the raw column; the planted-signal eval
     passes a derived expression). Defaults reproduce the
-    fit-and-self-score query exactly."""
+    fit-and-self-score query exactly.
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB (1.0) INLINES CTEs by
+    default, and this chain references ``q`` and each ``w{{t}}``
+    more than once per step — inlined, the re-evaluation compounds
+    per step and the sf0.01 oracle wall explodes to ~25 min (the r12
+    verdict's gate-budget hazard; measured >300 s even at sf0.001).
+    Materialized, each CTE is evaluated once and the identical values
+    come back in well under a second (equality re-verified against
+    the inlined plan at sf0.001). Perf hint only — result-identical
+    by construction."""
     ctes = [
-        f"""toks AS (
+        f"""toks AS MATERIALIZED (
   SELECT doc_id,
          CAST(CASE WHEN source IN {_DSIR_TGT_SQL} THEN 1000000 ELSE 0 END
               AS BIGINT) AS y,
          ({fit_pred}) AS is_tr,
          list_filter(string_split({text_expr}, ' '), x -> x <> '') AS w
   FROM documents
-), feat AS (
+), feat AS MATERIALIZED (
   SELECT doc_id, y, is_tr,
          {_H60.format(expr="w[i] || ' ' || w[i + 1]")} % {_DSIR_B} AS f
   FROM (SELECT * FROM toks WHERE len(w) >= 2),
        unnest(generate_series(1, len(w) - 1)) t(i)
-), df AS (
+), df AS MATERIALIZED (
   SELECT doc_id, y, is_tr, f, COUNT(*) AS c FROM feat GROUP BY 1, 2, 3, 4
-), nd AS (
+), nd AS MATERIALIZED (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM df GROUP BY 1
-), qb AS (
+), qb AS MATERIALIZED (
   SELECT df.doc_id, df.y, df.is_tr, df.f,
          CAST(ROUND(df.c * 1000000.0 / nd.n, 0) AS BIGINT) AS q, nd.n
   FROM df JOIN nd ON df.doc_id = nd.doc_id
-), q AS (
+), q AS MATERIALIZED (
   SELECT * FROM qb
   UNION ALL
   SELECT doc_id, MAX(y), BOOL_OR(is_tr), CAST({_QC_BIAS_F} AS BIGINT),
          CAST(1000000 AS BIGINT), n
   FROM qb GROUP BY doc_id, n
-), nn AS (
+), nn AS MATERIALIZED (
   SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
   FROM q WHERE is_tr
-), w0 AS (
+), w0 AS MATERIALIZED (
   SELECT UNNEST(range({_DSIR_B + 1})) AS f, CAST(0 AS BIGINT) AS w
 )"""
     ]
     sig = _QC_SIG_SQL
     for t in range(_QC_STEPS):
-        ctes.append(f"""z{t} AS (
+        ctes.append(f"""z{t} AS MATERIALIZED (
   SELECT q.doc_id, MAX(q.y) AS y, CAST(SUM(q.q * w{t}.w) AS BIGINT) AS z
   FROM q JOIN w{t} ON q.f = w{t}.f WHERE q.is_tr GROUP BY q.doc_id
-), r{t} AS (
+), r{t} AS MATERIALIZED (
   SELECT doc_id, y - {sig.format(z='z')} AS r FROM z{t}
-), g{t} AS (
+), g{t} AS MATERIALIZED (
   SELECT q.f, CAST(SUM(r{t}.r * q.q) AS BIGINT) AS g
   FROM q JOIN r{t} ON q.doc_id = r{t}.doc_id WHERE q.is_tr GROUP BY q.f
-), w{t + 1} AS (
+), w{t + 1} AS MATERIALIZED (
   SELECT w{t}.f,
          w{t}.w + COALESCE(CAST(ROUND({_QC_ETA} * CAST(g{t}.g AS DOUBLE)
                     / (nn.n_docs * 1000000.0), 0) AS BIGINT), 0) AS w
   FROM w{t} LEFT JOIN g{t} ON w{t}.f = g{t}.f CROSS JOIN nn
 )""")
-    ctes.append(f"""zf AS (
+    ctes.append(f"""zf AS MATERIALIZED (
   SELECT q.doc_id, MAX(q.y) AS y, MAX(q.n) AS n,
          CAST(SUM(q.q * wf.w) AS BIGINT) AS z
   FROM q JOIN w{_QC_STEPS} wf ON q.f = wf.f
