@@ -424,10 +424,12 @@ def ivfpq_topk(
     pruning means the float column is never read — and the stored
     codes are scored directly with zero per-query re-encoding. Floats
     are fetched ONLY for the shortlist rerank, keyed by nid. Without
-    the column the scan falls back to encode-in-scan (the bootstrap
-    path for an index that has not been through pq_encode_index; it
-    reads floats and re-encodes per search call — correct, but not
-    the 100 TB shape). The scan also FILTERS to the probed-cluster
+    the column — or when ANY probed-cluster code is NULL (an index
+    appended without codebooks_dir, or mixed across a rebuild;
+    detected by a bytes-only file-pruned probe job) — the scan falls
+    back to encode-in-scan (the bootstrap path for an index that has
+    not been through pq_encode_index; it reads floats and re-encodes
+    per search call — correct, but not the 100 TB shape). The scan also FILTERS to the probed-cluster
     union first — at rest the index is written partitioned by cluster
     id, so this prunes files, not merely rows. Per Arrow batch the
     ADC gather scores every (row, query) pair, then a per-query
@@ -482,7 +484,21 @@ def ivfpq_topk(
     # residual bias: score(q, x ∈ cluster i) = <q̂, ĉ_i> + Σ_m LUT
     bias = None if centers_norm is None else qn @ np.ascontiguousarray(centers_norm).T  # (nq, C)
     cn = None if centers_norm is None else np.ascontiguousarray(centers_norm)
-    codes_at_rest = code_col in assigned.columns
+    pruned = assigned.filter(
+        F.col("cluster").isin([int(c) for c in union_clusters])
+    )
+    # Dispatch on non-null codes, not column PRESENCE (ADVICE r12):
+    # read_ivf_index always emits `code`, and a sink built without
+    # codebooks_dir (or a rebuild-without-codebooks + append-with)
+    # stores NULL / mixed codes — scoring those would crash executor-
+    # side in the byte join. The probe scans only the pruned clusters'
+    # code column (file-pruned, bytes-only — one tiny job per search);
+    # ANY null code falls the whole search back to encode-in-scan,
+    # which is correct on every layout (it reads floats and ignores
+    # the code column) at bootstrap-path cost.
+    codes_at_rest = code_col in assigned.columns and pruned.filter(
+        F.col(code_col).isNull()
+    ).isEmpty()
 
     def topk_frame(score, nids, clusters):
         """Shared per-batch tail: round, per-query probe-mask + local
@@ -511,6 +527,19 @@ def ivfpq_topk(
                 continue
             nids = pdf["nid"].to_numpy(dtype=np.int64)
             clusters = pdf["cluster"].to_numpy(dtype=np.int64)
+            if pdf[code_col].isnull().any():
+                # belt-and-braces behind the dispatch probe: a write
+                # racing the search could land null codes between
+                # probe and scan — name the fix instead of the
+                # opaque TypeError the byte join would throw
+                raise ValueError(
+                    "NULL PQ codes reached the codes-at-rest scorer: "
+                    "the index mixes encoded and unencoded rows "
+                    "(append without codebooks_dir, or pre-encode "
+                    "rebuild). Re-encode via pq_encode_index / "
+                    "rebuild_ivf_index, or drop the code column to "
+                    "force encode-in-scan."
+                )
             codes = np.frombuffer(
                 b"".join(pdf[code_col].tolist()), dtype=np.uint8
             ).reshape(len(pdf), mq)
@@ -540,9 +569,6 @@ def ivfpq_topk(
                 score = score + bias[:, clusters].T
             yield topk_frame(score, nids, clusters)
 
-    pruned = assigned.filter(
-        F.col("cluster").isin([int(c) for c in union_clusters])
-    )
     scan = pruned.select(
         "nid", "cluster", *([code_col] if codes_at_rest else ["cv"])
     )

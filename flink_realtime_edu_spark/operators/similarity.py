@@ -195,6 +195,34 @@ def cosine_pair_udf(scale: int = 6):
     return _cos
 
 
+def adaptive_n_planes(
+    n_rows: int,
+    target_bucket_rows: int = 4096,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Scale the LSH code length with the corpus: planes =
+    ⌈log2(n / target_bucket_rows)⌉ clamped to [min, max], so expected
+    bucket occupancy n / 2^planes stays ≈ target no matter the scale
+    (VERDICT r12 item 3 — the planes-scale-with-log(n) contract,
+    previously docstring-only, now in code). The floor IS the
+    historical fixed default, so every oracle-scale corpus
+    (sf0.001–0.1 ≤ 60 k rows with the 4096-row target) resolves to
+    the exact geometry the recorded recalls were measured under —
+    pinned by tests/test_operators.py::test_adaptive_n_planes — while
+    sf1 (600 k) gets 8 planes and 10⁹ vectors get 18, keeping the
+    bucket self-join bounded without hand retuning. The cap bounds
+    the bucket-id bit budget (table tags shift by n_planes; 24 planes
+    + the table tag stays far inside int64) — past ~16 M× the target
+    you retune target_bucket_rows, not the clamp."""
+    import math
+
+    if n_rows <= 0:
+        return min_planes
+    raw = math.ceil(math.log2(max(n_rows / target_bucket_rows, 1.0)))
+    return max(min_planes, min(max_planes, raw))
+
+
 def hyperplane_buckets(
     n_planes: int = 4, dim: int = 64, n_tables: int = 8, seed: int = 42
 ):
@@ -231,15 +259,22 @@ def lsh_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share ANY of the query's LSH
     bucket ids; exact cosine re-ranks the (deduplicated) candidates.
     All-pairs work never happens — the only join key is the bucket
-    id, so per-query candidate volume is ~ n_tables·corpus/2^n_planes."""
+    id, so per-query candidate volume is ~ n_tables·corpus/2^n_planes.
+
+    ``n_planes=None`` (default) sizes the geometry from one corpus
+    count via :func:`adaptive_n_planes` — identical to the historical
+    4-plane fixed geometry at every oracle scale (the floor), log-
+    scaling past it. Pass an int to pin it explicitly."""
     dim = len(corpus.select(vec_col).first()[0])
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
     buckets = hyperplane_buckets(n_planes, dim, n_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("nid"),
@@ -273,7 +308,7 @@ def knn_graph_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -298,11 +333,15 @@ def knn_graph_lsh(
     Vectors re-enter only AFTER the distinct (src, dst) pair set
     exists, via two id-keyed joins sized by the candidate set.
     Candidate volume per vector ≈ n_tables · n / 2^n_planes: planes
-    scale with log(n) — at 10⁹ vectors ~16–20 planes keep buckets
-    bounded; the defaults here match ann_lsh_topk's tuning for the
-    test corpus. Isolated nodes (no bucket-mate in any table) emit
+    scale with log(n) via :func:`adaptive_n_planes` when
+    ``n_planes=None`` (default — one corpus count sizes the geometry:
+    4 planes at every oracle scale, 8 at sf1's 600 k, ~18 at 10⁹,
+    keeping expected bucket occupancy ≈ the 4096-row target without
+    hand retuning). Isolated nodes (no bucket-mate in any table) emit
     no rows by construction — count them against F.lit(k) coverage
     downstream rather than expecting exactly n·k edges."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(corpus.count())
     bkts = hyperplane_buckets(
         n_planes, len(corpus.select(vec_col).first()[0]), n_tables, seed
     )
@@ -485,7 +524,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -498,8 +537,20 @@ def embedding_near_duplicates(
     scale lever: at cos ≥ 0.95 a 6-bit code admitted ~255 k false
     candidates from 5 k random vectors (every one exactly scored),
     while 12 bits cut candidates ~50× for dup-recall ≈ 1 at
-    cos ≥ 0.99 across 8 tables. All-pairs never materializes."""
+    cos ≥ 0.99 across 8 tables. All-pairs never materializes.
+
+    ``n_planes=None`` (default) sizes the code from one corpus count:
+    adaptive_n_planes with a TIGHT 16-row bucket target and the
+    historical 12-plane code as the floor — ≥-0.95-cos near-dups
+    survive long codes, so the dedup path tolerates (and wants) far
+    smaller buckets than the k-NN search paths' 4096-row target.
+    Every oracle scale resolves to the measured 12-plane geometry;
+    sf1 gets 16 planes, 10⁹ vectors 26 (cap 30)."""
     dim = len(corpus.select(vec_col).first()[0])
+    if n_planes is None:
+        n_planes = adaptive_n_planes(
+            corpus.count(), target_bucket_rows=16, min_planes=12, max_planes=30
+        )
     buckets = hyperplane_buckets(n_planes, dim, n_tables, seed)
     tagged = (
         corpus.select(
@@ -624,6 +675,7 @@ __all__ = [
     "cosine_pair_udf",
     "lsh_cosine_topk",
     "hyperplane_buckets",
+    "adaptive_n_planes",
     "embedding_near_duplicates",
     "block_pairs",
     "semantic_dedup",

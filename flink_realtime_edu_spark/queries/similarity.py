@@ -358,9 +358,13 @@ def knn_graph_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 0.64–0.72 across sf0.001–0.1, the ann_lsh_topk floor,
     as it must be — same buckets, same ranking; threshold 0.35)."""
     from flink_realtime_edu_spark.operators.similarity import knn_graph_lsh
+    from flink_realtime_edu_spark.session import materialize as _materialize
 
     emb = load(spark, sf_dir, "embeddings")
-    graph = knn_graph_lsh(emb, k=_K)
+    # the graph feeds BOTH summary arms (full-degree coverage and the
+    # sampled-recall join); materialized so the bucket self-join +
+    # scoring + top-k window run once, not per consumer (ADVICE r12)
+    graph = _materialize(knn_graph_lsh(emb, k=_K))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     ann = graph.filter(F.col("src") < _N_QUERIES).select(
         F.col("src").alias("qid"), F.col("dst").alias("nid")

@@ -147,16 +147,28 @@ def streaming_ivf_index(
     )
     from flink_realtime_edu_spark.operators.similarity import ivf_append
 
+    # Frozen models are read ONCE, on the first batch, and cached in
+    # the closure (ADVICE r12): the quantizer/codebooks are immutable
+    # by the freeze contract this module's header states — a refit
+    # writes FRESH paths and restarts the stream — so re-reading and
+    # re-collecting the m·k codebook table per micro-batch was pure
+    # redundant driver work on the hot append path. Hot-swapping
+    # models in place is NOT intended (assignments are only
+    # meaningful under the centroids that produced them).
+    frozen: dict[str, "np.ndarray"] = {}
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         check_bucket_layout(index_dir, n_buckets)
-        centers = read_ivf_quantizer(spark, quantizer_dir)
+        if "centers" not in frozen:
+            frozen["centers"] = read_ivf_quantizer(spark, quantizer_dir)
+            if codebooks_dir is not None:
+                frozen["codebooks"] = read_pq_codebooks(spark, codebooks_dir)
         assigned = ivf_append(
-            batch_df, centers, id_col=id_col, vec_col=vec_col
+            batch_df, frozen["centers"], id_col=id_col, vec_col=vec_col
         )
         if codebooks_dir is not None:
-            codebooks = read_pq_codebooks(spark, codebooks_dir)
-            assigned = pq_encode_index(assigned, codebooks)
+            assigned = pq_encode_index(assigned, frozen["codebooks"])
         else:
             assigned = assigned.withColumn(
                 "code", F.lit(None).cast("binary")
@@ -176,11 +188,22 @@ def streaming_ivf_index(
             touched = [
                 r[0] for r in assigned.select(BUCKET_COL).distinct().collect()
             ]
-            index = read_buckets(spark, index_dir, touched)
+            index = read_buckets(spark, index_dir, touched, merge_schema=True)
             if index is None:
                 index = spark.createDataFrame([], INDEX_SCHEMA).withColumn(
                     BUCKET_COL, F.lit(0)
                 )
+            # On-disk schema migration (ADVICE r12): a pre-r13 index
+            # written before INDEX_SCHEMA gained `code` reads back
+            # without the column — appending would fail in
+            # unionByName. Null-fill it: the codes-at-rest search
+            # dispatch treats null codes as encode-in-scan, so the
+            # migrated rows stay correct (at bootstrap cost) until a
+            # rebuild_ivf_index re-encodes them. Touched buckets are
+            # rewritten whole by the staged swap, so no single bucket
+            # ever mixes file schemas.
+            if "code" not in index.columns:
+                index = index.withColumn("code", F.lit(None).cast("binary"))
             # crash-window duplicates are identical rows; a replayed
             # batch re-assigns identically (frozen centroids), so the
             # min_by keeps the FIRST batch's row and replay is a no-op
@@ -287,18 +310,22 @@ def rebuild_ivf_index(
 def read_ivf_index(spark, index_dir: str) -> DataFrame:
     """The searchable (nid, cluster, cv, code) layout — feed it to
     ``operators.similarity._ivf_probe_search`` or
-    ``operators.quantization.ivfpq_topk`` (which scores the stored
-    codes directly when the sink was built with ``codebooks_dir``;
-    the column is NULL otherwise — drop it before ivfpq_topk to fall
-    back to encode-in-scan)."""
+    ``operators.quantization.ivfpq_topk``. The search path scores
+    stored codes directly only when every probed code is non-null
+    (the sink was built with ``codebooks_dir``); NULL or mixed codes
+    — including a pre-r13 index read back here, whose missing column
+    null-fills via mergeSchema — fall back to encode-in-scan
+    automatically (ivfpq_topk's dispatch probe)."""
     dirs = sorted(
         str(p) for p in Path(index_dir).glob(f"{BUCKET_COL}=*") if p.is_dir()
     )
     if not dirs:
         raise FileNotFoundError(f"no index buckets under {index_dir}")
-    return (
+    df = (
         spark.read.option("basePath", index_dir)
+        .option("mergeSchema", "true")
         .parquet(*dirs)
-        .dropDuplicates(["nid"])
-        .select("nid", "cluster", "cv", "code")
     )
+    if "code" not in df.columns:  # wholly pre-r13 index: no file has it
+        df = df.withColumn("code", F.lit(None).cast("binary"))
+    return df.dropDuplicates(["nid"]).select("nid", "cluster", "cv", "code")

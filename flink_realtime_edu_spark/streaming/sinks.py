@@ -76,13 +76,26 @@ def existing_bucket_dirs(target_dir: str, buckets: list[int]) -> list[str]:
     ]
 
 
-def read_buckets(spark, target_dir: str, buckets: list[int]) -> DataFrame | None:
+def read_buckets(
+    spark, target_dir: str, buckets: list[int], merge_schema: bool = False
+) -> DataFrame | None:
     """Read only the given buckets of a bucketed table (partition
-    column retained via basePath); None if none exist yet."""
+    column retained via basePath); None if none exist yet.
+
+    ``merge_schema`` unions the file schemas instead of sampling one
+    file (columns missing from older files null-fill) — required for
+    indexes whose schema gained a column mid-life (annindex's `code`,
+    r12): without it, inference may sample an OLD file and silently
+    DROP the new column from every row, and a subsequent staged swap
+    would persist the loss. Costs a footer read per file; buckets are
+    touched-only so the set is small."""
     dirs = existing_bucket_dirs(target_dir, buckets)
     if not dirs:
         return None
-    return spark.read.option("basePath", target_dir).parquet(*dirs)
+    reader = spark.read.option("basePath", target_dir)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*dirs)
 
 
 def staged_swap_buckets(

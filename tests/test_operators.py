@@ -369,6 +369,36 @@ def test_knn_graph_lsh_invariants(spark, sf_dir):
     assert rerun == {(r.src, r.dst, r.cos) for r in rows}
 
 
+def test_adaptive_n_planes():
+    """Scale-adaptive LSH geometry (VERDICT r12 item 3): the oracle
+    scales must resolve to EXACTLY the historical fixed geometry (the
+    floor) — every recorded recall/coverage number was measured under
+    it — while larger corpora get log-scaled codes with the clamps
+    applied. Pins both the search profile (4096-row target, floor 4)
+    and the near-dup profile (16-row target, floor 12)."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        adaptive_n_planes,
+    )
+
+    # search/k-NN profile (lsh_cosine_topk / knn_graph_lsh defaults)
+    for n in (0, 1, 600, 6_000, 60_000):  # sf0.001–0.1 land on the floor
+        assert adaptive_n_planes(n) == 4
+    assert adaptive_n_planes(600_000) == 8      # native sf1
+    assert adaptive_n_planes(6_000_000) == 11
+    assert adaptive_n_planes(1_000_000_000) == 18
+    assert adaptive_n_planes(10**15) == 24      # cap binds
+    # near-dup profile (embedding_near_duplicates default)
+    nd = dict(target_bucket_rows=16, min_planes=12, max_planes=30)
+    for n in (0, 600, 6_000, 60_000):
+        assert adaptive_n_planes(n, **nd) == 12
+    assert adaptive_n_planes(600_000, **nd) == 16
+    assert adaptive_n_planes(1_000_000_000, **nd) == 26
+    assert adaptive_n_planes(10**15, **nd) == 30
+    # expected occupancy stays ≤ target past the floor (until the cap)
+    for n in (10_000_000, 10**9):
+        assert n / 2 ** adaptive_n_planes(n) <= 4096
+
+
 def test_ivfpq_residual_encoding_semantics(spark, sf_dir):
     """Residual PQ (flag-gated; VERDICT r11 item 3): codes from
     pq_fit_sample_residual scored with the SAME centers_norm must (a)

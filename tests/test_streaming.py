@@ -3032,6 +3032,111 @@ def test_streaming_ivf_index_equals_batch_append_and_replays(
     assert _rows(read_ivf_index(spark, index_dir)) == before
 
 
+def test_streaming_ivf_index_appends_onto_pre_code_schema(
+    spark, sf_dir, tmp_path
+):
+    """On-disk schema migration (ADVICE r12): an index written BEFORE
+    INDEX_SCHEMA gained `code` must keep working end to end —
+    read_ivf_index null-fills the missing column, the streaming
+    appender folds new (encoded) rows onto the old buckets without
+    unionByName failing, the resulting MIXED index reads
+    deterministically (mergeSchema, never schema-sampling an old
+    file), and the IVF×PQ search auto-falls-back to encode-in-scan
+    (null codes must never reach the byte scorer) with results
+    identical to the explicit no-code path."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        pq_fit_sample,
+    )
+    from flink_realtime_edu_spark.operators.similarity import (
+        _ivf_fit_assign,
+        ivf_append,
+    )
+    from flink_realtime_edu_spark.streaming.annindex import (
+        read_ivf_index,
+        streaming_ivf_index,
+        write_ivf_quantizer,
+        write_pq_codebooks,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import (
+        BUCKET_COL,
+        check_bucket_layout,
+        key_bucket_col,
+        run_to_completion,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    _, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
+    quant_dir = str(tmp_path / "mig_quant")
+    write_ivf_quantizer(spark, centers, quant_dir)
+    codebooks = pq_fit_sample(emb, m=16, k=256)
+    cb_dir = str(tmp_path / "mig_cb")
+    write_pq_codebooks(spark, codebooks, cb_dir)
+
+    # the pre-r13 layout: (nid, cluster, cv, first_seen_batch) — no code
+    index_dir = str(tmp_path / "mig_index")
+    (
+        ivf_append(base, centers)
+        .select(
+            "nid",
+            "cluster",
+            F.col("cv").cast("array<float>").alias("cv"),
+            F.lit(-1).cast("long").alias("first_seen_batch"),
+        )
+        .withColumn(BUCKET_COL, key_bucket_col(["cluster"], 8))
+        .write.partitionBy(BUCKET_COL)
+        .parquet(index_dir)
+    )
+    check_bucket_layout(index_dir, 8)
+
+    # read-back of the wholly-old index: code null-filled, searchable
+    idx_old = read_ivf_index(spark, index_dir)
+    assert "code" in idx_old.columns
+    assert idx_old.filter(F.col("code").isNotNull()).isEmpty()
+
+    # append an ENCODED delta onto the old store → mixed index
+    src = tmp_path / "mig_src"
+    delta.repartition(2).write.parquet(str(src))
+    sink = streaming_ivf_index(quant_dir, index_dir, codebooks_dir=cb_dir)
+    q = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mig_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    idx = read_ivf_index(spark, index_dir)
+    assert idx.count() == emb.count()
+    # old rows keep null codes, appended rows carry real codes — the
+    # mixed read must not silently drop either side's column values
+    coded = idx.filter(F.col("code").isNotNull())
+    assert coded.count() == delta.count()
+    assert (
+        coded.join(delta.select(F.col("vec_id").alias("nid")), "nid").count()
+        == delta.count()
+    )
+
+    # the IVF×PQ search on the mixed index must fall back to
+    # encode-in-scan (not crash in the byte scorer) and match the
+    # explicit no-code path exactly
+    q0 = emb.filter(F.col("vec_id") == 0)
+    got = ivfpq_topk(
+        idx, centers, q0, codebooks, k=3, n_probe=4, rerank_r=10
+    ).collect()
+    want = ivfpq_topk(
+        idx.drop("code"), centers, q0, codebooks, k=3, n_probe=4, rerank_r=10
+    ).collect()
+    assert [(r.qid, r.nid, r.approx_cos) for r in got] == [
+        (r.qid, r.nid, r.approx_cos) for r in want
+    ]
+    assert len(got) == 3
+
+
 def test_ivf_index_rebuild_then_stream_append(spark, sf_dir, tmp_path):
     """The refit/rebuild path (r12 — the batch-side counterpart the
     append sink's header defers to): rebuild_ivf_index over a corpus
