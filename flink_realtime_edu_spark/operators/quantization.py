@@ -386,6 +386,43 @@ def _exact_rerank(
     )
 
 
+def _probe_assign(qmat: np.ndarray, centers: np.ndarray, n_probe: int) -> np.ndarray:
+    """(nq, n_probe) nearest-centroid ids by L2 on the RAW query
+    vectors — THE probe assignment, shared by ivfpq_topk and
+    probed_clusters so file pruning and row masking can never drift
+    apart (identical metric to _ivf_probe_search)."""
+    d2 = ((qmat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return np.argsort(d2, axis=1)[:, :n_probe]
+
+
+def probed_clusters(
+    queries: DataFrame,
+    centers: np.ndarray,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> list[int]:
+    """The union of IVF cluster ids the query set probes — the SAME
+    L2-argmin assignment ivfpq_topk/_ivf_probe_search apply, factored
+    out so a caller holding a PARTITIONED index can prune files
+    before the scan even plans (read_ivf_index(clusters=...)): at
+    rest the index is bucketed by cluster hash, so knowing the probe
+    union up front turns 'filter rows' into 'never list the files'.
+    Driver-sized query contract as everywhere (max_queries guard)."""
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"query frame exceeds max_queries={max_queries}; the probe "
+            "set must be driver-sized — see pq_adc_topk's contract"
+        )
+    if not q_rows:
+        raise ValueError("query frame is empty — see ivfpq_topk's contract")
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    probed = _probe_assign(qmat, centers, n_probe)
+    return sorted({int(c) for c in probed.ravel()})
+
+
 def ivfpq_topk(
     assigned: DataFrame,
     centers: np.ndarray,
@@ -467,10 +504,7 @@ def ivfpq_topk(
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    # probe assignment: n_probe nearest centroids by L2 on the RAW
-    # query vector — identical metric to _ivf_probe_search
-    d2 = ((qmat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    probed = np.argsort(d2, axis=1)[:, :n_probe]  # (nq, n_probe)
+    probed = _probe_assign(qmat, centers, n_probe)  # (nq, n_probe)
     probe_mask = np.zeros((len(qids), n_clusters), dtype=bool)
     for j in range(len(qids)):
         probe_mask[j, probed[j]] = True

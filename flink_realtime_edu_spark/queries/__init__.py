@@ -114,6 +114,8 @@ def register(
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
+    # --- never officially sampled (NEW r13) ---
+    "ivfpq_persisted_ann_topk",   # X6 -- persisted codes-at-rest search
     # --- last officially sampled r9 (the K=4 obligation, all 29) ---
     "daily_unique_visitors",
     "datetime_funcs_orders",
@@ -164,7 +166,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "doc_chunking_windows",
     "doc_quality_scores",
     "doc_repetition_stats",
-    "doc_trigram_perplexity",
 )
 
 

@@ -285,6 +285,106 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_summary(ann, exact, queries, k=_K, min_mean_recall=0.3)
 
 
+_IVFPQ_STORE_VERSION = 1  # bump when the store layout/params change
+
+
+def _ivfpq_store_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Build-if-missing persisted IVF×PQ store for ``sf_dir`` —
+    (quantizer_dir, index_dir, codebooks_dir) under the system temp
+    root, keyed by (sf_dir, version). The build IS
+    streaming/annindex.rebuild_ivf_index (seeded KMeans + pq_fit
+    sample → cluster-bucketed codes-at-rest parquet), so the store is
+    bit-deterministic: a cold build and a warm reuse serve identical
+    results, which is what lets a cached store back an
+    oracle-checked query. Crash-safe by build-then-rename: the store
+    only appears at its final path complete (the `_COMPLETE` marker
+    rides inside the renamed dir); a version bump or a wiped temp
+    root just pays one rebuild."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from flink_realtime_edu_spark.streaming.annindex import rebuild_ivf_index
+
+    tag = hashlib.md5(
+        f"{sf_dir}|v{_IVFPQ_STORE_VERSION}".encode()
+    ).hexdigest()[:12]
+    root = (
+        Path(tempfile.gettempdir())
+        / "flink_realtime_edu_spark"
+        / f"ivfpq_store_{tag}"
+    )
+    if not (root / "_COMPLETE").exists():
+        build = root.with_name(root.name + ".build")
+        shutil.rmtree(build, ignore_errors=True)
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        rebuild_ivf_index(
+            emb,
+            str(build / "quantizer"),
+            str(build / "index"),
+            codebooks_dir=str(build / "codebooks"),
+        )
+        (build / "_COMPLETE").touch()
+        shutil.rmtree(root, ignore_errors=True)
+        build.rename(root)
+    return (
+        str(root / "quantizer"),
+        str(root / "index"),
+        str(root / "codebooks"),
+    )
+
+
+@register("ivfpq_persisted_ann_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)
+def ivfpq_persisted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ search over a PERSISTED codes-at-rest index — the
+    latency-critical shape a real user runs (VERDICT r12 item 2):
+    ivfpq_ann_topk builds its index inside the query (the right
+    oracle for build semantics, but at sf1 the one-shot encode
+    dominates its wall), while THIS query searches a pre-built store
+    — build-if-missing via rebuild_ivf_index into a cached temp
+    store (_ivfpq_store_dirs), then a hot path that is ONLY
+    read-index → partition-pruned (nid, cluster, code) ADC scan →
+    shortlist rerank. The warm/cold split is measured in BASELINE.md
+    r12: 3.03 s warm vs 10.1 s build-in-query at sf1 (3.3× — the
+    codes A/B), which is exactly the gap this query exists to keep
+    under the driver's official sample.
+
+    Deterministic across cold/warm runs (seeded rebuild ⇒ identical
+    store ⇒ identical results), so the cache is oracle-safe. Same
+    index parameters and recall contract as ivfpq_ann_topk
+    (16-cluster IVF, m=16 × 256 codes, 4-probe, top-30 rerank;
+    measured mean recall 0.64/0.72/0.68 at sf0.001/0.01/0.1;
+    threshold 0.3); the codes-only ReadSchema + cluster partition
+    pruning on the hot scan are pinned in tests/test_plans.py."""
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        probed_clusters,
+    )
+    from flink_realtime_edu_spark.streaming.annindex import (
+        read_ivf_index,
+        read_ivf_quantizer,
+        read_pq_codebooks,
+    )
+
+    quant_dir, index_dir, cb_dir = _ivfpq_store_dirs(spark, sf_dir)
+    centers = read_ivf_quantizer(spark, quant_dir)
+    codebooks = read_pq_codebooks(spark, cb_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    # file pruning BEFORE the scan plans: the probe union selects the
+    # bucket dirs to list (rows from co-bucketed other clusters are
+    # removed by ivfpq_topk's own cluster filter)
+    idx = read_ivf_index(
+        spark, index_dir, clusters=probed_clusters(queries, centers)
+    )
+    ann = ivfpq_topk(
+        idx, centers, queries, codebooks, k=_K, n_probe=4, rerank_r=30
+    )
+    exact = cosine_topk(emb, queries, k=_K)
+    return ann_recall_summary(ann, exact, queries, k=_K, min_mean_recall=0.3)
+
+
 @register("ivfpq_residual_ann_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)
 def ivfpq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ with RESIDUAL encoding (VERDICT r11 item 3; Jégou et

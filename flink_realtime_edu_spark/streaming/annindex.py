@@ -307,7 +307,9 @@ def rebuild_ivf_index(
     check_bucket_layout(index_dir, n_buckets)
 
 
-def read_ivf_index(spark, index_dir: str) -> DataFrame:
+def read_ivf_index(
+    spark, index_dir: str, clusters: "list[int] | None" = None
+) -> DataFrame:
     """The searchable (nid, cluster, cv, code) layout — feed it to
     ``operators.similarity._ivf_probe_search`` or
     ``operators.quantization.ivfpq_topk``. The search path scores
@@ -315,12 +317,47 @@ def read_ivf_index(spark, index_dir: str) -> DataFrame:
     (the sink was built with ``codebooks_dir``); NULL or mixed codes
     — including a pre-r13 index read back here, whose missing column
     null-fills via mergeSchema — fall back to encode-in-scan
-    automatically (ivfpq_topk's dispatch probe)."""
+    automatically (ivfpq_topk's dispatch probe).
+
+    ``clusters`` (e.g. operators.quantization.probed_clusters' union
+    for a known query set) prunes the read to the bucket dirs those
+    clusters hash into BEFORE the file index is even built — the
+    'prunes files, not merely rows' posture the partitioned layout
+    exists for: at 100 TB an n_probe/n_clusters probe set touches
+    that fraction of bucket dirs and the rest are never listed. Rows
+    from co-bucketed OTHER clusters still load (hash granularity);
+    the search's own cluster filter removes them. The cluster→bucket
+    mapping runs through the one shared key_bucket_col definition
+    (a collect over a clusters-sized local frame, never guessed
+    driver-side)."""
     dirs = sorted(
         str(p) for p in Path(index_dir).glob(f"{BUCKET_COL}=*") if p.is_dir()
     )
     if not dirs:
         raise FileNotFoundError(f"no index buckets under {index_dir}")
+    if clusters is not None:
+        from flink_realtime_edu_spark.streaming.sinks import (
+            N_BUCKETS_META,
+            key_bucket_col,
+        )
+
+        n_buckets = int((Path(index_dir) / N_BUCKETS_META).read_text().strip())
+        cdf = spark.createDataFrame(
+            [(int(c),) for c in clusters], "cluster int"
+        )
+        wanted = {
+            r[0]
+            for r in cdf.select(
+                key_bucket_col(["cluster"], n_buckets)
+            ).collect()
+        }
+        dirs = [
+            d for d in dirs if int(Path(d).name.split("=", 1)[1]) in wanted
+        ]
+        if not dirs:
+            raise FileNotFoundError(
+                f"no index buckets under {index_dir} for clusters {clusters}"
+            )
     df = (
         spark.read.option("basePath", index_dir)
         .option("mergeSchema", "true")

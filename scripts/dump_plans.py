@@ -2,7 +2,14 @@
 """Dump `explain("formatted")` snapshots for every registered query
 into plans/<name>.txt (SURVEY.md §3.3: one explain per implemented
 query so the intended physical strategy — broadcast joins, partial
-aggs, pushed filters, pruned schemas — is reviewable in the repo)."""
+aggs, pushed filters, pruned schemas — is reviewable in the repo).
+
+Usage: python scripts/dump_plans.py [query ...] — with names, only
+those snapshots regenerate (the add-one-query workflow; the
+every-key-has-a-snapshot invariant is pinned by
+tests/test_plans.py::test_every_registered_query_has_a_plan_snapshot,
+so a new query without a snapshot fails the suite, not the next
+verdict)."""
 
 from __future__ import annotations
 
@@ -22,8 +29,15 @@ def main() -> None:
 
     out_dir = REPO / "plans"
     out_dir.mkdir(exist_ok=True)
+    registry = load_registry()
+    only = sys.argv[1:]
+    if only:
+        unknown = [n for n in only if n not in registry]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        registry = {n: registry[n] for n in only}
     spark = get_spark(app_name="fres-plans")
-    for name, spec in sorted(load_registry().items()):
+    for name, spec in sorted(registry.items()):
         df = spec.build(spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
