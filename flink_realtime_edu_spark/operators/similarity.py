@@ -324,51 +324,113 @@ def knn_graph_lsh(
     SemDeDup-style clustering, graph-based dedup, and
     connectivity-based quality filters consume.
 
-    Scale shape (the candidate_pairs discipline, operators/dedup.py):
-    the bucket self-join carries ONLY (id, bkt) — 16 bytes/row/table,
-    never the vectors; the bucket frame is materialized once so the
-    upstream scan + signature matmul runs once and AQE stage-reuses
-    its shuffle for both sides; NO explicit repartition on the join
-    key, so a hot bucket (a dup clique) stays AQE-skew-splittable.
-    Vectors re-enter only AFTER the distinct (src, dst) pair set
-    exists, via two id-keyed joins sized by the candidate set.
-    Candidate volume per vector ≈ n_tables · n / 2^n_planes: planes
-    scale with log(n) via :func:`adaptive_n_planes` when
-    ``n_planes=None`` (default — one corpus count sizes the geometry:
-    4 planes at every oracle scale, 8 at sf1's 600 k, ~18 at 10⁹,
-    keeping expected bucket occupancy ≈ the 4096-row target without
-    hand retuning). Isolated nodes (no bucket-mate in any table) emit
-    no rows by construction — count them against F.lit(k) coverage
-    downstream rather than expecting exactly n·k edges."""
+    Scale shape (r13 — replaces the pair-distinct + double vector
+    join of r12): score INSIDE the bucket groups. One shuffle moves
+    the tagged (id, vector, bkt) rows — n·n_tables rows of
+    ~vector-width — into per-bucket `applyInPandas` groups; each
+    group computes its own occ²-pair cosines in chunked numpy (the
+    exact cosine_pair_udf kernel: einsum num/den + 6dp half-up
+    rounding, so scores are bit-identical to the join shape) and
+    emits only its per-src LOCAL top-k under the same
+    (cos desc, dst) comparator as the final window — the cosine_topk
+    local-top-k safety argument, per bucket: if k bucket-mates beat
+    x inside a bucket they beat x globally, so global winners always
+    survive locally. Downstream rows are ≤ n·n_tables·k (24 bytes
+    each) through one dedup + one window. The r12 join shape instead
+    attached BOTH vectors to every candidate pair — at candidate
+    volume C that second id-join shuffles C·vector-width bytes
+    (~130 GB at sf1), which is why the graph could not be swept; now
+    data movement is n·n_tables·vector-width in and n·n_tables·k·24 B
+    out, both linear in n with geometry-bounded constants. The
+    tradeoff: a pathologically hot bucket computes in ONE task
+    (applyInPandas groups are not AQE-splittable) — memory stays
+    bounded by the chunked pair buffers, wall does not; the adaptive
+    target keeps expected occupancy ~128 so only an adversarial
+    near-dup clique hits this, and a dup clique should be SemDeDup'd
+    before graph construction anyway.
+
+    Candidate volume per vector ≈ n_tables · n / 2^n_planes: with
+    ``n_planes=None`` (default) the GRAPH profile of
+    :func:`adaptive_n_planes` — 128-row target buckets, floor 4 —
+    sizes planes from one corpus count: every oracle scale resolves
+    to the measured 4-plane geometry, sf1's 500 k vectors get 12
+    planes (~1 k candidates/vector), 10⁹ get 23. Every vector is a
+    query, so per-vector candidate work IS the cost model — the
+    search paths' 4096-row target would mean 31 k scored pairs per
+    vector at every scale, 8× the budget a graph build wants.
+    Isolated nodes (no bucket-mate in any table) emit no rows by
+    construction — count them against F.lit(k) coverage downstream
+    rather than expecting exactly n·k edges."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count())
+        n_planes = adaptive_n_planes(corpus.count(), target_bucket_rows=128)
     bkts = hyperplane_buckets(
         n_planes, len(corpus.select(vec_col).first()[0]), n_tables, seed
     )
-    tagged = _materialize(
-        corpus.select(
-            F.col(id_col).alias("src"),
-            F.explode(bkts(F.col(vec_col))).alias("bkt"),
+    tagged = corpus.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("v"),
+        F.explode(bkts(F.col(vec_col))).alias("bkt"),
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "src": np.array([], dtype=np.int64),
+                    "dst": np.array([], dtype=np.int64),
+                    "cos": np.array([], dtype=np.float64),
+                }
+            )
+        ids = pdf["src"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        out_s, out_d, out_c = [], [], []
+        # chunk the src side so the explicit pair buffers stay ~64 MB
+        # even in a hot bucket (memory bounded; see docstring)
+        c = max(1, 65536 // n)
+        for lo in range(0, n, c):
+            blk = mat[lo : lo + c]
+            b = len(blk)
+            a_rep = np.repeat(blk, n, axis=0)
+            b_tile = np.tile(mat, (b, 1))
+            # the cosine_pair_udf kernel verbatim — per-pair einsum,
+            # so scores are independent of chunk/batch composition
+            num = np.einsum("ij,ij->i", a_rep, b_tile)
+            den = np.sqrt(np.einsum("ij,ij->i", a_rep, a_rep)) * np.sqrt(
+                np.einsum("ij,ij->i", b_tile, b_tile)
+            )
+            cos = _round_half_up(num / den).reshape(b, n)
+            for i in range(b):
+                src = ids[lo + i]
+                mask = ids != src
+                cj, nj = cos[i, mask], ids[mask]
+                top = np.lexsort((nj, -cj))[:k]  # final-window comparator
+                out_s.append(np.full(len(top), src))
+                out_d.append(nj[top])
+                out_c.append(cj[top])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "cos": np.concatenate(out_c),
+            }
         )
+
+    scored = tagged.groupBy("bkt").applyInPandas(
+        score_bucket, schema="src long, dst long, cos double"
     )
-    pairs = (
-        tagged.join(
-            tagged.withColumnsRenamed({"src": "dst"}), on="bkt"
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    vecs = corpus.select(F.col(id_col), F.col(vec_col))
-    joined = pairs.join(
-        vecs.withColumnsRenamed({id_col: "src", vec_col: "sv"}), on="src"
-    ).join(vecs.withColumnsRenamed({id_col: "dst", vec_col: "dv"}), on="dst")
-    scored = joined.select(
-        "src", "dst", cosine_pair_udf()(F.col("sv"), F.col("dv")).alias("cos")
-    )
+    # a pair that matches in several tables yields identical rows —
+    # dedup the narrow (src, dst, cos) frame before ranking so the
+    # duplicate cannot displace a genuine k-th neighbor
+    deduped = scored.dropDuplicates(["src", "dst"])
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        deduped.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

@@ -366,3 +366,126 @@ def read_ivf_index(
     if "code" not in df.columns:  # wholly pre-r13 index: no file has it
         df = df.withColumn("code", F.lit(None).cast("binary"))
     return df.dropDuplicates(["nid"]).select("nid", "cluster", "cv", "code")
+
+
+# ---------------------------------------------------------------------------
+# Generationed store lifecycle (VERDICT r12 item 6)
+#
+# rebuild_ivf_index's contract is "write to FRESH paths and restart the
+# stream against them" — correct for atomicity, but each refit strands
+# the previous quantizer/index/codebooks trio on disk. The helpers
+# below make the generations explicit and reclaimable under the
+# txn_vacuum discipline (sources/sinks.py): a store root holds
+# gen-NNNNNN dirs plus a _CURRENT pointer file; rebuilds create a new
+# generation and atomically repoint; vacuum is TWO-PHASE so an
+# in-flight reader of a superseded generation survives one full
+# maintenance cycle. Maintenance (rebuild/vacuum) is SINGLE-MAINTAINER,
+# exactly like txn_compact/txn_vacuum; reads stay fully concurrent.
+# ---------------------------------------------------------------------------
+
+_GEN_PREFIX = "gen-"
+_CURRENT = "_CURRENT"
+_GEN_COMPLETE = "_COMPLETE"
+
+
+def _gen_dirs(root: "Path") -> "list[Path]":
+    return sorted(
+        p
+        for p in root.iterdir()
+        if p.is_dir() and p.name.startswith(_GEN_PREFIX) and "." not in p.name
+    )
+
+
+def ivf_store_current(store_root: str) -> tuple[str, str, str]:
+    """Resolve the live generation → (quantizer_dir, index_dir,
+    codebooks_dir). Raises loudly if the pointer or its target is
+    gone (a vacuumed generation must fail a NEW resolution at once —
+    the txn_read contract — never serve a half-deleted index)."""
+    root = Path(store_root)
+    ptr = root / _CURRENT
+    if not ptr.exists():
+        raise FileNotFoundError(f"no live generation under {store_root}")
+    gen = root / ptr.read_text().strip()
+    if not (gen / _GEN_COMPLETE).exists():
+        raise FileNotFoundError(
+            f"current generation {gen.name} is vacuumed or incomplete "
+            f"under {store_root}"
+        )
+    return (
+        str(gen / "quantizer"),
+        str(gen / "index"),
+        str(gen / "codebooks"),
+    )
+
+
+def ivf_store_rebuild(vectors: DataFrame, store_root: str, **kwargs) -> str:
+    """Refit into a NEW generation of the store and atomically
+    repoint _CURRENT at it (write-tmp + os.replace — readers resolve
+    either the old or the new generation, never a torn pointer).
+    The build lands under gen-N.build first and renames into place
+    with its _COMPLETE marker already inside, so a visible gen dir is
+    always whole (the _ivfpq_store_dirs discipline). Superseded
+    generations stay on disk for in-flight readers until
+    :func:`ivf_store_vacuum` reclaims them. kwargs pass through to
+    rebuild_ivf_index (n_clusters, pq_m, ...); codebooks are always
+    built (the codes-at-rest posture). Returns the generation name."""
+    import os
+    import shutil
+
+    root = Path(store_root)
+    root.mkdir(parents=True, exist_ok=True)
+    gens = _gen_dirs(root)
+    nxt = (
+        int(gens[-1].name[len(_GEN_PREFIX):]) + 1 if gens else 1
+    )
+    gen = root / f"{_GEN_PREFIX}{nxt:06d}"
+    build = root / f"{gen.name}.build"
+    shutil.rmtree(build, ignore_errors=True)
+    rebuild_ivf_index(
+        vectors,
+        str(build / "quantizer"),
+        str(build / "index"),
+        codebooks_dir=str(build / "codebooks"),
+        **kwargs,
+    )
+    (build / _GEN_COMPLETE).touch()
+    build.rename(gen)
+    tmp = root / (_CURRENT + ".tmp")
+    tmp.write_text(gen.name)
+    os.replace(tmp, root / _CURRENT)
+    return gen.name
+
+
+def ivf_store_vacuum(store_root: str, keep_generations: int = 1) -> int:
+    """Reclaim superseded generations, TWO-PHASE (the txn_vacuum
+    shape): this call DEMOTES doomed generations (deletes their
+    _COMPLETE marker — any NEW resolution fails loudly at once) and
+    DELETES only generations a PRIOR call already demoted, so an
+    in-flight reader that resolved its dirs just before this vacuum
+    keeps scanning intact files and only breaks if a further full
+    maintenance cycle completes first. Also sweeps crashed-rebuild
+    staging dirs (*.build — single-maintainer, so any visible one is
+    dead). ``keep_generations`` counts INTACT generations retained
+    below the current one (0 = reclaim everything but current).
+    Returns the number of generation dirs deleted this call."""
+    import shutil
+
+    root = Path(store_root)
+    ptr = root / _CURRENT
+    current = ptr.read_text().strip() if ptr.exists() else None
+    deleted = 0
+    for b in root.glob(f"{_GEN_PREFIX}*.build"):
+        shutil.rmtree(b)
+    gens = [g for g in _gen_dirs(root) if g.name != current]
+    # phase 2 first: anything a prior call demoted is now unreferenced
+    # by every reader that could still be in flight across ONE cycle
+    for g in list(gens):
+        if not (g / _GEN_COMPLETE).exists():
+            shutil.rmtree(g)
+            gens.remove(g)
+            deleted += 1
+    # phase 1: demote everything older than the retention window
+    doomed = gens[: max(0, len(gens) - keep_generations)]
+    for g in doomed:
+        (g / _GEN_COMPLETE).unlink(missing_ok=True)
+    return deleted

@@ -701,16 +701,22 @@ def main() -> None:
         # aggregates over bigram volume + the rank gates) and the
         # flag-gated residual IVF×PQ (same probed-cluster ADC scan
         # shape as ivfpq_ann_topk plus the per-(query,cluster) bias).
-        # knn_graph_sampled_recall is deliberately NOT swept, for the
-        # same reason as semdedup_label_blocks: its LSH geometry
-        # (8 tables × 4 planes = 16 signatures/table, tuned for the
-        # ≤2k-vector oracle scales) would put ~31k vectors in every
-        # bucket at native sf1 — ~8 × 976M candidate pairs, a
-        # documented violation of the planes-scale-with-log(n)
-        # contract in knn_graph_lsh's docstring. Sweeping it would
-        # measure the contract violation, not the operator.
         "quality_classifier_planted_eval",
         "ivfpq_residual_ann_topk",
+        # r13: the k-NN graph ENTERS the sweep (VERDICT r12 item 3).
+        # The r12 exclusion said the fixed 4-plane geometry, not the
+        # operator, was what a sweep would measure (~31k-row buckets
+        # at sf1); adaptive_n_planes now sizes the graph profile from
+        # the corpus count (12 planes / ~122-row expected buckets at
+        # sf1's 500k vectors) and the r13 per-bucket applyInPandas
+        # scorer moved data volume from candidate-pairs × vector-width
+        # (the r12 join shape's ~130 GB at sf1) to n·tables tagged
+        # rows in and n·tables·k edges out. The persisted IVF×PQ
+        # search rides along: its store builds once in the untimed
+        # warmup, so the timed runs measure the WARM read-index →
+        # pruned ADC scan → rerank path a real user pays per query.
+        "knn_graph_sampled_recall",
+        "ivfpq_persisted_ann_topk",
     ]
     names = sorted({n for n, s in load_registry().items() if s.bench} | set(extra))
     if args.only:

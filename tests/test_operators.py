@@ -387,6 +387,14 @@ def test_adaptive_n_planes():
     assert adaptive_n_planes(6_000_000) == 11
     assert adaptive_n_planes(1_000_000_000) == 18
     assert adaptive_n_planes(10**15) == 24      # cap binds
+    # graph profile (knn_graph_lsh default: every vector is a query,
+    # so candidates/vector = n_tables·target is the cost model)
+    g = dict(target_bucket_rows=128)
+    for n in (0, 500, 2_000):  # embeddings at sf0.001/0.01/0.1
+        assert adaptive_n_planes(n, **g) == 4
+    assert adaptive_n_planes(60_000, **g) == 9
+    assert adaptive_n_planes(500_000, **g) == 12   # native sf1
+    assert adaptive_n_planes(1_000_000_000, **g) == 23
     # near-dup profile (embedding_near_duplicates default)
     nd = dict(target_bucket_rows=16, min_planes=12, max_planes=30)
     for n in (0, 600, 6_000, 60_000):

@@ -260,6 +260,24 @@ def test_persisted_ann_query_hot_scan_reads_codes_only(spark):
     assert not any("cv" in s and "code" in s for s in schemas), schemas
 
 
+def test_knn_graph_plan_scores_in_bucket_groups(spark, sf_dir):
+    """The r13 k-NN graph shape: per-bucket applyInPandas scoring —
+    ONE narrow shuffle of the tagged frame into bucket groups, local
+    top-k inside the group, and NO join that attaches vectors to the
+    candidate-pair set (the r12 shape's second id-join shuffled
+    candidate-volume × vector-width bytes — ~130 GB at sf1 — which is
+    what kept the graph out of the scale sweep). The registered
+    query's snapshot shows the graph as a checkpointed ExistingRDD
+    (it materializes for its two consumers), so the operator's own
+    plan is pinned here instead."""
+    from flink_realtime_edu_spark.operators.similarity import knn_graph_lsh
+
+    g = knn_graph_lsh(load(spark, sf_dir, "embeddings"), k=5)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_read_ivf_index_cluster_pruning_skips_bucket_files(
     spark, sf_dir, tmp_path
 ):

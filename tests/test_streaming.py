@@ -3221,6 +3221,66 @@ def test_ivf_index_rebuild_then_stream_append(spark, sf_dir, tmp_path):
     assert len(top) == 1 and top[0].qid == 0 and top[0].nid != 0
 
 
+def test_ivf_store_generations_rebuild_append_vacuum(spark, sf_dir, tmp_path):
+    """Generationed store lifecycle (VERDICT r12 item 6): rebuild →
+    N appends → rebuild → vacuum must leave only live generations on
+    disk, under the txn_vacuum two-phase contract — an in-flight
+    reader that resolved its generation just before the swap keeps
+    working through ONE full maintenance cycle (first vacuum only
+    demotes), a NEW resolution of a vacuumed generation fails
+    loudly, and the second vacuum reclaims the dirs."""
+    import pytest as _pytest
+
+    from flink_realtime_edu_spark.streaming.annindex import (
+        ivf_store_current,
+        ivf_store_rebuild,
+        ivf_store_vacuum,
+        read_ivf_index,
+        streaming_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    root = tmp_path / "gen_store"
+
+    gen1 = ivf_store_rebuild(base, str(root))
+    q1, i1, c1 = ivf_store_current(str(root))
+    assert gen1 in i1
+    # N appends into the CURRENT generation's index (batch-side calls
+    # of the same foreachBatch sink the stream would run)
+    sink = streaming_ivf_index(q1, i1, codebooks_dir=c1)
+    for bid, part in enumerate([delta.filter(F.col("vec_id") % 20 == 7),
+                                delta.filter(F.col("vec_id") % 20 == 17)]):
+        sink(part, batch_id=bid)
+    assert read_ivf_index(spark, i1).count() == emb.count()
+
+    # refit on the grown corpus → generation 2; gen1 stays on disk
+    gen2 = ivf_store_rebuild(emb, str(root))
+    assert ivf_store_current(str(root))[1].find(gen2) >= 0
+    assert (root / gen1).is_dir()
+
+    # in-flight reader: resolved gen1 BEFORE the first vacuum...
+    inflight = read_ivf_index(spark, i1)
+    assert ivf_store_vacuum(str(root), keep_generations=0) == 0  # demote only
+    # ...survives one maintenance cycle (files intact, marker gone)
+    assert inflight.count() == emb.count()
+    # but a NEW resolution of the demoted generation fails loudly
+    ptr = root / "_CURRENT"
+    ptr_backup = ptr.read_text()
+    ptr.write_text(gen1)
+    with _pytest.raises(FileNotFoundError, match="vacuumed or incomplete"):
+        ivf_store_current(str(root))
+    ptr.write_text(ptr_backup)
+
+    # second cycle reclaims the dirs; only the live generation remains
+    assert ivf_store_vacuum(str(root), keep_generations=0) == 1
+    gens = sorted(p.name for p in root.iterdir() if p.name.startswith("gen-"))
+    assert gens == [gen2]
+    # the live generation is whole and searchable
+    assert read_ivf_index(spark, ivf_store_current(str(root))[1]).count() == emb.count()
+
+
 def test_streaming_ivf_index_survives_restart_from_checkpoint(
     spark, sf_dir, tmp_path
 ):
