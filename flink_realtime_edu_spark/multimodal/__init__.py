@@ -61,6 +61,11 @@ from flink_realtime_edu_spark.multimodal.wav import (
     WAVE_TAG,
     decode_wav,
 )
+from flink_realtime_edu_spark.multimodal.webp import (
+    VP8L_TAG,
+    WEBP_TAG,
+    decode_webp_lossless,
+)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -109,9 +114,10 @@ def register_codecs_by_value(*extra_modules) -> None:
     from flink_realtime_edu_spark.multimodal import phash as _phash
     from flink_realtime_edu_spark.multimodal import png as _png
     from flink_realtime_edu_spark.multimodal import wav as _wav
+    from flink_realtime_edu_spark.multimodal import webp as _webp
 
     for mod in (
-        _audiofp, _avi, _jpeg, _phash, _png, _wav,
+        _audiofp, _avi, _jpeg, _phash, _png, _wav, _webp,
         _sys.modules[__name__], *extra_modules
     ):
         cloudpickle.register_pickle_by_value(mod)
@@ -148,17 +154,28 @@ def decode_image(payload: bytes, mime: str) -> "np.ndarray":
     non-interlaced, non-palette — its documented subset), baseline
     JFIF — grayscale or interleaved YCbCr 4:2:0 / 4:4:4 color — via
     :mod:`.jpeg` (marker parse + Huffman + IDCT + color transform;
-    progressive/other layouts raise inside the codec). Other codecs
-    (WebP/...) need libraries absent from this container and still
-    raise NotImplementedError; the mapInPandas pipeline around this
-    call is the production integration point either way."""
+    progressive/other layouts raise inside the codec), and lossless
+    WebP (VP8L) via :mod:`.webp` (Huffman + LZ77 + color cache +
+    subtract-green/predictor/cross-color transforms; palette and
+    meta-Huffman raise inside the codec; lossy VP8 is float-DCT-land
+    and stays NotImplementedError). Codecs needing libraries absent
+    from this container still raise NotImplementedError; the
+    mapInPandas pipeline around this call is the production
+    integration point either way."""
     data = bytes(payload)
     if data[:8] == PNG_SIGNATURE:
         return decode_png(data)
     if data[:2] == JPEG_SOI:
         return decode_jpeg(data)
+    if data[:4] == RIFF_MAGIC and data[8:12] == WEBP_TAG:
+        if data[12:16] == VP8L_TAG:
+            return decode_webp_lossless(data)
+        raise NotImplementedError(
+            "lossy (VP8) WebP needs a float-DCT codec absent here; "
+            "only lossless VP8L decodes in this environment"
+        )
     raise NotImplementedError(
-        f"no codec for {mime!r} in this environment (PNG/JPEG only); "
+        f"no codec for {mime!r} in this environment (PNG/JPEG/VP8L only); "
         "extract_features uses a deterministic byte-level stand-in"
     )
 

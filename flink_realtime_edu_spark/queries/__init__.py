@@ -116,6 +116,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
     # --- never officially sampled (NEW r13) ---
     "ivfpq_persisted_ann_topk",   # X6 -- persisted codes-at-rest search
+    "webp_decode_stats",          # X8 -- VP8L lossless codec
     # --- last officially sampled r9 (the K=4 obligation, all 29) ---
     "daily_unique_visitors",
     "datetime_funcs_orders",
@@ -165,7 +166,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "doc_bigram_perplexity",
     "doc_chunking_windows",
     "doc_quality_scores",
-    "doc_repetition_stats",
 )
 
 

@@ -898,3 +898,169 @@ def test_mp4_truncated_stsd_is_valueerror():
 
     with _pytest.raises(ValueError, match="stsd"):
         mp4_metadata(payload)
+
+
+def test_webp_dist_map_matches_spec_prefix():
+    """The VP8L short-distance neighborhood table is GENERATED from
+    the spec's ordering rule (webp.py docstring); pin the first rows
+    against the spec's published table so a rule regression (or a
+    wrong tie-break) fails here, not in an interop decode."""
+    from flink_realtime_edu_spark.multimodal.webp import _DIST_MAP
+
+    assert len(_DIST_MAP) == 120
+    assert _DIST_MAP[:22] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2),
+    ]
+    # every entry maps to a strictly-positive scan distance on any
+    # image at least 9 px wide (the spec's max(1, dy*w + dx) clamp
+    # never actually clamps there)
+    assert all(dy * 9 + dx >= 1 for dx, dy in _DIST_MAP)
+
+
+def test_webp_codec_roundtrip_exercises_every_path():
+    """VP8L round-trips: every transform (subtract-green, all 14
+    predictor modes, cross-color), the color cache, LZ77 run
+    references, simple and normal Huffman codes, gray/RGB/RGBA
+    inputs — all bit-exact (lossless is the contract, not a bound)."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.multimodal.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    y, x = np.mgrid[0:21, 0:19]
+    img = np.stack(
+        [(y * 3 + x) % 256, (y + x * 2) % 256, (y * 5 + x * 7) % 256], axis=2
+    ).astype(np.uint8)
+    for mode in range(14):
+        out = decode_webp_lossless(
+            encode_webp_lossless(img, predictor_mode=mode)
+        )
+        assert (out[:, :, :3] == img).all(), f"predictor {mode}"
+    for ce in [(0, 0, 0), (37, 211, 5), (255, 128, 64)]:
+        out = decode_webp_lossless(encode_webp_lossless(img, color_element=ce))
+        assert (out[:, :, :3] == img).all(), f"cross-color {ce}"
+    # constant band → runs + cache; alpha channel varies (RGBA path)
+    rgba = np.dstack([img, ((y * 7 + x * 3) % 256).astype(np.uint8)])
+    rgba[:, :4] = rgba[:1, :1]  # constant corner band
+    out = decode_webp_lossless(
+        encode_webp_lossless(
+            rgba, predictor_mode=11, color_element=(20, 40, 60),
+            cache_bits=5, use_runs=True,
+        )
+    )
+    assert (out == rgba).all()
+    # no-options path + grayscale
+    g = ((y + x) % 256).astype(np.uint8)
+    out = decode_webp_lossless(
+        encode_webp_lossless(g, subtract_green=False, use_runs=False)
+    )
+    assert (out[:, :, 0] == g).all() and (out[:, :, 3] == 255).all()
+
+
+def test_webp_codec_rejects_bad_and_out_of_scope_input():
+    """Error contract: corrupt containers are ValueError, documented
+    out-of-scope features (palette transform, meta-huffman, lossy
+    VP8) are loud NotImplementedError — the PNG palette precedent."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_realtime_edu_spark.multimodal import decode_image
+    from flink_realtime_edu_spark.multimodal.webp import (
+        _VP8L_SIGNATURE,
+        _BitWriter,
+        decode_webp_lossless,
+    )
+
+    with _pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_webp_lossless(b"NOPE" + b"\x00" * 20)
+    # lossy VP8 chunk → NotImplementedError through the dispatch
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + b"\x00" * 8
+    with _pytest.raises(NotImplementedError, match="lossless"):
+        decode_image(lossy, "image/webp")
+
+    def vp8l(body_bits):
+        bw = _BitWriter()
+        bw.write(3, 14)  # width 4
+        bw.write(3, 14)  # height 4
+        bw.write(0, 1)   # alpha hint
+        bw.write(0, 3)   # version
+        for val, n in body_bits:
+            bw.write(val, n)
+        payload = bytes([_VP8L_SIGNATURE]) + bytes(bw.bytes) + b"\x00" * 8
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # transform-present + type 3 (color indexing / palette)
+    with _pytest.raises(NotImplementedError, match="palette"):
+        decode_webp_lossless(vp8l([(1, 1), (3, 2)]))
+    # no transforms, no cache, meta-huffman bit set
+    with _pytest.raises(NotImplementedError, match="meta-huffman"):
+        decode_webp_lossless(vp8l([(0, 1), (0, 1), (1, 1)]))
+    # bad signature byte
+    bad = bytearray(vp8l([(0, 1)]))
+    bad[20] = 0x2E
+    with _pytest.raises(ValueError, match="signature"):
+        decode_webp_lossless(bytes(bad))
+
+
+def test_webp_codec_fuzz_roundtrip():
+    """Hypothesis: arbitrary small images × arbitrary encoder options
+    round-trip bit-exactly (the mp3/mp4 fuzz discipline applied to
+    the VP8L codec)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_realtime_edu_spark.multimodal.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        sg=st.booleans(),
+        runs=st.booleans(),
+        cache=st.sampled_from([0, 1, 4, 8]),
+        pred=st.one_of(st.none(), st.integers(0, 13)),
+        ce=st.one_of(
+            st.none(),
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+        ),
+        flat=st.booleans(),
+    )
+    def check(w, h, ch, seed, sg, runs, cache, pred, ce, flat):
+        rng = np.random.default_rng(seed)
+        if flat:  # low-entropy image: exercises runs/cache/simple codes
+            img = np.full((h, w, ch), rng.integers(0, 256), dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        data = encode_webp_lossless(
+            img.squeeze(-1) if ch == 1 else img,
+            subtract_green=sg, use_runs=runs, cache_bits=cache,
+            predictor_mode=pred, color_element=ce,
+        )
+        out = decode_webp_lossless(data)
+        assert out.shape == (h, w, 4)
+        if ch == 1:
+            assert (out[:, :, 0] == img[:, :, 0]).all()
+            assert (out[:, :, 1] == img[:, :, 0]).all()
+        else:
+            assert (out[:, :, :3] == img[:, :, :3]).all()
+        if ch == 4:
+            assert (out[:, :, 3] == img[:, :, 3]).all()
+        else:
+            assert (out[:, :, 3] == 255).all()
+
+    check()
