@@ -311,6 +311,7 @@ def knn_graph_lsh(
     n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket_rows: int = 2048,
 ) -> DataFrame:
     """Distributed k-NN GRAPH: approximate top-k neighbors for EVERY
     corpus vector — (src, dst, cos), ≤k rows per src — with NO
@@ -341,13 +342,29 @@ def knn_graph_lsh(
     volume C that second id-join shuffles C·vector-width bytes
     (~130 GB at sf1), which is why the graph could not be swept; now
     data movement is n·n_tables·vector-width in and n·n_tables·k·24 B
-    out, both linear in n with geometry-bounded constants. The
-    tradeoff: a pathologically hot bucket computes in ONE task
-    (applyInPandas groups are not AQE-splittable) — memory stays
-    bounded by the chunked pair buffers, wall does not; the adaptive
-    target keeps expected occupancy ~128 so only an adversarial
-    near-dup clique hits this, and a dup clique should be SemDeDup'd
-    before graph construction anyway.
+    out, both linear in n with geometry-bounded constants.
+
+    The EXPECTED-occupancy model (n / 2^planes) is provably wrong on
+    clustered data — measured on the sf1 synthetic corpus (500 k
+    vectors around 10 label centroids, 12 planes): hyperplane signs
+    collapse per cluster and the top buckets hold ~20 k rows each,
+    Σocc² = 14.4 B pairs where the uniform model predicts 0.5 B. So
+    the cost bound is enforced, not assumed: buckets over
+    ``max_bucket_rows`` are deterministically SUB-SPLIT (salt =
+    xxhash64(id) mod ceil(occ/cap) — the skew-salting discipline) so
+    per-group work is hard-capped and total scored pairs are ≤
+    n·n_tables·cap regardless of how the data clusters. The
+    tradeoff, stated honestly: a pair co-located ONLY in a split
+    mega-bucket meets with probability ≈ 1−(1−cap/occ)^n_tables
+    (~0.57 for the sf1 worst bucket), so exact-top-k recall inside
+    pathological near-duplicate mega-clusters drops — but every
+    sub-bucket neighbor is still a member of the same tight cluster,
+    which is what the graph's downstream consumers (dedup,
+    clustering, connectivity filters) actually need; a corpus like
+    that should be SemDeDup'd before graph construction anyway. At
+    every oracle scale (≤ 2 k vectors) no bucket reaches the default
+    cap, so the salt is a structural no-op there and the recorded
+    recalls/hashes are unchanged.
 
     Candidate volume per vector ≈ n_tables · n / 2^n_planes: with
     ``n_planes=None`` (default) the GRAPH profile of
@@ -371,10 +388,31 @@ def knn_graph_lsh(
     bkts = hyperplane_buckets(
         n_planes, len(corpus.select(vec_col).first()[0]), n_tables, seed
     )
-    tagged = corpus.select(
-        F.col(id_col).alias("src"),
-        F.col(vec_col).alias("v"),
-        F.explode(bkts(F.col(vec_col))).alias("bkt"),
+    tagged = _materialize(  # feeds the occupancy agg AND the groups
+        corpus.select(
+            F.col(id_col).alias("src"),
+            F.col(vec_col).alias("v"),
+            F.explode(bkts(F.col(vec_col))).alias("bkt"),
+        )
+    )
+    oversized = (
+        tagged.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > max_bucket_rows)
+    )  # ≤ n·n_tables/cap rows by construction — broadcastable
+    tagged = (
+        tagged.join(F.broadcast(oversized), "bkt", "left")
+        .withColumn(
+            "sub",
+            F.when(
+                F.col("occ").isNotNull(),
+                F.pmod(
+                    F.xxhash64("src"),
+                    F.ceil(F.col("occ") / max_bucket_rows).cast("long"),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("occ")
     )
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -387,32 +425,39 @@ def knn_graph_lsh(
                     "cos": np.array([], dtype=np.float64),
                 }
             )
-        ids = pdf["src"].to_numpy(dtype=np.int64)
-        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        # sort the bucket by id so column index IS the dst tie-break —
+        # the top-k selection below then reduces to ONE integer key
+        # argsort per chunk (no per-src Python loop: at sf1 the n·8
+        # per-row lexsort iterations were ~2/3 of the graph wall)
+        order = np.argsort(pdf["src"].to_numpy(dtype=np.int64))
+        ids = pdf["src"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)[order]
+        # row norms once per group — einsum("ij,ij->i") is the
+        # cosine_pair_udf denominator op on the same row bytes
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        kk = min(k, n - 1)
         out_s, out_d, out_c = [], [], []
-        # chunk the src side so the explicit pair buffers stay ~64 MB
-        # even in a hot bucket (memory bounded; see docstring)
-        c = max(1, 65536 // n)
+        # chunk the src side so the (b, n) score matrices stay small
+        c = max(1, 262144 // n)
         for lo in range(0, n, c):
             blk = mat[lo : lo + c]
             b = len(blk)
-            a_rep = np.repeat(blk, n, axis=0)
-            b_tile = np.tile(mat, (b, 1))
-            # the cosine_pair_udf kernel verbatim — per-pair einsum,
-            # so scores are independent of chunk/batch composition
-            num = np.einsum("ij,ij->i", a_rep, b_tile)
-            den = np.sqrt(np.einsum("ij,ij->i", a_rep, a_rep)) * np.sqrt(
-                np.einsum("ij,ij->i", b_tile, b_tile)
-            )
-            cos = _round_half_up(num / den).reshape(b, n)
-            for i in range(b):
-                src = ids[lo + i]
-                mask = ids != src
-                cj, nj = cos[i, mask], ids[mask]
-                top = np.lexsort((nj, -cj))[:k]  # final-window comparator
-                out_s.append(np.full(len(top), src))
-                out_d.append(nj[top])
-                out_c.append(cj[top])
+            # einsum("ij,kj->ik") accumulates over j in the same
+            # ascending order as cosine_pair_udf's per-pair
+            # einsum("ij,ij->i") — BIT-IDENTICAL scores (pinned by
+            # test_knn_graph_kernel_matches_pair_udf; the pair form
+            # with its repeat/tile buffers measured 122× slower)
+            num = np.einsum("ij,kj->ik", blk, mat)
+            cos = _round_half_up(num / (norms[lo : lo + b, None] * norms[None, :]))
+            # integer composite key (desc rounded cos, asc id): the
+            # exact final-window comparator, one vectorized argsort
+            key = (1_000_000 - np.rint(cos * 1e6).astype(np.int64)) * n
+            key += np.arange(n, dtype=np.int64)[None, :]
+            key[np.arange(b), lo + np.arange(b)] = np.iinfo(np.int64).max
+            top = np.argsort(key, axis=1, kind="stable")[:, :kk]  # (b, kk)
+            out_s.append(np.repeat(ids[lo : lo + b], kk))
+            out_d.append(ids[top].ravel())
+            out_c.append(np.take_along_axis(cos, top, axis=1).ravel())
         return pd.DataFrame(
             {
                 "src": np.concatenate(out_s),
@@ -421,7 +466,7 @@ def knn_graph_lsh(
             }
         )
 
-    scored = tagged.groupBy("bkt").applyInPandas(
+    scored = tagged.groupBy("bkt", "sub").applyInPandas(
         score_bucket, schema="src long, dst long, cos double"
     )
     # a pair that matches in several tables yields identical rows —

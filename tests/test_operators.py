@@ -407,6 +407,83 @@ def test_adaptive_n_planes():
         assert n / 2 ** adaptive_n_planes(n) <= 4096
 
 
+def test_knn_graph_kernel_matches_pair_udf():
+    """The graph scorer's einsum("ij,kj->ik") contraction must stay
+    BIT-identical to cosine_pair_udf's per-pair einsum("ij,ij->i")
+    (both accumulate over j in ascending order) — the property that
+    lets the per-bucket matrix form replace the 122×-slower
+    materialized-pair form without perturbing a single rounded
+    score. Random trials across shapes; any numpy change that breaks
+    this fails here, not in a recall drift."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        b, n = int(rng.integers(1, 30)), int(rng.integers(2, 150))
+        blk = rng.standard_normal((b, 64))
+        mat = rng.standard_normal((n, 64))
+        a_rep = np.repeat(blk, n, axis=0)
+        b_tile = np.tile(mat, (b, 1))
+        num_pair = np.einsum("ij,ij->i", a_rep, b_tile).reshape(b, n)
+        den_pair = (
+            np.sqrt(np.einsum("ij,ij->i", a_rep, a_rep))
+            * np.sqrt(np.einsum("ij,ij->i", b_tile, b_tile))
+        ).reshape(b, n)
+        num_ik = np.einsum("ij,kj->ik", blk, mat)
+        den_ik = (
+            np.sqrt(np.einsum("ij,ij->i", blk, blk))[:, None]
+            * np.sqrt(np.einsum("ij,ij->i", mat, mat))[None, :]
+        )
+        assert (num_pair == num_ik).all()
+        assert (den_pair == den_ik).all()
+
+
+def test_knn_graph_bucket_cap_bounds_mega_clusters(spark):
+    """The occupancy cap (skew salt): a planted mega-cluster of
+    near-identical vectors lands in one LSH bucket per table; with a
+    small cap the graph must still (a) give every clique member k
+    in-clique neighbors (sub-bucket neighbors are still cluster
+    members — the documented tradeoff), (b) keep the ≤k / no-self /
+    no-dup invariants, and (c) be a no-op when the cap exceeds every
+    bucket (default-vs-huge-cap equality on the same corpus)."""
+    import numpy as np
+
+    from flink_realtime_edu_spark.operators.similarity import knn_graph_lsh
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = [
+        (i, (base + 0.001 * rng.standard_normal(64)).tolist())
+        for i in range(300)  # the mega-clique
+    ] + [
+        (1000 + i, rng.standard_normal(64).tolist()) for i in range(100)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    g = knn_graph_lsh(corpus, k=3, n_planes=4, max_bucket_rows=32)
+    edges = g.collect()
+    per_src: dict[int, list[int]] = {}
+    for r in edges:
+        assert r.src != r.dst
+        per_src.setdefault(r.src, []).append(r.dst)
+    assert all(len(set(d)) == len(d) and len(d) <= 3 for d in per_src.values())
+    clique_srcs = [s for s in per_src if s < 300]
+    assert len(clique_srcs) >= 290  # coverage survives the split
+    for s in clique_srcs:
+        assert all(d < 300 for d in per_src[s])  # in-clique neighbors
+        assert len(per_src[s]) == 3
+    # no-op equality when no bucket exceeds the cap
+    small = spark.createDataFrame(
+        rows[300:], "vec_id long, embedding array<double>"
+    )
+    a = {(r.src, r.dst, r.cos) for r in
+         knn_graph_lsh(small, k=3, n_planes=4).collect()}
+    b = {(r.src, r.dst, r.cos) for r in
+         knn_graph_lsh(small, k=3, n_planes=4, max_bucket_rows=10**6).collect()}
+    assert a == b and a
+
+
 def test_ivfpq_residual_encoding_semantics(spark, sf_dir):
     """Residual PQ (flag-gated; VERDICT r11 item 3): codes from
     pq_fit_sample_residual scored with the SAME centers_norm must (a)

@@ -275,7 +275,13 @@ def test_knn_graph_plan_scores_in_bucket_groups(spark, sf_dir):
     g = knn_graph_lsh(load(spark, sf_dir, "embeddings"), k=5)
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # downstream of the scorer (printed ABOVE it in the tree) only
+    # dedup + window may appear — a join there means candidate pairs
+    # are being re-joined to vectors, the shape this test forbids.
+    # (Upstream, the occupancy-cap agg joins a tiny oversized-bucket
+    # frame back to the tagged rows — that one is the skew salt.)
+    downstream = plan.split("FlatMapGroupsInPandas")[0]
+    assert "Join" not in downstream, downstream
 
 
 def test_read_ivf_index_cluster_pruning_skips_bucket_files(
