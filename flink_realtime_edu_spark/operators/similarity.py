@@ -791,6 +791,90 @@ __all__ = [
 ]
 
 
+def knn_graph_refine(
+    graph: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 1,
+) -> DataFrame:
+    """One (or more) NN-DESCENT refinement rounds over a k-NN graph
+    (Dong, Moses, Li — "Efficient k-nearest neighbor graph
+    construction for generic similarity measures", WWW 2011, public):
+    a neighbor of a neighbor is likely a neighbor, so each round
+    re-ranks every node against its current neighbors PLUS its
+    2-hop candidates over the SYMMETRIZED edge set, keeping top-k.
+
+    This is the recall lever that composes with knn_graph_lsh's
+    occupancy cap: the cap hard-bounds LSH candidate cost on
+    clustered corpora at the price of exact-top-k recall inside
+    split mega-clusters, and descent rounds reach across sub-bucket
+    boundaries without ever re-opening the quadratic bucket.
+    Measured at native sf1 (BASELINE.md r13): sampled recall@5
+    0.42 → 0.54 after one round, converging at 0.56 by round 2 —
+    and the honest companion metric is the SCORE REGRET, because
+    inside a 50 k near-duplicate cluster the "exact top-5" is
+    decided by 6-dp rounded-cosine ties and set-recall punishes
+    cos-equal neighbors: mean top-5 cosine is 0.8996 exact vs
+    0.8955 base vs 0.8967 refined (0.45% → 0.33% relative regret).
+    At the oracle scales: 0.64 → 0.72 (sf0.01), flat elsewhere.
+
+    Recall is MONOTONE non-decreasing by construction: each node
+    re-ranks a SUPERSET of its current edges under the exact
+    total order the brute-force top-k uses, so a current edge in the
+    exact top-k can only be displaced by a candidate that beats it
+    globally — i.e. by another exact-top-k member (pinned in
+    tests/test_operators.py).
+
+    Scale shape: candidates per node are BOUNDED BY CONSTRUCTION at
+    (2k)² + 2k (symmetrized degree ≤ 2k, one 2-hop self-join of the
+    16-byte edge list), so each round is: one edge self-join, one
+    distinct, two id-keyed joins attaching vectors to ≤ n·(2k)²
+    candidate rows, one Arrow-batched exact rescore, one top-k
+    window — every stage linear in n with a k²-sized constant, no
+    driver-side collect anywhere. (At 10⁹ nodes and k=5 the
+    vector-attach shuffle is the cost: ~n·25·2·vec bytes — the
+    bounded analogue of the unbounded candidate-volume join the r13
+    graph scorer removed.) Isolated nodes have no candidates and
+    stay isolated; ranking uses the shared (cos desc, id) comparator
+    and the cosine_pair_udf kernel, so results are deterministic and
+    drop-in comparable with the base graph's scores."""
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    out = graph
+    for _ in range(iterations):
+        edges = out.select("src", "dst")
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        sym = _materialize(sym)  # both sides of the 2-hop self-join
+        two_hop = (
+            sym.alias("a")
+            .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        cand = (
+            edges.unionByName(two_hop)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        joined = cand.join(
+            vecs.withColumnsRenamed({id_col: "src", vec_col: "sv"}), on="src"
+        ).join(vecs.withColumnsRenamed({id_col: "dst", vec_col: "dv"}), on="dst")
+        scored = joined.select(
+            "src",
+            "dst",
+            cosine_pair_udf()(F.col("sv"), F.col("dv")).alias("cos"),
+        )
+        w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+        out = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    return out
+
+
 def ann_recall_summary(
     ann: DataFrame,
     exact: DataFrame,

@@ -117,6 +117,7 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     # --- never officially sampled (NEW r13) ---
     "ivfpq_persisted_ann_topk",   # X6 -- persisted codes-at-rest search
     "webp_decode_stats",          # X8 -- VP8L lossless codec
+    "knn_graph_refined_recall",   # X6 -- NN-descent round over the graph
     # --- last officially sampled r9 (the K=4 obligation, all 29) ---
     "daily_unique_visitors",
     "datetime_funcs_orders",
@@ -165,7 +166,6 @@ _PRIORITY_PREFIX: tuple[str, ...] = (
     "distinct_segments_per_nation",
     "doc_bigram_perplexity",
     "doc_chunking_windows",
-    "doc_quality_scores",
 )
 
 

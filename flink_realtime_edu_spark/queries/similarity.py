@@ -503,6 +503,103 @@ def knn_graph_sampled_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_graph_refined_recall",
+    survey_rows=("X6", "A1", "W1"),
+    oracle=f"""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_nodes,
+       CAST({_N_QUERIES} AS BIGINT) AS n_sample_queries,
+       {_K} AS k,
+       TRUE AS refined_covers_sample,
+       TRUE AS refined_recall_ok,
+       TRUE AS refined_ge_base
+""",
+)
+def knn_graph_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT round over the distributed k-NN graph
+    (operators/similarity.py::knn_graph_refine — Dong et al., WWW
+    2011): every node re-ranks its current neighbors plus its 2-hop
+    candidates over the symmetrized edge set, candidates bounded at
+    (2k)² + 2k per node by construction. The summary folds to
+    oracle-assertable facts (the knn_graph_sampled_recall
+    discipline): exact node count; the vec_id < 10 sample fully
+    answered after refinement; refined sampled recall@5 over the
+    exact in-Spark top-k above the 0.35 floor (measured 0.72 at
+    sf0.01 vs the base graph's 0.64; at native sf1 the round lifts
+    the capped graph 0.42 → 0.54 — BASELINE.md r13); and the
+    MONOTONICITY contract refined ≥ base per query (guaranteed by
+    construction — top-k over a superset under the exact comparator
+    — so FALSE here means the refine comparator drifted from the
+    ranking comparator).
+
+    Scale: one 16-byte edge self-join + two id-keyed joins sized by
+    the ≤ n·(2k)² candidate set + one top-k window — linear in n
+    with a k²-sized constant; no driver-side collect."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        knn_graph_lsh,
+        knn_graph_refine,
+    )
+    from flink_realtime_edu_spark.session import materialize as _materialize
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = _materialize(knn_graph_lsh(emb, k=_K))
+    refined = _materialize(knn_graph_refine(base, emb, k=_K))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = cosine_topk(emb, queries, k=_K)
+
+    def sample_recall(g: DataFrame) -> DataFrame:
+        ann = g.filter(F.col("src") < _N_QUERIES).select(
+            F.col("src").alias("qid"), F.col("dst").alias("nid")
+        )
+        hit = ann.join(
+            exact.select("qid", "nid"), on=["qid", "nid"], how="left_semi"
+        )
+        return (
+            queries.select(F.col("vec_id").alias("qid"))
+            .join(
+                ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ans")),
+                "qid",
+                "left",
+            )
+            .join(
+                hit.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit")),
+                "qid",
+                "left",
+            )
+            .select(
+                "qid",
+                F.coalesce(F.col("n_ans"), F.lit(0)).alias("n_ans"),
+                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(_K))).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    rb = sample_recall(base).select(
+        F.col("qid"), F.col("recall").alias("recall_base")
+    )
+    rr = sample_recall(refined)
+    both = rr.join(rb, "qid")
+    n_nodes = emb.select(F.count(F.lit(1)).alias("n_nodes"))
+    summary = both.agg(
+        F.count(F.lit(1)).alias("n_sample_queries"),
+        F.lit(_K).alias("k"),
+        (F.min("n_ans") >= F.lit(_K)).alias("refined_covers_sample"),
+        (F.avg("recall") >= F.lit(0.35)).alias("refined_recall_ok"),
+        (
+            F.min(F.col("recall") - F.col("recall_base")) >= F.lit(0.0)
+        ).alias("refined_ge_base"),
+    )
+    return n_nodes.crossJoin(summary).select(
+        "n_nodes",
+        "n_sample_queries",
+        "k",
+        "refined_covers_sample",
+        "refined_recall_ok",
+        "refined_ge_base",
+    )
+
+
 @register("ann_lsh_topk", survey_rows=("X6",), oracle=_ANN_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbors via random-hyperplane LSH (8 tables ×

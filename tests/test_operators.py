@@ -407,6 +407,53 @@ def test_adaptive_n_planes():
         assert n / 2 ** adaptive_n_planes(n) <= 4096
 
 
+def test_knn_graph_refine_improves_and_stays_invariant(spark, sf_dir):
+    """NN-descent round (r13): the refined graph must (a) keep the
+    structural invariants (≤k edges/src, no self loops, no dup
+    pairs), (b) be MONOTONE against the exact top-k — every exact
+    neighbor the base graph found survives refinement (top-k over a
+    superset under the same total order), with sampled recall
+    strictly ≥ base, (c) never lower any edge's score: the per-src
+    k-th-best cosine is non-decreasing, and (d) be deterministic
+    across reruns."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph_lsh,
+        knn_graph_refine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = knn_graph_lsh(emb, k=5)
+    ref = knn_graph_refine(base, emb, k=5)
+    rows = ref.collect()
+    per_src: dict[int, list] = {}
+    for r in rows:
+        assert r.src != r.dst
+        per_src.setdefault(r.src, []).append((r.dst, r.cos))
+    assert all(
+        len({d for d, _ in v}) == len(v) and len(v) <= 5
+        for v in per_src.values()
+    )
+    # (b) monotone vs exact: base's exact hits survive; recall >= base
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, q, k=5).collect()}
+    base_rows = base.collect()
+    base_hits = {(r.src, r.dst) for r in base_rows if (r.src, r.dst) in exact}
+    ref_hits = {(r.src, r.dst) for r in rows if (r.src, r.dst) in exact}
+    assert base_hits <= ref_hits
+    # (c) per-src worst kept score never drops
+    base_min = {}
+    for r in base_rows:
+        base_min[r.src] = min(base_min.get(r.src, 1.0), r.cos)
+    for src, v in per_src.items():
+        if src in base_min and len(v) == 5:
+            assert min(c for _, c in v) >= base_min[src]
+    # (d) deterministic
+    rerun = {(r.src, r.dst, r.cos) for r in
+             knn_graph_refine(base, emb, k=5).collect()}
+    assert rerun == {(r.src, r.dst, r.cos) for r in rows}
+
+
 def test_knn_graph_kernel_matches_pair_udf():
     """The graph scorer's einsum("ij,kj->ik") contraction must stay
     BIT-identical to cosine_pair_udf's per-pair einsum("ij,ij->i")
