@@ -39,6 +39,8 @@ REPRESENTATIVES = [
     "late_corrected_windows",     # sharded running-max watermark (r5)
     "cep_funnel_first_match",     # k-step min-after join chain (r5)
     "png_decode_stats",           # mapInPandas codec round-trip (r5)
+    "webp_decode_stats",          # VP8L codec round-trip (r13)
+    "knn_graph_refined_recall",   # bucket-grouped graph + NN-descent (r13)
 ]
 
 
