@@ -3221,6 +3221,59 @@ def test_ivf_index_rebuild_then_stream_append(spark, sf_dir, tmp_path):
     assert len(top) == 1 and top[0].qid == 0 and top[0].nid != 0
 
 
+def test_streaming_knn_graph_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    """X6 ingest tier — incremental k-NN graph maintenance
+    (streaming/knngraph.py): vectors streamed in micro-batches under
+    a FROZEN LSH geometry must converge to EXACTLY the batch
+    knn_graph_lsh over the union corpus (every bucket-mate pair is
+    scored once, when the later end arrives; same kernel, same
+    comparator ⇒ bit-equal (src, dst, cos) sets), and replaying the
+    last batch must be byte-idempotent (edges-before-tags ordering +
+    the anti-join make it a no-op)."""
+    from flink_realtime_edu_spark.operators.similarity import knn_graph_lsh
+    from flink_realtime_edu_spark.streaming.knngraph import (
+        read_knn_graph,
+        streaming_knn_graph,
+    )
+    from flink_realtime_edu_spark.streaming.sinks import run_to_completion
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    src = tmp_path / "kg_src"
+    emb.repartition(3).write.parquet(str(src))
+    tags_dir = str(tmp_path / "kg_tags")
+    edges_dir = str(tmp_path / "kg_edges")
+    sink = streaming_knn_graph(tags_dir, edges_dir, k=5, n_planes=4)
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "kg_ckpt"))
+        .start()
+    )
+    run_to_completion(q)
+
+    got = {
+        (r.src, r.dst, r.cos)
+        for r in read_knn_graph(spark, edges_dir, k=5).collect()
+    }
+    want = {
+        (r.src, r.dst, r.cos)
+        for r in knn_graph_lsh(
+            emb, k=5, n_planes=4, max_bucket_rows=10**9
+        ).collect()
+    }
+    assert got == want and got
+
+    # last-batch replay: byte-identical stores
+    before = _rows(read_knn_graph(spark, edges_dir, k=5))
+    replay_ids = [r.vec_id for r in emb.limit(40).collect()]
+    sink(emb.filter(F.col("vec_id").isin(replay_ids)), batch_id=99)
+    assert _rows(read_knn_graph(spark, edges_dir, k=5)) == before
+
+
 def test_ivf_store_generations_rebuild_append_vacuum(spark, sf_dir, tmp_path):
     """Generationed store lifecycle (VERDICT r12 item 6): rebuild →
     N appends → rebuild → vacuum must leave only live generations on
