@@ -211,6 +211,55 @@ def main() -> None:
             "rows_per_s": round(n_vecs / wall, 1),
             "batch_walls_s": walls,
         }
+
+        # 5) incremental k-NN graph maintenance (r13): frozen LSH
+        #    geometry, per-batch bucket-mate scoring + top-k merge —
+        #    per-batch wall grows with stored bucket occupancy, so
+        #    the batch breakdown is the diagnostic here
+        from flink_realtime_edu_spark.operators.similarity import (
+            adaptive_n_planes,
+        )
+        from flink_realtime_edu_spark.streaming.knngraph import (
+            streaming_knn_graph,
+        )
+
+        if n_vecs <= 100_000:
+            # freeze geometry sized for the ANTICIPATED final corpus
+            # (the sink's contract: geometry re-tuning is a
+            # batch-side rebuild)
+            kg_planes = adaptive_n_planes(n_vecs, target_bucket_rows=128)
+            wall, walls = run_stream(
+                spark,
+                str(raw_src),
+                "vec_id long, embedding array<float>",
+                streaming_knn_graph(
+                    str(tmp / "kg_tags"),
+                    str(tmp / "kg_edges"),
+                    k=5,
+                    n_planes=kg_planes,
+                ),
+                str(tmp / "kg_ckpt"),
+            )
+            out["knn_graph"] = {
+                "rows": n_vecs,
+                "wall_s": round(wall, 2),
+                "rows_per_s": round(n_vecs / wall, 1),
+                "batch_walls_s": walls,
+            }
+        else:
+            # no silent caps: the streaming maintenance keeps the
+            # UNCAPPED bucket-mate top-k, and this corpus's label
+            # mega-clusters make that quadratic at sf1 (the measured
+            # 20k-row buckets — BASELINE.md r13); past this size the
+            # honest path is the batch rebuild with capped adaptive
+            # geometry, so the sweep would measure the documented
+            # contract boundary, not the sink
+            out["knn_graph"] = {
+                "rows": n_vecs,
+                "skipped": "uncapped streaming maintenance is the "
+                "batch-rebuild boundary past ~100k clustered vectors "
+                "(streaming/knngraph.py header)",
+            }
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
