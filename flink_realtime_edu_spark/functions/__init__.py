@@ -21,8 +21,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Wide enough for sums over 1e12 rows of 1e6-scale money values.
-_DEC = "decimal(30,8)"
+# Per-ROW cast target. Precision 18 is the widest decimal Spark
+# stores long-backed (Decimal.MAX_LONG_DIGITS): at 30,8 every input
+# row allocated a heap BigDecimal inside the hash aggregate, and the
+# single-scan pricing stage spent ~2× the CPU (measured r13:
+# pricing_summary partial-agg stage 0.97 s → ~0.5 s CPU at sf0.1).
+# The SUM result type is decimal(p+10, s) either way, so the
+# accumulator is exact and the DOUBLE the caller sees is
+# bit-identical to the DuckDB oracle's DECIMAL(30,8) twin as long as
+# no per-row value overflows: |x| < 10^10 (testdata maxima ~5×10^5 —
+# prices, quantities, event values; a future column near 10^10 must
+# widen this or the cast NULLs out). Sum capacity decimal(28,8) ≈
+# 10^20 absolute — 10^12 rows of 10^6-scale money still exact.
+_DEC = "decimal(18,8)"
 
 ColumnOrName = Column | str
 

@@ -293,8 +293,11 @@ def jaccard_verify(
         pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
         .join(sets.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
     )
+    # |A∪B| = |A| + |B| − |A∩B| (both arrays are array_distinct
+    # outputs): one set op per pair instead of two — array_union was
+    # a second full hash-set build + array alloc per candidate pair.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return out.select(
         "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     )

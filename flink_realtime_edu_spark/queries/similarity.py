@@ -289,17 +289,24 @@ _IVFPQ_STORE_VERSION = 1  # bump when the store layout/params change
 
 
 def _ivfpq_store_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
-    """Build-if-missing persisted IVF×PQ store for ``sf_dir`` —
-    (quantizer_dir, index_dir, codebooks_dir) under the system temp
-    root, keyed by (sf_dir, version). The build IS
-    streaming/annindex.rebuild_ivf_index (seeded KMeans + pq_fit
-    sample → cluster-bucketed codes-at-rest parquet), so the store is
-    bit-deterministic: a cold build and a warm reuse serve identical
-    results, which is what lets a cached store back an
-    oracle-checked query. Crash-safe by build-then-rename: the store
-    only appears at its final path complete (the `_COMPLETE` marker
-    rides inside the renamed dir); a version bump or a wiped temp
-    root just pays one rebuild."""
+    """Build-if-missing PER-PROCESS persisted IVF×PQ store for
+    ``sf_dir`` — (quantizer_dir, index_dir, codebooks_dir) under the
+    system temp root, keyed by (application id, sf_dir, version).
+
+    The application id in the key is the no-cross-run-caching
+    guarantee (r13 optimization-round contract): every fresh
+    bench/oracle process pays one full rebuild from the parquet
+    inputs — nothing persisted under a previous run's key is ever
+    served — while repeated builds INSIDE one process (the bench's
+    warmup + timed passes) reuse the store, which is exactly the
+    warm-search shape this query exists to measure (VERDICT r12
+    item 2). The build IS streaming/annindex.rebuild_ivf_index
+    (seeded KMeans + pq_fit sample → cluster-bucketed codes-at-rest
+    parquet), so the store is bit-deterministic: a cold build and a
+    warm reuse serve identical results, which is what lets a
+    process-cached store back an oracle-checked query. Crash-safe by
+    build-then-rename: the store only appears at its final path
+    complete (the `_COMPLETE` marker rides inside the renamed dir)."""
     import hashlib
     import shutil
     import tempfile
@@ -307,8 +314,9 @@ def _ivfpq_store_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
 
     from flink_realtime_edu_spark.streaming.annindex import rebuild_ivf_index
 
+    app_id = spark.sparkContext.applicationId
     tag = hashlib.md5(
-        f"{sf_dir}|v{_IVFPQ_STORE_VERSION}".encode()
+        f"{app_id}|{sf_dir}|v{_IVFPQ_STORE_VERSION}".encode()
     ).hexdigest()[:12]
     root = (
         Path(tempfile.gettempdir())
@@ -316,6 +324,8 @@ def _ivfpq_store_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         / f"ivfpq_store_{tag}"
     )
     if not (root / "_COMPLETE").exists():
+        import atexit
+
         build = root.with_name(root.name + ".build")
         shutil.rmtree(build, ignore_errors=True)
         emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -328,6 +338,9 @@ def _ivfpq_store_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         (build / "_COMPLETE").touch()
         shutil.rmtree(root, ignore_errors=True)
         build.rename(root)
+        # Per-process stores would otherwise accumulate one dir per
+        # (process, sf) under /tmp; reap ours on interpreter exit.
+        atexit.register(shutil.rmtree, str(root), ignore_errors=True)
     return (
         str(root / "quantizer"),
         str(root / "index"),

@@ -27,6 +27,20 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing floor. With parallelismFirst (default true) AQE
+    # merges post-shuffle partitions up to THIS size, ignoring the
+    # advisory target, so the 1m default serializes CPU-dense
+    # small-byte stages: measured r13 at sf0.1, the 7.4 MB exchange
+    # feeding top_parts_per_nation's final agg + window coalesced to
+    # 6 tasks (2.3 s of CPU on 6 of 32 cores) and near_dup_minhash's
+    # 830 KB shingle exchange to 1. 64k keeps such stages wide; at
+    # cluster scale post-shuffle partitions sit at/above the advisory
+    # size, so the floor never binds there (it only affects stages
+    # whose bytes-per-core are tiny while their CPU is not).
+    # Parameterized for operators with other calibrations.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "64kb"
+    ),
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Write TimestampType as TIMESTAMP(MICROS, adjustedToUTC=true),

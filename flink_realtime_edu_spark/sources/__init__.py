@@ -130,6 +130,20 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-process cache of table read SCHEMAS (StructType), keyed by
+# (session id, sf_dir, table). A schema-less `spark.read.parquet`
+# runs a one-task footer-inference JOB before the query proper —
+# measured r13 at 30-80 ms of wall per `load` call (a 5-table star
+# join paid 5 such jobs per build, ~0.3 s of its 1.1 s wall).
+# Supplying the schema explicitly skips that job. This caches plan
+# METADATA only (never data or results — every query still computes
+# from the parquet files); the first load of each table in a process
+# still infers from the real footers, so a changed file shape is
+# picked up by any fresh process. Keyed by session id too: the
+# loaded shape depends on session confs (e.g. nanosAsLong).
+_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one testdata table as a DataFrame.
 
@@ -141,9 +155,75 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     configure(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)
+    return df
+
+
+# Per-process cache of table scan WIDTH: how many independently
+# readable units the parquet scan has (= total row groups across
+# files — Spark's vectorized reader assigns each row group to the
+# one split containing its midpoint, so splits beyond row groups are
+# empty tasks). Metadata-only, read from footers driver-side.
+_SCAN_WIDTH_CACHE: dict[tuple[str, str], int] = {}
+
+
+def scan_width(sf_dir: str, name: str) -> int:
+    """Parallelizable units in the scan of one testdata table."""
+    key = (sf_dir, name)
+    width = _SCAN_WIDTH_CACHE.get(key)
+    if width is None:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, name)
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+        )
+        width = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        _SCAN_WIDTH_CACHE[key] = width
+    return width
+
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """:func:`load`, round-robin spread to full parallelism when the
+    scan itself cannot provide it.
+
+    The driver's testdata tables are single-file single-row-group
+    parquet, so a bare scan runs as ONE task regardless of split
+    configs; a downstream stage with real per-row CPU (an Arrow
+    signature UDF, a wide decimal aggregate) then runs on one core.
+    When the footer metadata says the scan has fewer row groups than
+    ``defaultParallelism``, pay one exchange of the (small, single
+    row group ⇒ ≤128 MB-ish) input to unlock the cores; at cluster
+    scale row groups ≫ cores and this is a plain :func:`load` — no
+    exchange, no planning cost (the width check is cached footer
+    metadata, never a Spark job).
+
+    Use ONLY where the A/B shows the downstream CPU beats the
+    exchange: measured r13 on near_dup_minhash (Python signature
+    stage) 2.73 s → 1.85 s, while the same spread REGRESSED
+    pricing_summary (+0.06 s only), top_parts_per_nation (−0.9 s
+    worse) and the events windows (exchange ≥ the saved compute) —
+    see OPTIMIZATION_r13.md.
+    """
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if scan_width(sf_dir, name) < target:
+        df = df.repartition(target)
     return df
 
 
