@@ -682,8 +682,15 @@ def embedding_near_duplicates(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # asNondeterministic is an optimizer FENCE, not a semantics claim
+    # (the kernel is deterministic): without it the threshold filter
+    # is pushed below the projection and the scorer runs TWICE — once
+    # under the filter, again for the surviving rows' output column
+    # (guide §4.4 pattern; r13 plan showed ArrowEvalPython → Filter →
+    # ArrowEvalPython on the same _cos(va, vb)).
+    scorer = cosine_pair_udf().asNondeterministic()
     return pairs.select(
-        "id_a", "id_b", cosine_pair_udf()(F.col("va"), F.col("vb")).alias("cos")
+        "id_a", "id_b", scorer(F.col("va"), F.col("vb")).alias("cos")
     ).filter(F.col("cos") >= threshold)
 
 
@@ -898,7 +905,16 @@ def ann_recall_summary(
     `n_queries` stays exactly computable by the oracle.
 
     Scale note: the brute-force arm makes this a VERIFICATION query
-    (gate scales); production serving uses the ANN frame directly."""
+    (gate scales); production serving uses the ANN frame directly.
+
+    The ANN frame is materialized before folding: it feeds BOTH the
+    hit semi-join and the per-query answer count, and AQE does not
+    stage-reuse duplicated subtrees (the candidate_pairs /
+    knn_graph_sampled_recall finding, r12 ADVICE) — without this the
+    whole search pipeline (bucket/encode UDFs, candidate join,
+    rerank) executed twice per summary (r13: every ANN query's plan
+    showed its scorer ArrowEvalPython ×2). The frame is ≤ |Q|·k rows."""
+    ann = _materialize(ann)
     hit = ann.select("qid", "nid").join(
         exact.select("qid", "nid"), on=["qid", "nid"], how="left_semi"
     )

@@ -149,7 +149,14 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dual-engine md5 variant so DuckDB recomputes it exactly and
     hash-checks the banding+verify pipeline; the SipHash-UDF
     signature (same banding, ~10× faster per token) remains the
-    scale default and is pinned in tests/test_operators.py."""
+    scale default and is pinned in tests/test_operators.py.
+
+    r13 note: spreading the corpus first (sources.load_wide, the
+    near_dup_minhash win) was A/B-measured HERE at 2.88 → 3.47 s —
+    worse — and not applied: the explode→md5→60-aggregate stage
+    already reduces to doc-count rows map-side, and the added
+    exchange plus wider partial-agg state outweighed the
+    parallelism."""
     docs = load(spark, sf_dir, "documents")
     sig = simhash_signature_md5(docs)
     return simhash_near_duplicates(docs, sig_df=sig, sig_bits=60).orderBy(

@@ -163,10 +163,18 @@ def streaming_semantic_dedup(
                 F.col("embedding").alias("s_emb"),
                 F.col("first_seen_batch").alias("s_batch"),
             )
+            # .asNondeterministic(): optimizer fence only (the kernel
+            # is deterministic) — stops the threshold filter from
+            # being pushed below the projection, which re-evaluated
+            # the scorer for every surviving row (guide §4.4; same
+            # fix as embedding_near_duplicates, r13).
             scored = (
                 vecs.join(surv, on="block")
                 .withColumn(
-                    "cos", cosine_pair_udf()(F.col("embedding"), F.col("s_emb"))
+                    "cos",
+                    cosine_pair_udf().asNondeterministic()(
+                        F.col("embedding"), F.col("s_emb")
+                    ),
                 )
                 .filter(F.col("cos") >= F.lit(threshold))
             )

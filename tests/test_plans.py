@@ -244,10 +244,41 @@ def test_persisted_ann_query_hot_scan_reads_codes_only(spark):
     (nid, cluster, code) with the probed clusters pruned as
     partitions, and no scan ever co-reads cv with code. Runs at the
     gate scale so the pinned plan is the very store the driver's
-    official sample searches."""
+    official sample searches. Pinned on the SEARCH pipeline (the
+    exact frame the registered query folds into its summary) rather
+    than the registered query's final plan: since r13 the summary
+    materializes the ANN arm (ann_recall_summary — it has two
+    consumers), so the query-level plan shows a checkpointed
+    ExistingRDD there, the same migration the k-NN graph test
+    documents below."""
     from tests.conftest import SF_DIR_MID
 
-    df = REGISTRY["ivfpq_persisted_ann_topk"].build(spark, SF_DIR_MID)
+    from flink_realtime_edu_spark.operators.quantization import (
+        ivfpq_topk,
+        probed_clusters,
+    )
+    from flink_realtime_edu_spark.queries.similarity import (
+        _K,
+        _N_QUERIES,
+        _ivfpq_store_dirs,
+    )
+    from flink_realtime_edu_spark.streaming.annindex import (
+        read_ivf_index,
+        read_ivf_quantizer,
+        read_pq_codebooks,
+    )
+
+    quant_dir, index_dir, cb_dir = _ivfpq_store_dirs(spark, SF_DIR_MID)
+    centers = read_ivf_quantizer(spark, quant_dir)
+    codebooks = read_pq_codebooks(spark, cb_dir)
+    emb = load(spark, SF_DIR_MID, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    idx = read_ivf_index(
+        spark, index_dir, clusters=probed_clusters(queries, centers)
+    )
+    df = ivfpq_topk(
+        idx, centers, queries, codebooks, k=_K, n_probe=4, rerank_r=30
+    )
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
