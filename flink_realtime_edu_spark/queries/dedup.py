@@ -264,7 +264,7 @@ def fingerprint_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on both sides; the oracle replays the arithmetic
     fingerprints and the inverted-index pair count in SQL."""
     return fingerprint_overlap_pairs(
-        load(spark, sf_dir, "documents"), min_shared=8
+        load_wide(spark, sf_dir, "documents"), min_shared=8
     ).orderBy("id_a", "id_b")
 
 
@@ -310,7 +310,10 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-expressible → oracle-checked, unlike the minhash/simhash
     variants."""
     return jaccard_pairs_exact(
-        load(spark, sf_dir, "documents"), shingle_words=3, threshold=0.5, max_df=100
+        load_wide(spark, sf_dir, "documents"),
+        shingle_words=3,
+        threshold=0.5,
+        max_df=100,
     )
 
 
@@ -683,8 +686,12 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.dedup.duplicated_spans; the oracle replays the raw-gram
     variant in SQL — the two are pinned identical on this corpus by
     tests/test_spans.py (hash-vs-raw twin, the SipHash/md5-twin
-    discipline of the other near-dup oracles)."""
-    d = load(spark, sf_dir, "documents")
+    discipline of the other near-dup oracles).
+
+    load_wide (r13): the k-gram explosion ran as an 11 s single-CPU
+    stage behind the one-row-group scan; spreading the corpus first
+    measured 5.22 -> 3.08 s (no-op at cluster scale)."""
+    d = load_wide(spark, sf_dir, "documents")
     spans = duplicated_spans(d, k=40, stride=1, hash_grams=True)
     return (
         spans.join(d.select("doc_id", "source"), on="doc_id")
@@ -777,8 +784,11 @@ def span_clip_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no UDF, no explode-back). The md5-of-clipped-text distinct count
     makes the oracle sensitive to every reassembled byte, not just
     lengths — a value-level proof the Spark fold and the SQL
-    string_agg replay produce identical corpora."""
-    d = load(spark, sf_dir, "documents")
+    string_agg replay produce identical corpora.
+
+    load_wide (r13): same single-task gram-explosion stage as
+    dup_span_stats; measured 5.09 -> 3.19 s at sf0.1."""
+    d = load_wide(spark, sf_dir, "documents")
     spans = duplicated_spans(
         d, k=40, stride=1, hash_grams=True, keep_first=True
     )
