@@ -16,6 +16,7 @@ Conventions enforced here (SURVEY.md §5.2):
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -78,9 +79,24 @@ def register(
     def deco(fn: Builder) -> Builder:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
+
+        # Registered builds run under the batch-analytics conf profile
+        # (session.BATCH_CONFS — currently the AQE coalescing floor):
+        # applied HERE, not in the shared configure(), so the
+        # streaming jobs' micro-batch pipelines keep Spark's default
+        # floor (the 64k batch floor measured 15-30 % slower on the
+        # ingest sinks — see OPTIMIZATION_r13.md). The module-level
+        # function stays unwrapped for direct callers/tests.
+        @functools.wraps(fn)
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from flink_realtime_edu_spark.session import configure_batch
+
+            configure_batch(spark)
+            return fn(spark, sf_dir)
+
         QUERIES[name] = QuerySpec(
             name=name,
-            build=fn,
+            build=build,
             oracle=oracle,
             survey_rows=tuple(survey_rows),
             doc=doc or (fn.__doc__ or "").strip(),

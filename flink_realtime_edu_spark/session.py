@@ -27,20 +27,6 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE coalescing floor. With parallelismFirst (default true) AQE
-    # merges post-shuffle partitions up to THIS size, ignoring the
-    # advisory target, so the 1m default serializes CPU-dense
-    # small-byte stages: measured r13 at sf0.1, the 7.4 MB exchange
-    # feeding top_parts_per_nation's final agg + window coalesced to
-    # 6 tasks (2.3 s of CPU on 6 of 32 cores) and near_dup_minhash's
-    # 830 KB shingle exchange to 1. 64k keeps such stages wide; at
-    # cluster scale post-shuffle partitions sit at/above the advisory
-    # size, so the floor never binds there (it only affects stages
-    # whose bytes-per-core are tiny while their CPU is not).
-    # Parameterized for operators with other calibrations.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
-        "SPARK_GRAFT_AQE_MIN_PARTITION", "64kb"
-    ),
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Write TimestampType as TIMESTAMP(MICROS, adjustedToUTC=true),
@@ -66,6 +52,47 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             # Conf not settable at runtime on this build — leave as-is.
+            pass
+    return spark
+
+
+# BATCH-ANALYTICS-ONLY confs, applied via configure_batch by every
+# REGISTERED query build (queries/__init__.register wraps the
+# builders) but NOT by the shared configure() the streaming jobs call.
+#
+# AQE coalescing floor (r13). With parallelismFirst (default true)
+# AQE merges post-shuffle partitions up to THIS size, ignoring the
+# advisory target, so the 1m default serializes CPU-dense small-byte
+# stages: measured at sf0.1, the 7.4 MB exchange feeding
+# top_parts_per_nation's final agg + window coalesced to 6 tasks
+# (2.3 s of CPU on 6 of 32 cores) and near_dup_minhash's 830 KB
+# shingle exchange to 1 task. 64k keeps such stages wide; at cluster
+# scale post-shuffle partitions sit at/above the advisory size, so
+# the floor never binds there. Scoped to batch builds because the
+# SAME floor regressed the foreachBatch micro-batch ingest sinks
+# 15-30 % (ivf_index 206 → ~160 rows/s, scripts/ingest_throughput.py
+# A/B): a ~250-row micro-batch wants FEWER tasks, exactly what the
+# default floor's coalescing provides. Env-overridable for other
+# calibrations.
+BATCH_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "64kb"
+    ),
+}
+
+
+def configure_batch(spark: SparkSession) -> SparkSession:
+    """configure() plus the batch-analytics-only confs. Confs are
+    session-global: a session interleaving registered batch queries
+    with streaming sinks keeps the batch floor from the first
+    registered build on — value-neutral either way (the floor moves
+    task counts, never results); the driver, bench.run_spark and
+    bench.run_streaming each use a dedicated session."""
+    configure(spark)
+    for key, value in BATCH_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
             pass
     return spark
 
