@@ -8,8 +8,11 @@ rows-only check (B* rows in the inventory).
 
 Conventions enforced here (SURVEY.md §5.2):
 - every computed column is aliased identically in Spark and SQL;
-- floating aggregates use the DECIMAL(30,8) trick from
-  ``flink_realtime_edu_spark.functions`` on BOTH sides;
+- floating aggregates are exact-decimal on BOTH sides, asymmetrically
+  since r13: the Spark side casts per-row to decimal(18,8)
+  (long-backed — ``flink_realtime_edu_spark.functions._DEC``, which
+  also carries the |x| < 1e10 equivalence argument) while the DuckDB
+  twin stays DECIMAL(30,8);
 - results are deterministic (unique tie-breakers under limits,
   arrays sorted/joined to strings).
 """
@@ -114,74 +117,69 @@ def register(
 # representative (tests/test_registry_order.py pins this), and it
 # ROTATES each round (VERDICT r3 item 3).
 #
-# r13 rotation (VERDICT r12 item 1): the 29 queries last officially
-# sampled r9 — COVERAGE.md's recorded "r13 rotation obligation" — go
-# FIRST; they hit the K=4 staleness budget
+# r14 rotation (the K=4 staleness budget, VERDICT r8 item 8): the 31
+# queries last officially sampled r10 — COVERAGE.md's recorded "r14
+# rotation obligation", recomputed by scripts/coverage_report.py from
+# the CORRECTNESS ledger — go FIRST; they hit the budget
 # (tests/test_registry_order.py::test_staleness_budget_within_window)
-# the moment CORRECTNESS_r13.json lands. New r13 queries follow (the
-# never-sampled pin forces them in at add time). The remaining slots
-# start the 48-query r10 cohort (binds r14): spark_native_hashes is
-# picked out of alphabetical order because it is one of the two
-# rows-only-by-design queries the driver otherwise never re-samples
-# (VERDICT r12 "What's wrong" #2), then the alphabetical head. The
-# spilled r10 queries MUST rotate first in r14; the definitive spill
-# list is recomputed by scripts/coverage_report.py from the
-# CORRECTNESS ledger, not this comment.
+# the moment CORRECTNESS_r14.json lands. The remaining 18 slots start
+# the 48-query r11 cohort (binds r15) at its alphabetical head. The
+# spilled r11 queries MUST rotate first in r15; the definitive spill
+# list is recomputed by scripts/coverage_report.py, not this comment.
 DRIVER_CHECK_WINDOW = 50
 _PRIORITY_PREFIX: tuple[str, ...] = (
     "pricing_summary",            # S3 P1 P2 P5 A1 A2 A5 O1 -- entry()
-    # --- never officially sampled (NEW r13) ---
-    "ivfpq_persisted_ann_topk",   # X6 -- persisted codes-at-rest search
-    "webp_decode_stats",          # X8 -- VP8L lossless codec
-    "knn_graph_refined_recall",   # X6 -- NN-descent round over the graph
-    # --- last officially sampled r9 (the K=4 obligation, all 29) ---
-    "daily_unique_visitors",
-    "datetime_funcs_orders",
-    "distinct_users_by_type",
-    "doc_fingerprint_stats",
-    "event_gaps",
-    "exact_dedup_docs",
-    "hash_funcs_documents",
-    "interval_join_click_purchase",
-    "jpeg_decode_stats",
-    "json_props_stats",
-    "kmeans_cluster_profile",     # rows-only by design; official weak sample
-    "kmeans_quality_summary",
-    "label_centroids",
-    "label_homophily_check",
-    "late_priority_mix",
-    "leakage_safe_split",
-    "left_join_recent_spend",
-    "math_conditional_orders",
-    "media_dup_canonicals",
-    "minhash_signatures_sample",
-    "nations_with_customers_and_suppliers",
-    "near_dup_clusters",
-    "near_dup_embeddings",
-    "near_dup_jaccard",
-    "near_dup_minhash",
-    "new_vs_returning_daily",
-    "pandas_udf_token_stats",
-    "pii_redaction_stats",
-    "video_frame_sample_plan",
-    # --- last officially sampled r10 (staleness refresh, 20/48) ---
-    "spark_native_hashes",        # rows-only by design; official weak sample
-    "approx_value_percentiles",
-    "bpe_token_counts",
-    "cep_greedy_views",
-    "cep_group_times_funnel",
-    "cep_one_or_more_until",
-    "cep_times_quantifier",
-    "cohort_retention",
-    "collect_event_types",
-    "cross_join_region_status",
-    "cube_customer_segments",
-    "curated_packing_manifest",
-    "customer_balance_quartiles",
-    "dirty_data_split",
-    "distinct_segments_per_nation",
-    "doc_bigram_perplexity",
-    "doc_chunking_windows",
+    # --- last officially sampled r10 (the K=4 obligation, all 31) ---
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_trigram_perplexity",
+    "doc_unigram_surprisal",
+    "domain_temperature_mixture",
+    "doremi_domain_weights",
+    "dsir_gumbel_topk",
+    "dsir_importance_weights",
+    "embedding_quantization_snr",
+    "error_burst_stats",
+    "fingerprint_overlap_docs",
+    "full_join_nation_counts",
+    "funnel_click_view_purchase",
+    "grouped_zscore_chars",
+    "pivot_daily_activity",
+    "rollup_revenue",
+    "running_customer_spend",
+    "semdedup_kmeans_summary",
+    "semdedup_label_blocks",
+    "semi_join_recent_customers",
+    "sequence_packing_chunks",
+    "session_window_stats",
+    "star_join_revenue",
+    "string_funcs_part",
+    "temporal_join_purchase_state",
+    "tfidf_top_terms",
+    "top_parts_per_nation",
+    "training_shuffle_manifest",
+    "union_activity_feed",
+    "user_state_intervals",
+    "value_percentiles",
+    # --- last officially sampled r11 (staleness refresh, 18/48) ---
+    "audio_fingerprint_dups",
+    "audio_metadata_stats",
+    "big_volume_customers",
+    "bpe_encode_stats",
+    "bpe_merge_learning",
+    "bpe_sequence_packing",
+    "bpe_token_budget_sample",
+    "cep_funnel_first_match",
+    "cep_funnel_timeouts",
+    "cep_no_error_funnel",
+    "cep_not_next_error_pair",
+    "cep_quiet_after_purchase",
+    "cep_strict_error_runs",
+    "customer_order_distribution",
+    "disjunctive_predicate_revenue",
+    "dup_cluster_canonicals",
+    "dup_span_stats",
+    "excess_share_suppliers",
 )
 
 

@@ -325,6 +325,20 @@ def _ivfpq_store_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     )
     if not (root / "_COMPLETE").exists():
         import atexit
+        import time
+
+        # Opportunistic reap of STALE sibling stores (ADVICE r13): the
+        # atexit hook below only covers a clean exit, so a SIGKILLed
+        # run leaks its dir — and app-id keys are never reused, so
+        # leaks would accumulate forever. Any sibling older than 6h
+        # cannot belong to a live bench/oracle process on this box.
+        cutoff = time.time() - 6 * 3600
+        for sib in root.parent.glob("ivfpq_store_*"):
+            try:
+                if sib != root and sib.stat().st_mtime < cutoff:
+                    shutil.rmtree(sib, ignore_errors=True)
+            except OSError:
+                pass
 
         build = root.with_name(root.name + ".build")
         shutil.rmtree(build, ignore_errors=True)

@@ -92,8 +92,17 @@ def configure_batch(spark: SparkSession) -> SparkSession:
     for key, value in BATCH_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 — never fail a build on conf
+            # A bad override (e.g. a typo'd SPARK_GRAFT_AQE_MIN_PARTITION
+            # byte string) would otherwise silently disable the r13 AQE
+            # floor — warn so a misconfiguration is visible (ADVICE r13).
+            import warnings
+
+            warnings.warn(
+                f"configure_batch: could not set {key}={value!r}: {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark
 
 

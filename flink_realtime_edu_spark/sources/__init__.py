@@ -131,7 +131,13 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 # Per-process cache of table read SCHEMAS (StructType), keyed by
-# (session id, sf_dir, table). A schema-less `spark.read.parquet`
+# (APPLICATION id, sf_dir, table) — note the application id is shared
+# across newSession() clones; uniformity of conf-dependent shapes
+# (e.g. nanosAsLong) comes from load()'s configure() call applying
+# the same RUNTIME_CONFS to every session that loads through here.
+# Not invalidated on in-process file rewrite: the driver's testdata
+# is immutable, and anything that rewrites a TABLE file mid-process
+# should use a fresh sf_dir. A schema-less `spark.read.parquet`
 # runs a one-task footer-inference JOB before the query proper —
 # measured r13 at 30-80 ms of wall per `load` call (a 5-table star
 # join paid 5 such jobs per build, ~0.3 s of its 1.1 s wall).
@@ -139,8 +145,7 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 # METADATA only (never data or results — every query still computes
 # from the parquet files); the first load of each table in a process
 # still infers from the real footers, so a changed file shape is
-# picked up by any fresh process. Keyed by session id too: the
-# loaded shape depends on session confs (e.g. nanosAsLong).
+# picked up by any fresh process.
 _SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
 
 
