@@ -519,10 +519,11 @@ def quality_classifier_fit(docs: DataFrame, is_target):
     - logit: z = Σ_f q·w with w in micro-units — exact BIGINT;
     - residual: r = y·1e6 − round(σ(z)·1e6) — exact integer;
     - gradient: G[f] = Σ_docs r·q — exact BIGINT (one hash aggregate);
-    - update: w[f] += round_half_away(η·G/(N·1e6)), computed on the
-      driver over the collected model-sized gradient (the kmeans /
-      bpe_merge_learning driver-loop pattern — the collect is
-      model-sized, never corpus-sized).
+    - update: w[f] += round(η·G/(N·1e6)) — Spark's ROUND on the
+      double, the same HALF-AWAY-FROM-ZERO contract _round_half_away
+      pins and the oracle's per-step w CTE replays (both engines
+      round the bit-identical double η·G/(N·1e6); the shared-ROUND
+      probe lives on _round_half_away's docstring).
 
     Returns (per-step weight snapshots [w0..wT] as micro-unit lists,
     the materialized (doc_id, y, f, q, n) feature frame, n_docs).
@@ -533,7 +534,16 @@ def quality_classifier_fit(docs: DataFrame, is_target):
     per-feature aggregate (4096 groups — map-side partial combine
     makes the shuffle bytes ~4096×partitions) plus a doc_id-keyed
     join in which both sides are hash-partitioned on doc_id. The
-    model and its gradient are corpus-size-free."""
+    model and its gradient are corpus-size-free.
+
+    r14 (§7.2 orchestration): the six steps are CHAINED IN-PLAN — the
+    update runs as a 4097-row left join instead of a driver loop, each
+    step's weight frame pinned by a lazy materialize so the t+1 plan
+    references a 4097-row checkpoint, not a duplicated subtree — and
+    ONE collect on the final frame executes the whole chain (the r13
+    form paid a full job round-trip + model re-upload per step: 8
+    driver-synchronized jobs per fit; now 2 touch data). The earlier
+    snapshots read back the already-persisted per-step RDDs."""
     from flink_realtime_edu_spark.session import materialize as _materialize
 
     spark = docs.sparkSession
@@ -546,12 +556,19 @@ def quality_classifier_fit(docs: DataFrame, is_target):
     )
     q = qc_quantized_features(tagged, carry=("y",))
     qdf = _materialize(q.repartition("doc_id"))
-    n_docs = qdf.select("doc_id").distinct().count()
+    # Exactly one INTERCEPT row per featured doc ⇒ same value as the
+    # old distinct-doc_id count, minus the distinct's exchange. This
+    # count is also the action that computes and pins the checkpoint.
+    n_docs = qdf.filter(F.col("f") == _QC_BIAS_F).count()
 
-    w = [0] * (_DSIR_B + 1)  # +1: the intercept bucket _QC_BIAS_F
-    snaps = [list(w)]
+    denom = float(n_docs * 1000000.0)
+    w_frames = [
+        spark.createDataFrame(
+            [(f, 0) for f in range(_DSIR_B + 1)], "f long, w long"
+        )
+    ]
     for _step in range(_QC_STEPS):
-        wdf = spark.createDataFrame(list(enumerate(w)), "f long, w long")
+        wdf = w_frames[-1]
         z = (
             qdf.join(F.broadcast(wdf), "f")
             .groupBy("doc_id")
@@ -563,17 +580,33 @@ def quality_classifier_fit(docs: DataFrame, is_target):
         r = z.select(
             "doc_id", (F.col("y") - _qc_sigmoid_micro(F.col("z"))).alias("r")
         )
-        grad = (
+        g = (
             qdf.join(r, "doc_id")
             .groupBy("f")
             .agg(F.sum(F.col("r") * F.col("q")).alias("g"))
-            .collect()
         )
-        for row in grad:
-            w[row["f"]] += _round_half_away(
-                _QC_ETA * float(row["g"]) / (n_docs * 1000000.0)
-            )
-        snaps.append(list(w))
+        # w[f] += round(η·g/(N·1e6)) — op order mirrors the old driver
+        # code (η·g first, then the divide) so the double is
+        # bit-identical; features absent from the gradient keep w.
+        upd = F.round(
+            F.lit(_QC_ETA) * F.col("g").cast("double") / F.lit(denom), 0
+        ).cast("long")
+        w_next = wdf.join(g, "f", "left").select(
+            "f",
+            (F.col("w") + F.coalesce(upd, F.lit(0).cast("long"))).alias("w"),
+        )
+        w_frames.append(_materialize(w_next))
+
+    # Final frame first: its lineage computes (and persists) every
+    # per-step checkpoint in ONE job; the remaining snapshot collects
+    # read 4097-row cached RDDs.
+    snaps_rev = []
+    for wf in reversed(w_frames[1:]):
+        wl = [0] * (_DSIR_B + 1)
+        for row in wf.collect():
+            wl[row["f"]] = row["w"]
+        snaps_rev.append(wl)
+    snaps = [[0] * (_DSIR_B + 1), *reversed(snaps_rev)]
     return snaps, qdf, n_docs
 
 
@@ -842,8 +875,38 @@ def _qc_rate_gate_eval(spark: SparkSession, docs: DataFrame) -> DataFrame:
     from flink_realtime_edu_spark.session import materialize as _materialize
 
     sv = _materialize(sv)
-    n_val = sv.count()
-    n_pos = sv.filter(F.col("y") == 1000000).count()
+    # r14 (§7.2): one aggregate job for both corpus stats (was two
+    # counts), and ONE ranked pass for every cutoff (was one
+    # orderBy().limit(k).count() job per keep_pct): take the top
+    # k_max once (TakeOrderedAndProject — per-partition heaps, the
+    # query's documented eval-sample posture), rank it under the SAME
+    # (s DESC, doc_id) total order, and fold all three cutoffs in one
+    # aggregate — tp@pct ≡ Σ[rnk ≤ k_pct ∧ y = pos], exactly the old
+    # per-pct counts. The partition-less window runs over the ALREADY
+    # k_max-row single-partition limit result, never the corpus.
+    stats = sv.agg(
+        F.count(F.lit(1)).alias("n_val"),
+        F.sum(F.when(F.col("y") == 1000000, 1).otherwise(0)).alias("n_pos"),
+    ).collect()[0]
+    n_val = int(stats["n_val"])
+    n_pos = int(stats["n_pos"] or 0)
+
+    ks = {pct: n_val * pct // 100 for pct in _QC_KEEP_PCTS}
+    k_max = max(ks.values())
+    top = sv.orderBy(F.col("s").desc(), "doc_id").limit(k_max)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id"))
+    )
+    tp_row = ranked.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rnk") <= ks[pct]) & (F.col("y") == 1000000), 1
+                ).otherwise(0)
+            ).alias(f"tp_{pct}")
+            for pct in _QC_KEEP_PCTS
+        ]
+    ).collect()[0]
 
     def micro_ratio(num: int, den: int):
         if den <= 0:
@@ -852,9 +915,8 @@ def _qc_rate_gate_eval(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
     rows = []
     for pct in _QC_KEEP_PCTS:
-        k = n_val * pct // 100
-        kept = sv.orderBy(F.col("s").desc(), "doc_id").limit(k)
-        tp = kept.filter(F.col("y") == 1000000).count()
+        k = ks[pct]
+        tp = int(tp_row[f"tp_{pct}"] or 0)
         rows.append(
             (
                 pct,
