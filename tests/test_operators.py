@@ -169,6 +169,72 @@ def test_embedding_near_dup_finds_planted_duplicates(spark, sf_dir):
     assert len(pairs) == 2  # no false positives from the random background
 
 
+def test_embedding_near_dup_group_scoring_matches_pair_join(spark, sf_dir):
+    """The r14 in-group scorer (bucket applyInPandas, strictly-upper
+    triangle) must return EXACTLY the rows of the r13 shape it
+    replaced — bucket self-join on bkt, id_a < id_b pair-dedup, then
+    cosine_pair_udf + threshold filter. Threshold 0.0 keeps every
+    candidate pair, so the equality covers scores, not just the
+    survivor set; planted near-dup clusters force multi-row buckets
+    in every table."""
+    from flink_realtime_edu_spark.operators.similarity import (
+        adaptive_n_planes,
+        cosine_pair_udf,
+        embedding_near_duplicates,
+        hyperplane_buckets,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    planted = spark.createDataFrame(
+        [
+            (100000 + 10 * i + j, [x * (1.0 + 0.001 * j) for x in vec])
+            for i, (_, vec) in enumerate(base)
+            for j in range(3)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.unionByName(planted)
+
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_duplicates(corpus, threshold=0.0).collect()
+    }
+
+    # the replaced r13 shape, inlined as the reference
+    n_planes = adaptive_n_planes(
+        corpus.count(), target_bucket_rows=16, min_planes=12, max_planes=30
+    )
+    dim = len(base[0][1])
+    buckets = hyperplane_buckets(n_planes, dim, n_tables=8, seed=42)
+    tagged = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.explode(buckets(F.col("embedding"))).alias("bkt"),
+    )
+    a = tagged.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bkt")
+    b = tagged.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bkt")
+    pairs = (
+        a.join(b, on="bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scorer = cosine_pair_udf().asNondeterministic()
+    want = {
+        (r.id_a, r.id_b): r.cos
+        for r in pairs.select(
+            "id_a", "id_b", scorer(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.0)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 10, "pair set too small to be a meaningful pin"
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     """Multi-table LSH (8 tables × 4 planes) must recover a solid
     share of the true top-5 even on these weakly-clustered synthetic
