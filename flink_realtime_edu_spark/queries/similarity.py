@@ -272,12 +272,19 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode_index,
     )
     from flink_realtime_edu_spark.operators.similarity import _ivf_fit_assign
+    from flink_realtime_edu_spark.session import materialize as _materialize
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     assigned, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
     codebooks = pq_fit_sample(emb, m=16, k=256)
-    indexed = pq_encode_index(assigned, codebooks)
+    # The build-in-query index has THREE consumers inside ivfpq_topk
+    # (the codes-at-rest dispatch probe, the ADC scan, the rerank's
+    # float fetch) and AQE does not stage-reuse duplicated subtrees —
+    # unmaterialized, the KMeans-assign + PQ-encode pipeline executed
+    # once per consumer (r14; the persisted-store query needs no pin:
+    # its consumers read parquet at rest).
+    indexed = _materialize(pq_encode_index(assigned, codebooks))
     ann = ivfpq_topk(
         indexed, centers, queries, codebooks, k=_K, n_probe=4, rerank_r=30
     )
@@ -442,12 +449,16 @@ def ivfpq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_fit_sample_residual,
     )
     from flink_realtime_edu_spark.operators.similarity import _ivf_fit_assign
+    from flink_realtime_edu_spark.session import materialize as _materialize
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     assigned, centers = _ivf_fit_assign(emb, "vec_id", "embedding", 16, 42)
     codebooks, centers_norm = pq_fit_sample_residual(emb, centers, m=16, k=256)
-    indexed = pq_encode_index(assigned, codebooks, centers_norm=centers_norm)
+    # same three-consumer pin as ivfpq_ann_topk (probe/scan/rerank)
+    indexed = _materialize(
+        pq_encode_index(assigned, codebooks, centers_norm=centers_norm)
+    )
     ann = ivfpq_topk(
         indexed, centers, queries, codebooks,
         k=_K, n_probe=4, rerank_r=30, centers_norm=centers_norm,
