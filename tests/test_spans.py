@@ -171,6 +171,7 @@ def ref_clip(text: str, spans: list[tuple[int, int]]) -> str:
     return "".join(ch for i, ch in enumerate(text) if i not in cov)
 
 
+@pytest.mark.slow  # ~37 s brute-force sweep; span semantics stay default via the gram-key and oracle-parity tests
 def test_keep_first_matches_bruteforce(spark):
     """keep_first=True drops exactly each gram's global-first
     occurrence — checked against brute force on the hand cases and

@@ -711,6 +711,7 @@ def test_ts_shape_drift_guard(spark, sf_dir, tmp_path):
         assert rows == want, f"{path} diverged from normalized batch rows"
 
 
+@pytest.mark.slow  # ~54 s; restart-from-checkpoint class stays default via the semantic-dedup/IVF/layered restart tests
 def test_abandoned_state_survives_restart_from_checkpoint(spark, tmp_path):
     """T7 + checkpoint/restore: kill the GroupState timer job between
     micro-batches and restart from the same checkpoint — pending-click
@@ -1636,13 +1637,18 @@ def test_cep_not_followed_by_stream_equals_batch(spark, sf_dir, tmp_path, cfg):
 
 
 @pytest.mark.parametrize(
+    # One strategy stays in the default profile (the stream≡batch
+    # coverage class); the other four are slow-tier — identical code
+    # path, per-strategy semantics already pinned by the BATCH
+    # bruteforce property tests (r14 suite re-tier: the driver's
+    # default pytest wall overran its budget, VERDICT r13 item 1).
     "strategy,skip_block",
     [
         ("no_skip", None),
-        ("skip_to_next", None),
-        ("skip_past_last_event", None),
-        ("skip_to_first", 2),
-        ("skip_to_last", 1),
+        pytest.param("skip_to_next", None, marks=pytest.mark.slow),
+        pytest.param("skip_past_last_event", None, marks=pytest.mark.slow),
+        pytest.param("skip_to_first", 2, marks=pytest.mark.slow),
+        pytest.param("skip_to_last", 1, marks=pytest.mark.slow),
     ],
     ids=lambda v: str(v),
 )
@@ -1713,13 +1719,15 @@ def test_cep_all_matches_stream_equals_batch(
 
 
 @pytest.mark.parametrize(
+    # default keeps one strategy; rest slow-tier (see the r14 re-tier
+    # note on test_cep_all_matches_stream_equals_batch)
     "strategy,skip_block",
     [
         ("no_skip", None),
-        ("skip_to_next", None),
-        ("skip_past_last_event", None),
-        ("skip_to_first", 2),
-        ("skip_to_last", 2),
+        pytest.param("skip_to_next", None, marks=pytest.mark.slow),
+        pytest.param("skip_past_last_event", None, marks=pytest.mark.slow),
+        pytest.param("skip_to_first", 2, marks=pytest.mark.slow),
+        pytest.param("skip_to_last", 2, marks=pytest.mark.slow),
     ],
     ids=lambda v: str(v),
 )
@@ -2074,13 +2082,15 @@ def test_cep_all_matches_stream_cap_is_per_key_total(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
+    # default keeps one strategy; rest slow-tier (see the r14 re-tier
+    # note on test_cep_all_matches_stream_equals_batch)
     "strategy,skip_block",
     [
         ("no_skip", None),
-        ("skip_to_next", None),
-        ("skip_past_last_event", None),
-        ("skip_to_first", 2),
-        ("skip_to_last", 1),
+        pytest.param("skip_to_next", None, marks=pytest.mark.slow),
+        pytest.param("skip_past_last_event", None, marks=pytest.mark.slow),
+        pytest.param("skip_to_first", 2, marks=pytest.mark.slow),
+        pytest.param("skip_to_last", 1, marks=pytest.mark.slow),
     ],
     ids=lambda v: str(v),
 )
@@ -2156,6 +2166,7 @@ def test_cep_all_matches_stream_state_drains_at_quiescence(
     assert state_rows[-1] == 0, state_rows  # full drain at quiescence
 
 
+@pytest.mark.slow  # ~57 s; NFB tail semantics also pinned by the batch bruteforce property tests
 def test_cep_nfb_tail_emission_waits_for_silent_horizon(spark, tmp_path):
     """The trailing-negative contract in isolation: a completed chain
     must NOT emit while its t1 + within horizon is still open (run A:
@@ -2615,6 +2626,7 @@ def test_cep_ttl_expiry_reset_leaves_no_orphaned_state(spark, tmp_path):
     assert state_rows and state_rows[-1] == 1
 
 
+@pytest.mark.slow  # ~33 s; TTL-eviction class stays default via the expiry-reset / done-marker / nfb-done TTL tests
 def test_cep_ttl_evicts_stale_partial_chains(spark, tmp_path):
     """Partial-chain TTL contract (r7, motivated by the
     state_growth.py measurement: done-only TTL left state ~linear in
