@@ -654,26 +654,21 @@ def embedding_near_duplicates(
     Every oracle scale resolves to the measured 12-plane geometry;
     sf1 gets 16 planes, 10⁹ vectors 26 (cap 30).
 
-    Scale shape (r14 — replaces the r13 bucket self-join): score
-    INSIDE the bucket groups, the knn_graph_lsh discipline. The old
-    shape joined the tagged frame to itself on bkt and pair-deduped
-    BEFORE scoring, so every candidate pair shuffled BOTH vectors
-    (candidate volume × 2·vector-width bytes — quadratic in the
-    occupancy of the planted-dup mega-buckets, VERDICT r13 #4); now
-    one exchange moves the n·n_tables tagged rows once,
-    ``applyInPandas`` scores each bucket's occ² pairs in chunked
-    numpy (the exact cosine_pair_udf kernel — einsum num/den + 6dp
-    half-up rounding, bit-identity pinned by
-    test_knn_graph_kernel_matches_pair_udf), the ≥-threshold filter
-    runs on the same doubles inside the kernel, and only surviving
-    (id_a, id_b, cos) 24-byte rows leave the group, deduped across
-    tables downstream. Same pair set, same scores — the r13 §4.4
-    scorer fence became moot (the UDF is gone from the plan)."""
-    import sys
-
-    from pyspark import cloudpickle
-
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    Scale shape notes (r14). The knn_graph_lsh in-group scoring form
+    was built and A/B-measured HERE and REJECTED: at sf0.1 it ran
+    2.26–2.98 s vs this shape's 1.98–2.10 s in interleaved passes —
+    the 16-row bucket target means ~n_tables·n/16 tiny pandas groups
+    (per-group overhead) and a dense pair co-located in all 8 tables
+    gets scored 8× in-group, where this shape pair-dedups BEFORE the
+    one scorer pass. What r14 keeps from that work: the exchange
+    ahead of the self-join is left to the PLANNER (the r13 form
+    pinned ``.repartition("bkt")``, a REPARTITION_BY_COL-origin
+    shuffle AQE's OptimizeSkewedJoin refuses to rewrite — the
+    candidate_pairs discipline, operators/dedup.py), so when a
+    mega-bucket dup-clique makes the self-join skew at scale, the
+    sort-merge join stays AQE-skew-splittable instead of running the
+    hot bucket as one straggler task; at driver scales the join is a
+    broadcast and the exchange never plans at all."""
     head = corpus.select(
         F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v0")
     ).first()
@@ -683,67 +678,38 @@ def embedding_near_duplicates(
             int(head["n"]), target_bucket_rows=16, min_planes=12, max_planes=30
         )
     buckets = hyperplane_buckets(n_planes, dim, n_tables, seed)
-    tagged = corpus.select(
-        F.col(id_col).alias("pid"),
-        F.col(vec_col).alias("v"),
-        F.explode(buckets(F.col(vec_col))).alias("bkt"),
-    )
-
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame(
-            {
-                "id_a": np.array([], dtype=np.int64),
-                "id_b": np.array([], dtype=np.int64),
-                "cos": np.array([], dtype=np.float64),
-            }
+    tagged = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            F.explode(buckets(F.col(vec_col))).alias("bkt"),
         )
-        if n < 2:
-            return empty
-        # sort by id so emitting strictly-upper-triangle indices IS
-        # the id_a < id_b contract, one unordered pair per bucket
-        order = np.argsort(pdf["pid"].to_numpy(dtype=np.int64))
-        ids = pdf["pid"].to_numpy(dtype=np.int64)[order]
-        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)[order]
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        out_a, out_b, out_c = [], [], []
-        c = max(1, 262144 // n)
-        for lo in range(0, n, c):
-            blk = mat[lo : lo + c]
-            b = len(blk)
-            # einsum("ij,kj->ik") accumulates over j ascending — the
-            # cosine_pair_udf fold, bit-identical scores (pinned by
-            # test_knn_graph_kernel_matches_pair_udf)
-            num = np.einsum("ij,kj->ik", blk, mat)
-            cos = _round_half_up(
-                num / (norms[lo : lo + b, None] * norms[None, :])
-            )
-            # strictly-upper-triangle mask (j > global row index) +
-            # the SAME IEEE >= compare Spark's filter applied to the
-            # scorer's output column
-            keep = cos >= threshold
-            keep &= np.arange(n)[None, :] > (lo + np.arange(b))[:, None]
-            ai, bj = np.nonzero(keep)
-            if len(ai):
-                out_a.append(ids[lo + ai])
-                out_b.append(ids[bj])
-                out_c.append(cos[ai, bj])
-        if not out_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cos": np.concatenate(out_c),
-            }
-        )
-
-    scored = tagged.groupBy("bkt").applyInPandas(
-        score_bucket, schema="id_a long, id_b long, cos double"
+        # AQE does not stage-reuse the two identical self-join
+        # subtrees (see candidate_pairs); materialize the tagged rows
+        # once instead of running the scan + bucket UDF per side.
+        .transform(_materialize)
     )
-    # a pair can pass the threshold in several tables' buckets with
-    # the same (bit-identical) score — keep one row
-    return scored.dropDuplicates(["id_a", "id_b"])
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bkt"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bkt"
+    )
+    pairs = (
+        a.join(b, on="bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # asNondeterministic is an optimizer FENCE, not a semantics claim
+    # (the kernel is deterministic): without it the threshold filter
+    # is pushed below the projection and the scorer runs TWICE — once
+    # under the filter, again for the surviving rows' output column
+    # (guide §4.4 pattern; r13 plan showed ArrowEvalPython → Filter →
+    # ArrowEvalPython on the same _cos(va, vb)).
+    scorer = cosine_pair_udf().asNondeterministic()
+    return pairs.select(
+        "id_a", "id_b", scorer(F.col("va"), F.col("vb")).alias("cos")
+    ).filter(F.col("cos") >= threshold)
 
 
 def block_pairs(
