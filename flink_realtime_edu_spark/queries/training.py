@@ -555,10 +555,16 @@ def quality_classifier_fit(docs: DataFrame, is_target):
         "text",
     )
     q = qc_quantized_features(tagged, carry=("y",))
-    qdf = _materialize(q.repartition("doc_id"))
+    # keep_partitioning (r14): a localCheckpoint here reported
+    # UnknownPartitioning, so every step's per-doc aggregate AND its
+    # gradient join re-exchanged the multi-million-row feature frame —
+    # 2 corpus-sized shuffles × _QC_STEPS. The persist keeps the
+    # doc_id hash partitioning visible, so each step plans only the
+    # 4097-group gradient exchange.
+    qdf = _materialize(q.repartition("doc_id"), keep_partitioning=True)
     # Exactly one INTERCEPT row per featured doc ⇒ same value as the
     # old distinct-doc_id count, minus the distinct's exchange. This
-    # count is also the action that computes and pins the checkpoint.
+    # count is also the action that computes and pins the cache.
     n_docs = qdf.filter(F.col("f") == _QC_BIAS_F).count()
 
     denom = float(n_docs * 1000000.0)

@@ -109,7 +109,7 @@ def configure_batch(spark: SparkSession) -> SparkSession:
 MATERIALIZE_CONF = "spark.flink_realtime_edu.materialize"
 
 
-def materialize(df, eager: bool = False):
+def materialize(df, eager: bool = False, keep_partitioning: bool = False):
     """Pin a small multi-consumer or iterative frame so it computes
     once (AQE does not stage-reuse duplicated subtrees — measured on
     4.1.2, see operators/dedup.py), selected by the session conf
@@ -129,9 +129,20 @@ def materialize(df, eager: bool = False):
     ``eager`` forces computation NOW (iterative algorithms that must
     cut lineage per round, or frames whose inputs are about to be
     overwritten — though overwrite safety should come from staged
-    swaps, not from caching)."""
+    swaps, not from caching).
+
+    ``keep_partitioning`` forces the persist path regardless of the
+    conf: a localCheckpoint scan reports UnknownPartitioning (r14 —
+    visible as `Scan ExistingRDD ... UnknownPartitioning(0)` in the
+    plan), so a frame that was repartitioned BY KEY for its consumers
+    loses that fact and every keyed consumer re-plans an exchange;
+    the cached InMemoryRelation keeps its child's partitioning AND is
+    reused across separate query executions (the iterative-fit shape:
+    one shuffle, many per-step readers). Only worth it when consumers
+    key on the frame's partitioning — persist blocks stay resident in
+    the CacheManager until the session ends."""
     mode = df.sparkSession.conf.get(MATERIALIZE_CONF, "localCheckpoint")
-    if mode == "persist":
+    if mode == "persist" or keep_partitioning:
         from pyspark.storagelevel import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
