@@ -272,9 +272,12 @@ def lsh_cosine_topk(
     count via :func:`adaptive_n_planes` — identical to the historical
     4-plane fixed geometry at every oracle scale (the floor), log-
     scaling past it. Pass an int to pin it explicitly."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(
+        F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v0")
+    ).first()  # one job for dim + count (r14 §7.3), not two
+    dim = len(head["v0"])
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count())
+        n_planes = adaptive_n_planes(int(head["n"]))
     buckets = hyperplane_buckets(n_planes, dim, n_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("nid"),
@@ -383,11 +386,12 @@ def knn_graph_lsh(
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    head = corpus.select(
+        F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v0")
+    ).first()  # one job for dim + count (r14 §7.3), not two
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count(), target_bucket_rows=128)
-    bkts = hyperplane_buckets(
-        n_planes, len(corpus.select(vec_col).first()[0]), n_tables, seed
-    )
+        n_planes = adaptive_n_planes(int(head["n"]), target_bucket_rows=128)
+    bkts = hyperplane_buckets(n_planes, len(head["v0"]), n_tables, seed)
     tagged = _materialize(  # feeds the occupancy agg AND the groups
         corpus.select(
             F.col(id_col).alias("src"),
